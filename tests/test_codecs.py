@@ -1,0 +1,187 @@
+"""Codec unit tests: roundtrip properties + golden byte vectors.
+
+Goldens hand-derived from the reference algorithms
+(/root/reference/component/utils/encoding.h:48-106, encoding.cpp:34-128):
+varbyte sets the HIGH bit on the LAST byte; bitpack header is
+[u8 width][u64 length]; simple9 packs a 4-bit selector in the LOW bits of
+each 32-bit little-endian word.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark import codecs as C
+
+
+def rt_varbyte(n):
+    buf = bytearray()
+    C.var_byte_encode(n, buf)
+    out, pos = C.var_byte_decode(bytes(buf), 0)
+    assert pos == len(buf)
+    return out
+
+
+def test_varbyte_goldens():
+    buf = bytearray()
+    C.var_byte_encode(0, buf)
+    assert bytes(buf) == b"\x80"  # 0 -> single byte with end flag
+    buf = bytearray()
+    C.var_byte_encode(0x7F, buf)
+    assert bytes(buf) == b"\xff"  # 127 fits one byte: 0x7f | 0x80
+    buf = bytearray()
+    C.var_byte_encode(128, buf)
+    # 128: low 7 bits = 0 (no flag), then 1 | 0x80
+    assert bytes(buf) == b"\x00\x81"
+    buf = bytearray()
+    C.var_byte_encode(300, buf)
+    # 300 = 0b100101100 -> [0x2c, 0x02|0x80]
+    assert bytes(buf) == b"\x2c\x82"
+
+
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+def test_varbyte_roundtrip(n):
+    assert rt_varbyte(n) == n
+
+
+def test_bitpack_goldens():
+    buf = bytearray()
+    C.bit_packing(np.array([], dtype=np.uint64), buf)
+    assert bytes(buf) == b"\x00"  # empty -> single zero width byte
+    buf = bytearray()
+    C.bit_packing(np.array([1, 2, 3], dtype=np.uint64), buf)
+    # width=2, length=3 (u64 LE), then 3 bytes
+    assert bytes(buf) == b"\x02" + (3).to_bytes(8, "little") + b"\x01\x02\x03"
+    buf = bytearray()
+    C.bit_packing(np.array([256], dtype=np.uint64), buf)
+    # width=9 -> 16-bit granularity
+    assert bytes(buf) == b"\x09" + (1).to_bytes(8, "little") + b"\x00\x01"
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300)
+)
+@settings(max_examples=200)
+def test_bitpack_roundtrip(vals):
+    buf = bytearray()
+    C.bit_packing(np.array(vals, dtype=np.uint64), buf)
+    out, pos = C.bit_packing_decode(bytes(buf), 0)
+    assert pos == len(buf)
+    assert out.tolist() == vals
+
+
+def test_simple9_golden_small():
+    # [3, 5]: n=2 varbyte, one word: selector for 2 items needs
+    # max(width(3),width(5))=3 bits -> first selector with nbits>=3 that can
+    # take both greedily: 28x1 fails at v=3; 14x2 fails; 9x3 takes both but
+    # nitems(2) != 9 and index+nitems==n -> emitted with selector 2.
+    buf = bytearray()
+    C.simple9_encode(np.array([3, 5], dtype=np.uint64), buf)
+    word = 2 | (3 << 4) | (5 << 7)
+    assert bytes(buf) == b"\x82" + word.to_bytes(4, "little")
+    out, pos = C.simple9_decode(bytes(buf), 0)
+    assert out.tolist() == [3, 5]
+    assert pos == len(buf)
+
+
+def test_simple9_28_ones_single_word():
+    vals = [1] * 28
+    buf = bytearray()
+    C.simple9_encode(np.array(vals, dtype=np.uint64), buf)
+    # n=28 varbyte (1 byte: 28|0x80) + one 32-bit word
+    assert len(buf) == 1 + 4
+    out, _ = C.simple9_decode(bytes(buf), 0)
+    assert out.tolist() == vals
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=C.SIMPLE9_MAX), max_size=400)
+)
+@settings(max_examples=200)
+def test_simple9_roundtrip(vals):
+    buf = bytearray()
+    C.simple9_encode(np.array(vals, dtype=np.uint64), buf)
+    out, pos = C.simple9_decode(bytes(buf), 0)
+    assert pos == len(buf)
+    assert out.tolist() == vals
+
+
+def test_simple9_overflow_raises():
+    with pytest.raises(OverflowError):
+        C.simple9_encode(np.array([C.SIMPLE9_MAX + 1], dtype=np.uint64), bytearray())
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**31 - 1),
+        min_size=1,
+        max_size=300,
+        unique=True,
+    )
+)
+@settings(max_examples=100)
+def test_delta_roundtrips(vals):
+    vals = sorted(vals)
+    arr = np.array(vals, dtype=np.uint64)
+    for enc, dec in [
+        (C.delta_encode, C.delta_decode),
+        (C.delta_encode_v2, C.delta_decode_v2),
+    ]:
+        if enc is C.delta_encode_v2 and len(vals) > 1:
+            if int(np.diff(arr).max()) > C.SIMPLE9_MAX:
+                continue
+        buf = bytearray()
+        enc(arr, buf)
+        out, pos = dec(bytes(buf), 0)
+        assert pos == len(buf)
+        assert out.tolist() == vals
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.integers(min_value=1, max_value=100000),
+        ),
+        min_size=1,
+        max_size=C.CHUNK_LENGTH,
+    )
+)
+@settings(max_examples=150)
+def test_chunk_roundtrip(postings):
+    ids = sorted({d for d, _ in postings})
+    tfs = [t for _, t in postings][: len(ids)]
+    ids_a = np.array(ids, dtype=np.uint64)
+    tfs_a = np.array(tfs, dtype=np.uint64)
+    codec, payload = C.encode_chunk(ids_a, tfs_a)
+    out_ids, out_tfs = C.decode_chunk(payload, codec)
+    assert out_ids.tolist() == ids
+    assert out_tfs.tolist() == tfs
+
+
+def test_chunk_fallback_large_gap():
+    ids = np.array([0, C.SIMPLE9_MAX + 10], dtype=np.uint64)
+    tfs = np.array([1, 2], dtype=np.uint64)
+    codec, payload = C.encode_chunk(ids, tfs)
+    assert codec == C.CODEC_VB_FALLBACK
+    out_ids, out_tfs = C.decode_chunk(payload, codec)
+    assert out_ids.tolist() == ids.tolist()
+    assert out_tfs.tolist() == tfs.tolist()
+
+
+def test_chunk_reference_layout():
+    """Simple9 chunk payload == delta_v2(docids) || bitpack(tfs) exactly."""
+    ids = np.array([10, 12, 15], dtype=np.uint64)
+    tfs = np.array([1, 3, 2], dtype=np.uint64)
+    codec, payload = C.encode_chunk(ids, tfs)
+    assert codec == C.CODEC_SIMPLE9
+    ref = bytearray()
+    C.delta_encode_v2(ids, ref)
+    C.bit_packing(tfs, ref)
+    assert payload == bytes(ref)
+
+
+def test_lengths_roundtrip():
+    dls = np.array([5, 1000, 7, 42], dtype=np.uint64)
+    assert C.decode_lengths(C.encode_lengths(dls)).tolist() == dls.tolist()
