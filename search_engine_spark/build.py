@@ -1,0 +1,343 @@
+"""Inverted-index build: a resumable DAG of checkpointed Spark stages.
+
+Pipeline (Spark-first re-expression of the reference's two-phase build,
+SURVEY.md §3.1; reference semantics at CoreBuilder.cpp:20-116 and
+InvertedListBuilder.cpp:116-298):
+
+    documents ──▶ [tokens] ──▶ [doc_table] ──▶ [stats]
+                      │
+                      ▼
+                 [postings]  (term, doc_id, dl, tf[, positions])
+                      │   explode + Catalyst partial/final hash-agg
+                      ▼
+                 [chunks]    salted groupBy(term, salt) → applyInPandas
+                      │      sort + 128-posting chunk encode (delta+Simple9)
+                      ▼
+                 [lexicon]   groupBy(term) df/chunk-count agg
+
+Where the reference hand-rolls external sort runs + a k-way heap merge
+(PostingsBuilder.cpp:46-122, InvertedListBuilder.cpp:116-223), we let
+Spark's sort-based shuffle + partial aggregation do run generation,
+spill and merge; the only custom physical logic is the chunk codec and
+the salting.
+
+Skew: hot terms (stop words) at web scale produce posting lists far
+larger than an executor's memory. ``salt = floor(doc_id * n_salts /
+(max_doc_id+1))`` splits every term's list into contiguous doc-id
+ranges, so each (term, salt) group is bounded AND per-group output
+chunks concatenate in salt order into a globally doc-id-sorted list —
+no re-merge needed at query time. (Chunk boundaries are 128-aligned
+per salt rather than globally; decoded lists are identical, and
+``n_salts=1`` reproduces the reference's exact global chunking.)
+
+Every stage is checkpointed to ``<index_dir>/<stage>/`` parquet with a
+manifest entry (rows, seconds, config) plus per-file lineage records;
+``build(resume=True)`` restarts from the last completed stage.
+
+Query-time joins are avoided by denormalizing ``doc_length`` into the
+chunk rows (bitpacked ``dls`` payload) — BM25 needs (tf, dl, df, N,
+avgdl) and this makes all of them available without touching the doc
+table (the reference instead does per-result MongoDB lookups,
+QueryExecution.cpp:475).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from . import codecs
+from .runtime import ensure_shipped
+from .tokenizer import register_udfs
+
+STAGES = ("tokens", "doc_table", "stats", "postings", "chunks", "lexicon")
+
+CHUNK_SCHEMA = (
+    "term string, salt int, chunk_seq int, first_doc_id long, "
+    "last_doc_id long, n int, codec int, payload binary, dls binary"
+)
+
+
+def term_bucket(term: str, bucket_count: int) -> int:
+    """Driver-side term → partition bucket (md5-based, engine-agnostic)."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % bucket_count
+
+
+def term_bucket_col(col, bucket_count: int):
+    """Same bucket computed as a Spark column expression."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % bucket_count
+    ).cast("int")
+
+
+class IndexBuilder:
+    def __init__(
+        self,
+        spark,
+        index_dir: str,
+        chunk_length: int = codecs.CHUNK_LENGTH,
+        n_salts: int = 8,
+        bucket_count: int = 16,
+        store_positions: bool = False,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.chunk_length = chunk_length
+        self.n_salts = n_salts
+        self.bucket_count = bucket_count
+        self.store_positions = store_positions
+        ensure_shipped(spark)
+        os.makedirs(index_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ manifest
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.index_dir, "_manifest.json")
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"stages": {}, "config": {}}
+
+    def _save_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path)
+
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.index_dir, stage)
+
+    def _stage_done(self, manifest: dict, stage: str) -> bool:
+        return stage in manifest["stages"] and os.path.exists(
+            os.path.join(self._stage_dir(stage), "_SUCCESS")
+        )
+
+    def _record_stage(
+        self, manifest: dict, stage: str, seconds: float, inputs: list[str]
+    ) -> None:
+        """Manifest entry + per-file lineage/metrics (rows, bytes per
+        output file) harvested from parquet footers — the 'per-partition
+        lineage and metrics tables' of the north rule."""
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        ds = pads.dataset(self._stage_dir(stage), format="parquet")
+        files, rows, sizes = [], [], []
+        for frag in ds.get_fragments():
+            files.append(os.path.relpath(frag.path, self.index_dir))
+            rows.append(frag.metadata.num_rows)
+            sizes.append(os.path.getsize(frag.path))
+        total_rows = int(sum(rows))
+        manifest["stages"][stage] = {
+            "rows": total_rows,
+            "files": len(files),
+            "bytes": int(sum(sizes)),
+            "seconds": round(seconds, 3),
+            "inputs": inputs,
+            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        lineage_dir = os.path.join(self.index_dir, "lineage")
+        os.makedirs(lineage_dir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "stage": [stage] * len(files),
+                    "file": files,
+                    "rows": rows,
+                    "bytes": sizes,
+                }
+            ),
+            os.path.join(lineage_dir, f"{stage}.parquet"),
+        )
+        self._save_manifest(manifest)
+
+    # -------------------------------------------------------------- stages
+
+    def _write(self, df: DataFrame, stage: str, partition_by=None, sort_cols=None):
+        w = df
+        if sort_cols:
+            w = w.sortWithinPartitions(*sort_cols)
+        writer = w.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._stage_dir(stage))
+
+    def _read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._stage_dir(stage))
+
+    def build(self, docs: DataFrame, resume: bool = True) -> dict:
+        """Run all stages; skip completed ones when ``resume``."""
+        manifest = self._load_manifest() if resume else {"stages": {}, "config": {}}
+        manifest["config"] = {
+            "chunk_length": self.chunk_length,
+            "n_salts": self.n_salts,
+            "bucket_count": self.bucket_count,
+            "store_positions": self.store_positions,
+        }
+
+        tokenize_udf = register_udfs()
+
+        if not self._stage_done(manifest, "tokens"):
+            t0 = time.time()
+            tokens = docs.select(
+                "doc_id",
+                "url",
+                "text",
+                tokenize_udf("text").alias("terms"),
+            ).withColumn("doc_length", F.size("terms").cast("long"))
+            self._write(tokens, "tokens")
+            self._record_stage(manifest, "tokens", time.time() - t0, ["documents"])
+
+        if not self._stage_done(manifest, "doc_table"):
+            t0 = time.time()
+            self._write(
+                self._read("tokens").select("doc_id", "url", "doc_length", "text"),
+                "doc_table",
+            )
+            self._record_stage(manifest, "doc_table", time.time() - t0, ["tokens"])
+
+        if not self._stage_done(manifest, "stats"):
+            t0 = time.time()
+            stats = self._read("doc_table").agg(
+                F.count("*").alias("n_docs"),
+                F.avg("doc_length").alias("avgdl"),
+                F.sum("doc_length").alias("total_tokens"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
+            self._write(stats, "stats")
+            self._record_stage(manifest, "stats", time.time() - t0, ["doc_table"])
+
+        if not self._stage_done(manifest, "postings"):
+            t0 = time.time()
+            tokens = self._read("tokens")
+            if self.store_positions:
+                exploded = tokens.select(
+                    "doc_id",
+                    "doc_length",
+                    F.posexplode("terms").alias("pos", "term"),
+                )
+                postings = exploded.groupBy("term", "doc_id", "doc_length").agg(
+                    F.count("*").cast("long").alias("tf"),
+                    F.sort_array(F.collect_list("pos")).alias("positions"),
+                )
+            else:
+                exploded = tokens.select(
+                    "doc_id", "doc_length", F.explode("terms").alias("term")
+                )
+                # Catalyst partial (map-side) + final hash agg == the
+                # reference's per-run sort+dedup (PostingsBuilder.cpp:56-73)
+                postings = exploded.groupBy("term", "doc_id", "doc_length").agg(
+                    F.count("*").cast("long").alias("tf")
+                )
+            self._write(postings, "postings")
+            self._record_stage(manifest, "postings", time.time() - t0, ["tokens"])
+
+        if not self._stage_done(manifest, "chunks"):
+            t0 = time.time()
+            stats_row = self._read("stats").collect()[0]
+            max_doc_id = int(stats_row["max_doc_id"] or 0)
+            n_salts = self.n_salts
+            chunk_length = self.chunk_length
+            postings = self._read("postings")
+            salted = postings.withColumn(
+                "salt",
+                F.floor(
+                    F.col("doc_id") * n_salts / F.lit(max_doc_id + 1)
+                ).cast("int"),
+            )
+
+            def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("doc_id")
+                ids = pdf["doc_id"].to_numpy(dtype=np.uint64)
+                tfs = pdf["tf"].to_numpy(dtype=np.uint64)
+                dls = pdf["doc_length"].to_numpy(dtype=np.uint64)
+                term = pdf["term"].iloc[0]
+                salt = int(pdf["salt"].iloc[0])
+                rows = []
+                for seq, start in enumerate(range(0, len(ids), chunk_length)):
+                    ci = ids[start : start + chunk_length]
+                    ct = tfs[start : start + chunk_length]
+                    cd = dls[start : start + chunk_length]
+                    codec_id, payload = codecs.encode_chunk(ci, ct)
+                    rows.append(
+                        (
+                            term,
+                            salt,
+                            seq,
+                            int(ci[0]),
+                            int(ci[-1]),
+                            len(ci),
+                            codec_id,
+                            payload,
+                            codecs.encode_lengths(cd),
+                        )
+                    )
+                return pd.DataFrame(
+                    rows,
+                    columns=[
+                        "term",
+                        "salt",
+                        "chunk_seq",
+                        "first_doc_id",
+                        "last_doc_id",
+                        "n",
+                        "codec",
+                        "payload",
+                        "dls",
+                    ],
+                )
+
+            chunks = salted.groupBy("term", "salt").applyInPandas(
+                encode_group, CHUNK_SCHEMA
+            )
+            chunks = chunks.withColumn(
+                "bucket", term_bucket_col(F.col("term"), self.bucket_count)
+            )
+            self._write(
+                chunks,
+                "chunks",
+                partition_by=["bucket"],
+                sort_cols=["term", "salt", "chunk_seq"],
+            )
+            self._record_stage(
+                manifest, "chunks", time.time() - t0, ["postings", "stats"]
+            )
+
+        if not self._stage_done(manifest, "lexicon"):
+            t0 = time.time()
+            lexicon = (
+                self._read("chunks")
+                .groupBy("term")
+                .agg(
+                    F.sum("n").cast("long").alias("df"),
+                    F.count("*").cast("int").alias("n_chunks"),
+                    F.min("first_doc_id").alias("min_doc_id"),
+                    F.max("last_doc_id").alias("max_doc_id"),
+                )
+                .withColumn(
+                    "bucket", term_bucket_col(F.col("term"), self.bucket_count)
+                )
+            )
+            self._write(
+                lexicon, "lexicon", partition_by=["bucket"], sort_cols=["term"]
+            )
+            self._record_stage(manifest, "lexicon", time.time() - t0, ["chunks"])
+
+        return self._load_manifest()
+
+
+def build_index(
+    spark, docs: DataFrame, index_dir: str, resume: bool = True, **kwargs
+) -> dict:
+    return IndexBuilder(spark, index_dir, **kwargs).build(docs, resume=resume)

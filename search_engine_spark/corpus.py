@@ -1,0 +1,106 @@
+"""Corpus sources: canonical web-page schema + scalable doc-id assignment.
+
+Canonical input schema (BASELINE.json input_hint):
+    url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+The sandbox testdata ``documents.parquet`` (doc_id, text, lang, source,
+n_chars) is adapted deterministically: ``url`` is derived from
+(source, doc_id), ``warc_ts`` from doc_id, ``html`` left null (the
+extraction UDF only runs when ``text`` is null).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def load_documents(spark, sf_dir: str) -> DataFrame:
+    """Load the driver testdata as the canonical corpus DataFrame.
+
+    Keeps ``doc_id`` (already dense + unique in testdata); for raw crawl
+    tables without ids use :func:`assign_doc_ids`.
+    """
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/doc/"), F.col("doc_id")
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def extract_text(df: DataFrame) -> DataFrame:
+    """Derive ``text`` from ``html`` where text is null.
+
+    The reference's extractor is a TREC-tag state machine
+    (HTMLParser.cpp:21-131); our contract is byte-identical text per url.
+    For html payloads we apply a deterministic UTF-8 decode + tag strip in
+    a vectorized pandas UDF. Rows with text already present pass through
+    untouched (the invariant's common case).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _extract(html: pd.Series, text: pd.Series) -> pd.Series:
+        need = text.isna() & html.notna()
+        if not need.any():
+            return text
+        out = text.copy()
+        decoded = html[need].map(
+            lambda b: bytes(b).decode("utf-8", errors="replace")
+        )
+        # deterministic minimal tag strip (stable per url by construction)
+        out[need] = decoded.str.replace(r"<[^>]*>", " ", regex=True)
+        return out
+
+    return df.withColumn("text", _extract("html", "text"))
+
+
+def assign_doc_ids(
+    df: DataFrame, order_col: str = "url", num_partitions: int | None = None
+) -> DataFrame:
+    """Assign dense monotonically increasing doc ids by ``order_col``.
+
+    Scalable replacement for the reference's sequential counter
+    (CoreBuilder.cpp:46,77-78): range-repartition on the order column,
+    take per-partition ``row_number`` (window is per-partition, so no
+    single-reducer bottleneck), then add broadcast cumulative partition
+    offsets. Total = 2 small shuffles; no driver collect of data rows.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    part = part.persist()
+    counts = (
+        part.groupBy("_pid").count().orderBy("_pid").collect()
+    )  # O(num_partitions) rows only
+    offsets = {}
+    acc = 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    out = (
+        part.withColumn("_rn", F.row_number().over(w))
+        .join(offsets_df, "_pid")
+        .withColumn("doc_id", F.col("_off") + F.col("_rn") - 1)
+        .drop("_pid", "_rn", "_off")
+    )
+    return out

@@ -1,0 +1,116 @@
+"""Query rank-identity vs the pure-Python oracle (SURVEY.md §5.4) on the
+real sf0.001 corpus, for both the Spark DataFrame path and the
+driver-local fast path, conjunctive and disjunctive."""
+
+import pytest
+
+from search_engine_spark.corpus import load_documents
+from search_engine_spark.build import IndexBuilder
+from search_engine_spark.oracle import OracleIndex
+from search_engine_spark.query import QueryEngine
+
+SF_DIR = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "spark query",
+    "the fast table",
+    "data row filter join",
+    "nonexistentterm",
+    "common zzz-absent spark",  # one missing term (dropped, ref semantics)
+    "value",
+    "window window window",  # dupes dedup to one term
+    "slow scan agg key hash",
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("idx_q"))
+    docs_df = load_documents(spark, SF_DIR)
+    IndexBuilder(spark, index_dir, n_salts=4, bucket_count=8).build(
+        docs_df, resume=False
+    )
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in docs_df.select("doc_id", "text").collect()
+    ]
+    return QueryEngine(spark, index_dir), OracleIndex(docs)
+
+
+def assert_rank_identical(got, want, tol=2e-4):
+    """Rank-identity with float tolerance: same doc ids in order, allowing
+    swaps of adjacent entries whose scores are within tol (fp reorder)."""
+    assert len(got) == len(want), (got, want)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) <= tol * max(1.0, abs(ws)), (got, want)
+    got_ids = [d for d, _ in got]
+    want_ids = [d for d, _ in want]
+    if got_ids != want_ids:
+        # permitted only when scores tie within tolerance
+        for i, (g, w) in enumerate(zip(got_ids, want_ids)):
+            if g != w:
+                gs = dict(got)[g]
+                ws = dict(want)[w]
+                assert abs(gs - ws) <= tol * max(1.0, abs(ws)), (got, want)
+
+
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+def test_spark_path_rank_identity(engine, mode):
+    qe, oracle = engine
+    for q in QUERIES:
+        want = oracle.topk(q, mode=mode)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in qe.search(q, mode=mode).collect()
+        ]
+        assert_rank_identical(got, want)
+
+
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+def test_local_path_rank_identity(engine, mode):
+    qe, oracle = engine
+    for q in QUERIES:
+        want = oracle.topk(q, mode=mode)
+        got = qe.search_local(q, mode=mode)
+        assert_rank_identical(got, want)
+
+
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+def test_batch_matches_single(engine, mode):
+    qe, _ = engine
+    queries = list(enumerate(QUERIES))
+    batch = qe.batch_search(queries, mode=mode)
+    rows = batch.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid, q in queries:
+        single = [
+            (r["doc_id"], r["score"]) for r in qe.search(q, mode=mode).collect()
+        ]
+        got = [(d, s) for _, d, s in sorted(by_q.get(qid, []))]
+        assert_rank_identical(got, single)
+
+
+def test_negative_idf_preserved(engine):
+    """Terms with df > N/2 score negative (reference quirk, no clamp)."""
+    qe, oracle = engine
+    hot = max(oracle.postings, key=lambda t: oracle.df(t))
+    if oracle.df(hot) > oracle.n_docs / 2:
+        res = qe.search_local(hot, mode="disjunctive")
+        assert res and res[0][1] < 0
+
+
+def test_snippets(engine):
+    qe, _ = engine
+    top = qe.search("spark query", mode="disjunctive", k=3)
+    snips = qe.snippets("spark query", top).collect()
+    assert len(snips) == 3
+    assert all(len(r["snippets"]) >= 1 for r in snips)
+    assert any(
+        "spark" in s or "query" in s
+        for r in snips
+        for s in r["snippets"]
+    )
