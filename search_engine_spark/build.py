@@ -77,6 +77,70 @@ def term_bucket_col(col, bucket_count: int):
     ).cast("int")
 
 
+def chunk_postings(
+    postings: DataFrame,
+    max_doc_id: int,
+    n_salts: int = 8,
+    chunk_length: int = codecs.CHUNK_LENGTH,
+) -> DataFrame:
+    """(term, doc_id, doc_length, tf) -> encoded chunk rows.
+
+    Salted groupBy(term, salt) with contiguous doc-id-range salts keeps
+    per-task groups bounded for hot (stop-word) terms while preserving
+    global doc-id order across salts. ``n_salts=1`` reproduces the
+    reference's global 128-aligned chunking exactly.
+    """
+    salted = postings.withColumn(
+        "salt",
+        F.floor(F.col("doc_id") * n_salts / F.lit(max_doc_id + 1)).cast("int"),
+    )
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy(dtype=np.uint64)
+        tfs = pdf["tf"].to_numpy(dtype=np.uint64)
+        dls = pdf["doc_length"].to_numpy(dtype=np.uint64)
+        term = pdf["term"].iloc[0]
+        salt = int(pdf["salt"].iloc[0])
+        rows = []
+        for seq, start in enumerate(range(0, len(ids), chunk_length)):
+            ci = ids[start : start + chunk_length]
+            ct = tfs[start : start + chunk_length]
+            cd = dls[start : start + chunk_length]
+            codec_id, payload = codecs.encode_chunk(ci, ct)
+            rows.append(
+                (
+                    term,
+                    salt,
+                    seq,
+                    int(ci[0]),
+                    int(ci[-1]),
+                    len(ci),
+                    codec_id,
+                    payload,
+                    codecs.encode_lengths(cd),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term",
+                "salt",
+                "chunk_seq",
+                "first_doc_id",
+                "last_doc_id",
+                "n",
+                "codec",
+                "payload",
+                "dls",
+            ],
+        )
+
+    return salted.groupBy("term", "salt").applyInPandas(
+        encode_group, CHUNK_SCHEMA
+    )
+
+
 class IndexBuilder:
     def __init__(
         self,
@@ -247,59 +311,11 @@ class IndexBuilder:
             t0 = time.time()
             stats_row = self._read("stats").collect()[0]
             max_doc_id = int(stats_row["max_doc_id"] or 0)
-            n_salts = self.n_salts
-            chunk_length = self.chunk_length
-            postings = self._read("postings")
-            salted = postings.withColumn(
-                "salt",
-                F.floor(
-                    F.col("doc_id") * n_salts / F.lit(max_doc_id + 1)
-                ).cast("int"),
-            )
-
-            def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-                pdf = pdf.sort_values("doc_id")
-                ids = pdf["doc_id"].to_numpy(dtype=np.uint64)
-                tfs = pdf["tf"].to_numpy(dtype=np.uint64)
-                dls = pdf["doc_length"].to_numpy(dtype=np.uint64)
-                term = pdf["term"].iloc[0]
-                salt = int(pdf["salt"].iloc[0])
-                rows = []
-                for seq, start in enumerate(range(0, len(ids), chunk_length)):
-                    ci = ids[start : start + chunk_length]
-                    ct = tfs[start : start + chunk_length]
-                    cd = dls[start : start + chunk_length]
-                    codec_id, payload = codecs.encode_chunk(ci, ct)
-                    rows.append(
-                        (
-                            term,
-                            salt,
-                            seq,
-                            int(ci[0]),
-                            int(ci[-1]),
-                            len(ci),
-                            codec_id,
-                            payload,
-                            codecs.encode_lengths(cd),
-                        )
-                    )
-                return pd.DataFrame(
-                    rows,
-                    columns=[
-                        "term",
-                        "salt",
-                        "chunk_seq",
-                        "first_doc_id",
-                        "last_doc_id",
-                        "n",
-                        "codec",
-                        "payload",
-                        "dls",
-                    ],
-                )
-
-            chunks = salted.groupBy("term", "salt").applyInPandas(
-                encode_group, CHUNK_SCHEMA
+            chunks = chunk_postings(
+                self._read("postings"),
+                max_doc_id,
+                n_salts=self.n_salts,
+                chunk_length=self.chunk_length,
             )
             chunks = chunks.withColumn(
                 "bucket", term_bucket_col(F.col("term"), self.bucket_count)

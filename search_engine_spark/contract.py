@@ -1,0 +1,509 @@
+"""Driver-contract queries: paired Spark + DuckDB-oracle implementations.
+
+Each entry in :data:`QUERIES` maps a name to a Spark implementation
+(callable ``(spark, sf_dir) -> DataFrame``) and, when SQL-expressible, an
+ANSI-SQL oracle string DuckDB runs on the same parquet (views
+``documents``/``embeddings``/``events`` pre-registered by the driver).
+
+Cross-engine determinism rules used throughout:
+* tokenization: Spark side uses the engine's exact pandas-UDF tokenizer;
+  the oracle uses an equivalent RE2 character class (identical on any
+  text, not just the sandbox corpus).
+* hashes: only ``md5`` (identical hex in both engines) — minhash/LSH/
+  simhash/fingerprints are all md5-derived so both engines agree exactly.
+* floats: computed with the same double-precision expression tree and
+  ``round(x, 4)``; rank ties broken by id columns.
+* BM25 here is the double-precision relational formulation for
+  cross-engine comparison; float32 reference-parity of the real engine
+  is covered by tests/test_query.py against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .build import chunk_postings
+from .runtime import ensure_shipped
+from .tokenizer import INDEX_ASCII_DELIMS, UNICODE_DELIMS, register_udfs
+
+# RE2/PCRE character class equivalent to the engine tokenizer's delimiter
+# set ('-' first, ']' escaped; '$' intentionally NOT a delimiter).
+_RX = "[-" + " ,.;:?[\\]{}()/+*&^\"'@!#%><|~\\n" + UNICODE_DELIMS + "]+"
+_RX_SQL = _RX.replace("'", "''")
+
+# sanity: class content == tokenizer sets
+assert set(INDEX_ASCII_DELIMS + UNICODE_DELIMS) == set(
+    _RX[1:-2].replace("\\]", "]").replace("\\n", "\n")
+)
+
+BM25_DISJ_TERMS = ("spark", "query", "data")
+BM25_CONJ_TERMS = ("data", "row", "table")
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+N_MINHASH = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+JACCARD_THRESHOLD = 0.05
+ANN_QUERY_IDS = (0, 1, 2)
+ANN_K = 5
+
+# ---------------------------------------------------------------- helpers
+
+
+def _prepare(spark, sf_dir: str) -> None:
+    ensure_shipped(spark)
+    for name in ("documents", "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(
+            name
+        )
+    spark.udf.register("se_tokenize", register_udfs())
+
+
+def _sql_query(spark_sql: str):
+    def run(spark, sf_dir: str) -> DataFrame:
+        _prepare(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    return run
+
+
+def _toks_cte(engine: str) -> str:
+    if engine == "spark":
+        return "toks AS (SELECT doc_id, se_tokenize(text) AS ts FROM documents)"
+    return (
+        "toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+        f"'{_RX_SQL}'), t -> t <> '') AS ts FROM documents)"
+    )
+
+
+def _tok_cte(engine: str) -> str:
+    if engine == "spark":
+        return "tok AS (SELECT doc_id, explode(ts) AS term FROM toks)"
+    return "tok AS (SELECT doc_id, unnest(ts) AS term FROM toks)"
+
+
+def _len_fn(engine: str) -> str:
+    return "size" if engine == "spark" else "len"
+
+
+def _shingle_cte(engine: str, n: int, name: str = "sh") -> str:
+    """Distinct word n-gram shingles per doc (space-joined)."""
+    if engine == "spark":
+        grams = ", ".join(f"element_at(ts, i+{j+1})" for j in range(n))
+        return (
+            f"{name} AS (SELECT DISTINCT doc_id, shingle FROM ("
+            f"SELECT doc_id, explode(transform(sequence(0, size(ts)-{n}), "
+            f"i -> concat_ws(' ', {grams}))) AS shingle "
+            f"FROM toks WHERE size(ts) >= {n}))"
+        )
+    grams = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n))
+    return (
+        f"{name} AS (SELECT DISTINCT doc_id, shingle FROM ("
+        f"SELECT doc_id, unnest(list_transform(range(1, len(ts)-{n - 2}), "
+        f"i -> {grams})) AS shingle FROM toks WHERE len(ts) >= {n}))"
+    )
+
+
+def _minhash_cte(engine: str) -> str:
+    """minhash_i = min(md5(i || '|' || shingle)) over 16 hash slots."""
+    if engine == "spark":
+        idx = f"idx AS (SELECT explode(sequence(0, {N_MINHASH - 1})) AS minhash_idx)"
+    else:
+        idx = f"idx AS (SELECT CAST(i AS INT) AS minhash_idx FROM range(0, {N_MINHASH}) r(i))"
+    return (
+        idx
+        + ", sigs AS (SELECT doc_id, minhash_idx, "
+        "min(md5(CAST(minhash_idx AS STRING) || '|' || shingle)) AS minhash "
+        "FROM sh CROSS JOIN idx GROUP BY doc_id, minhash_idx)"
+    )
+
+
+# ------------------------------------------------------------ SQL builders
+
+
+def sql_term_tf(engine: str) -> str:
+    return (
+        f"WITH {_toks_cte(engine)}, {_tok_cte(engine)} "
+        "SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY doc_id, term"
+    )
+
+
+def sql_lexicon_df(engine: str) -> str:
+    return (
+        f"WITH {_toks_cte(engine)}, {_tok_cte(engine)} "
+        "SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+        "FROM tok GROUP BY term"
+    )
+
+
+def sql_doc_stats(engine: str) -> str:
+    ln = _len_fn(engine)
+    return (
+        f"WITH {_toks_cte(engine)} "
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        f"round(avg({ln}(ts)), 6) AS avgdl, "
+        f"CAST(sum({ln}(ts)) AS BIGINT) AS total_tokens FROM toks"
+    )
+
+
+def sql_doc_table(engine: str) -> str:
+    ln = _len_fn(engine)
+    return (
+        f"WITH {_toks_cte(engine)} "
+        "SELECT d.doc_id, "
+        "concat('https://', d.source, '/doc/', CAST(d.doc_id AS STRING)) AS url, "
+        f"CAST({ln}(t.ts) AS BIGINT) AS doc_length "
+        "FROM documents d JOIN toks t ON d.doc_id = t.doc_id"
+    )
+
+
+def sql_top_terms(engine: str) -> str:
+    return (
+        f"WITH {_toks_cte(engine)}, {_tok_cte(engine)} "
+        "SELECT term, CAST(count(*) AS BIGINT) AS total_tf "
+        "FROM tok GROUP BY term ORDER BY total_tf DESC, term LIMIT 20"
+    )
+
+
+def _bm25_base(engine: str) -> str:
+    ln = _len_fn(engine)
+    return (
+        f"WITH {_toks_cte(engine)}, {_tok_cte(engine)}, "
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY doc_id, term), "
+        f"dl AS (SELECT doc_id, CAST({ln}(ts) AS BIGINT) AS dl FROM toks), "
+        "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        f"avg({ln}(ts)) AS avgdl FROM toks), "
+        "dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df "
+        "FROM tf GROUP BY term), "
+        "scored AS (SELECT tf.doc_id, tf.term, "
+        "ln((CAST(s.n_docs AS DOUBLE) - dfs.df + 0.5) / "
+        "(CAST(dfs.df AS DOUBLE) + 0.5)) * 2.2 * tf.tf / "
+        "(1.2 * (0.25 + 0.75 * dl.dl / s.avgdl) + tf.tf) AS score "
+        "FROM tf JOIN dl ON tf.doc_id = dl.doc_id "
+        "JOIN dfs ON tf.term = dfs.term CROSS JOIN stats s "
+    )
+
+
+def sql_bm25(engine: str, terms: tuple[str, ...], conjunctive: bool) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    having = ""
+    if conjunctive:
+        having = (
+            " HAVING count(DISTINCT term) = "
+            f"(SELECT count(*) FROM dfs WHERE term IN ({in_list}))"
+        )
+    return (
+        _bm25_base(engine) + f"WHERE tf.term IN ({in_list})) "
+        "SELECT doc_id, round(sum(score), 4) AS score FROM scored "
+        f"GROUP BY doc_id{having} "
+        "ORDER BY score DESC, doc_id LIMIT 10"
+    )
+
+
+def sql_chunk_metadata(engine: str) -> str:
+    idiv = "div" if engine == "spark" else "//"
+    return (
+        f"WITH {_toks_cte(engine)}, {_tok_cte(engine)}, "
+        "tf AS (SELECT term, doc_id FROM tok GROUP BY term, doc_id), "
+        "pos AS (SELECT term, doc_id, CAST((row_number() OVER "
+        f"(PARTITION BY term ORDER BY doc_id) - 1) {idiv} 128 AS INT) "
+        "AS chunk_seq FROM tf) "
+        "SELECT term, chunk_seq, min(doc_id) AS first_doc_id, "
+        "max(doc_id) AS last_doc_id, CAST(count(*) AS INT) AS n "
+        "FROM pos GROUP BY term, chunk_seq"
+    )
+
+
+def sql_dedup_exact(engine: str) -> str:
+    return (
+        "SELECT doc_id, md5(text) AS text_hash, "
+        "(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)) > 1 "
+        "AS is_dup FROM documents"
+    )
+
+
+def sql_minhash_signatures(engine: str) -> str:
+    return (
+        f"WITH {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "
+        f"{_minhash_cte(engine)} "
+        "SELECT doc_id, minhash_idx, minhash FROM sigs"
+    )
+
+
+def sql_lsh_pairs(engine: str) -> str:
+    if engine == "spark":
+        band_key = (
+            "md5(concat_ws(',', transform(array_sort(collect_list("
+            "struct(minhash_idx, minhash))), s -> s.minhash)))"
+        )
+        band = "CAST(minhash_idx div 4 AS INT)"
+    else:
+        band_key = "md5(string_agg(minhash, ',' ORDER BY minhash_idx))"
+        band = "CAST(minhash_idx // 4 AS INT)"
+    return (
+        f"WITH {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "
+        f"{_minhash_cte(engine)}, "
+        f"bands AS (SELECT doc_id, {band} AS band, {band_key} AS band_key "
+        f"FROM sigs GROUP BY doc_id, {band}) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.band_key = b.band_key "
+        "AND a.doc_id < b.doc_id"
+    )
+
+
+def sql_ngram_jaccard(engine: str) -> str:
+    return (
+        f"WITH {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "
+        "counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n "
+        "FROM sh GROUP BY doc_id), "
+        "shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS shared "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id) "
+        "SELECT doc_a, doc_b, "
+        "round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4) AS jaccard "
+        "FROM shared JOIN counts ca ON shared.doc_a = ca.doc_id "
+        "JOIN counts cb ON shared.doc_b = cb.doc_id "
+        "WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= "
+        f"{JACCARD_THRESHOLD}"
+    )
+
+
+def sql_simhash(engine: str) -> str:
+    if engine == "spark":
+        bit = (
+            "shiftright(instr('0123456789abcdef', "
+            "substr(h, 1 + (b div 4), 1)) - 1, CAST(b % 4 AS INT)) & 1"
+        )
+        shl = "shiftleft(1, bit)"
+        bits_src = "bits_idx AS (SELECT explode(sequence(0, 15)) AS b)"
+    else:
+        bit = (
+            "((strpos('0123456789abcdef', "
+            "substr(h, 1 + (b // 4), 1)) - 1) >> (b % 4)) & 1"
+        )
+        shl = "(1 << bit)"
+        bits_src = "bits_idx AS (SELECT CAST(i AS INT) AS b FROM range(0, 16) r(i))"
+    return (
+        f"WITH {_toks_cte(engine)}, {_tok_cte(engine)}, "
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY doc_id, term), "
+        "h AS (SELECT doc_id, tf, md5(term) AS h FROM tf), "
+        f"{bits_src}, "
+        f"sums AS (SELECT doc_id, b AS bit, CAST(sum(tf * (CASE WHEN ({bit}) = 1 "
+        "THEN 1 ELSE -1 END)) AS BIGINT) AS s "
+        "FROM h CROSS JOIN bits_idx GROUP BY doc_id, b) "
+        f"SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN {shl} ELSE 0 END) "
+        "AS BIGINT) AS simhash FROM sums GROUP BY doc_id"
+    )
+
+
+def sql_langid(engine: str) -> str:
+    if engine == "spark":
+        stripped = "regexp_replace(text, '[^a-z ]', '')"
+    else:
+        stripped = "regexp_replace(text, '[^a-z ]', '', 'g')"
+    ratio = (
+        f"CAST(length({stripped}) AS DOUBLE) / nullif(length(text), 0)"
+    )
+    return (
+        "SELECT doc_id, "
+        f"round({ratio}, 4) AS ascii_ratio, "
+        f"CASE WHEN {ratio} > 0.9 "
+        "THEN 'en' ELSE 'other' END AS lang_pred FROM documents"
+    )
+
+
+def sql_quality(engine: str) -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return (
+        f"WITH {_toks_cte(engine)}, {_tok_cte(engine)} "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "round(avg(length(term)), 4) AS avg_token_len, "
+        f"round(avg(CAST(CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END "
+        "AS DOUBLE)), 4) AS stopword_ratio FROM tok GROUP BY doc_id"
+    )
+
+
+def sql_token_count(engine: str) -> str:
+    ln = _len_fn(engine)
+    return (
+        f"WITH {_toks_cte(engine)} "
+        f"SELECT doc_id, CAST({ln}(ts) AS BIGINT) AS n_tokens FROM toks"
+    )
+
+
+def sql_fingerprint(engine: str) -> str:
+    return (
+        f"WITH {_toks_cte(engine)}, {_shingle_cte(engine, 4, name='sh4')}, "
+        "fp AS (SELECT doc_id, min(md5(shingle)) AS fp "
+        "FROM sh4 GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(fp.fp, md5(d.text)) AS fingerprint "
+        "FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id"
+    )
+
+
+def sql_ann_cosine(engine: str) -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    if engine == "spark":
+        dot = (
+            "aggregate(zip_with(q.qe, e.embedding, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        nq = (
+            "sqrt(aggregate(q.qe, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+        ne = (
+            "sqrt(aggregate(e.embedding, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+    else:
+        dot = (
+            "list_sum(list_transform(range(1, len(q.qe) + 1), "
+            "i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+        )
+        nq = (
+            "sqrt(list_sum(list_transform(q.qe, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+        ne = (
+            "sqrt(list_sum(list_transform(e.embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+        f"FROM embeddings WHERE vec_id IN ({ids})), "
+        f"p AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        f"round({dot} / ({nq} * {ne}), 4) AS cos "
+        "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), "
+        "r AS (SELECT query_id, neighbor_id, cos, CAST(row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) "
+        "AS rank FROM p) "
+        f"SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= {ANN_K}"
+    )
+
+
+def sql_events_hourly(engine: str) -> str:
+    if engine == "spark":
+        return (
+            "SELECT window.start AS window_start, event_type, "
+            "CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total_value "
+            "FROM events GROUP BY window(ts, '1 hour'), event_type"
+        )
+    return (
+        "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
+        "event_type, CAST(count(*) AS BIGINT) AS n, "
+        "round(sum(value), 4) AS total_value "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
+# ---------------------------------------------------- non-SQL Spark paths
+
+
+def spark_chunk_metadata(spark, sf_dir: str) -> DataFrame:
+    """Exercises the REAL engine chunker (build.chunk_postings,
+    applyInPandas) — metadata must match the SQL window-function oracle."""
+    _prepare(spark, sf_dir)
+    toks = spark.sql(
+        f"WITH {_toks_cte('spark')} "
+        "SELECT doc_id, ts, CAST(size(ts) AS BIGINT) AS doc_length FROM toks"
+    )
+    postings = (
+        toks.select("doc_id", "doc_length", F.explode("ts").alias("term"))
+        .groupBy("term", "doc_id", "doc_length")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    max_doc_id = toks.agg(F.max("doc_id")).collect()[0][0]
+    chunks = chunk_postings(postings, int(max_doc_id), n_salts=1)
+    return chunks.select(
+        "term", "chunk_seq", "first_doc_id", "last_doc_id", "n"
+    )
+
+
+_E2E_CACHE: dict = {}
+
+
+def spark_index_e2e_topk(spark, sf_dir: str) -> DataFrame:
+    """Full-engine path (rows-only check): build the real chunked index and
+    answer the flagship disjunctive query through QueryEngine."""
+    import tempfile
+
+    from .build import IndexBuilder
+    from .corpus import load_documents
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    index_dir = _E2E_CACHE.get(sf_dir)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="se_e2e_idx_")
+        IndexBuilder(spark, index_dir, n_salts=4, bucket_count=8).build(
+            load_documents(spark, sf_dir)
+        )
+        _E2E_CACHE[sf_dir] = index_dir
+    qe = QueryEngine(spark, index_dir)
+    return qe.search(" ".join(BM25_DISJ_TERMS), mode="disjunctive", k=10)
+
+
+# ---------------------------------------------------------------- registry
+
+
+def _registry() -> dict:
+    q: dict = {}
+    pairs = {
+        "term_tf": sql_term_tf,
+        "lexicon_df": sql_lexicon_df,
+        "doc_stats": sql_doc_stats,
+        "doc_table": sql_doc_table,
+        "top_terms": sql_top_terms,
+        "chunk_metadata": sql_chunk_metadata,
+        "dedup_exact": sql_dedup_exact,
+        "minhash_signatures": sql_minhash_signatures,
+        "lsh_candidate_pairs": sql_lsh_pairs,
+        "ngram_jaccard_pairs": sql_ngram_jaccard,
+        "simhash": sql_simhash,
+        "langid": sql_langid,
+        "quality_score": sql_quality,
+        "token_count": sql_token_count,
+        "doc_fingerprint": sql_fingerprint,
+        "ann_cosine_topk": sql_ann_cosine,
+        "events_hourly": sql_events_hourly,
+    }
+    for name, builder in pairs.items():
+        q[name] = {
+            "spark": _sql_query(builder("spark")),
+            "sql": builder("duckdb"),
+        }
+    q["bm25_disjunctive"] = {
+        "spark": _sql_query(sql_bm25("spark", BM25_DISJ_TERMS, False)),
+        "sql": sql_bm25("duckdb", BM25_DISJ_TERMS, False),
+    }
+    q["bm25_conjunctive"] = {
+        "spark": _sql_query(sql_bm25("spark", BM25_CONJ_TERMS, True)),
+        "sql": sql_bm25("duckdb", BM25_CONJ_TERMS, True),
+    }
+    # real-engine paths
+    q["chunk_metadata"] = {
+        "spark": spark_chunk_metadata,
+        "sql": sql_chunk_metadata("duckdb"),
+    }
+    q["index_e2e_topk"] = {"spark": spark_index_e2e_topk, "sql": None}
+    return q
+
+
+REGISTRY = _registry()
+
+
+def queries():
+    return {name: entry["spark"] for name, entry in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {
+        name: entry["sql"]
+        for name, entry in REGISTRY.items()
+        if entry["sql"] is not None
+    }
