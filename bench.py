@@ -63,6 +63,27 @@ def _sf(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _warm_python_workers(spark, n: int | None = None) -> None:
+    """Force-start every executor-thread's Python worker once (each pays
+    a one-off fork + pandas/pyarrow/package import, ~2-4 s; with 30+
+    cold workers the first Arrow-UDF stage otherwise measures an import
+    storm instead of the engine)."""
+    import pandas as pd
+
+    n = n or CPUS
+
+    def _noop(batches):
+        for b in batches:
+            yield pd.DataFrame({"x": b["id"]})
+
+    (
+        spark.range(n * 4)
+        .repartition(n)
+        .mapInPandas(_noop, "x long")
+        .count()
+    )
+
+
 def run_suite() -> dict:
     from search_engine_spark.build import IndexBuilder
     from search_engine_spark.corpus import load_documents
@@ -77,6 +98,7 @@ def run_suite() -> dict:
     try:
         docs = load_documents(spark, SF_DIR)
         n_docs = docs.count()
+        _warm_python_workers(spark)
 
         t0 = time.time()
         IndexBuilder(spark, index_dir, n_salts=8, bucket_count=16).build(
@@ -87,8 +109,10 @@ def run_suite() -> dict:
         extras["n_docs"] = n_docs
 
         qe = QueryEngine(spark, index_dir)
-        # warm the JVM/readers once
-        qe.search("spark", "disjunctive").collect()
+        # steady-state: one untimed pass warms readers + remaining workers
+        qe.batch_search(
+            list(enumerate(DISJ_QUERIES[:2])), mode="disjunctive"
+        ).collect()
 
         t0 = time.time()
         qe.batch_search(
@@ -154,6 +178,7 @@ def run_build_only() -> dict:
     try:
         docs = load_documents(spark, SF_DIR)
         n_docs = docs.count()
+        _warm_python_workers(spark)
         t0 = time.time()
         IndexBuilder(spark, index_dir, n_salts=8, bucket_count=16).build(
             docs, resume=False

@@ -307,6 +307,15 @@ class IndexBuilder:
             self._write(postings, "postings")
             self._record_stage(manifest, "postings", time.time() - t0, ["tokens"])
 
+        return self.build_from_postings(manifest)
+
+    def build_from_postings(self, manifest: dict | None = None) -> dict:
+        """Run the chunks + lexicon stages over an existing ``postings``
+        + ``stats`` checkpoint (shared tail of the batch DAG and the
+        streaming compactor)."""
+        if manifest is None:
+            manifest = self._load_manifest()
+
         if not self._stage_done(manifest, "chunks"):
             t0 = time.time()
             stats_row = self._read("stats").collect()[0]

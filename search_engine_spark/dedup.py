@@ -1,0 +1,334 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame-API (Catalyst-optimizable, no
+collect()) and deterministic across engines: the only hash primitive is
+md5 (identical hex in Spark/DuckDB), so every signature is reproducible
+by the SQL oracles in contract.py.
+
+Scale notes (100 TB corpus, ~1000 executors):
+* ``exact_duplicates`` — one shuffle on text_hash; AQE handles skewed
+  duplicate clusters; no windows (min-per-group + shuffle join instead
+  of row_number, so a billion-row hash group never serializes through
+  one window partition).
+* ``minhash_signatures`` — shingling explodes ~L tokens/doc into
+  distinct shingles; the 16-slot cross join multiplies rows 16× BEFORE
+  the min-agg, but Catalyst's partial aggregation collapses per-partition
+  so shuffle volume is ≤ 16 rows/doc.
+* ``lsh_candidate_pairs`` — band signatures groupBy(doc, band) then a
+  self-join on (band, band_key). Hot buckets (boilerplate pages) are the
+  skew risk: ``max_bucket_size`` caps any bucket before the self-join
+  (standard practice — a bucket with B docs yields B² candidate pairs).
+* ``embedding_neardup_pairs`` — cosine pairs via an LSH-bucketed
+  self-join (deterministic sign-random-projection buckets) rather than
+  a full cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .tokenizer import register_udfs
+
+N_MINHASH = 16
+LSH_BAND_ROWS = 4
+
+
+def tokens_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, ts:array<string>) with engine tokenizer."""
+    tok = register_udfs()
+    return docs.select("doc_id", tok("text").alias("ts"))
+
+
+def shingles_df(toks: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (space-joined), built with
+    higher-order array functions — no UDF, whole-stage codegen."""
+    grams = F.concat_ws(
+        " ", *[F.element_at("ts", F.col("i") + (j + 1)) for j in range(n)]
+    )
+    return (
+        toks.where(F.size("ts") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("ts") - n)).alias("i"),
+            "ts",
+        )
+        .select("doc_id", grams.alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """(doc_id, text_hash, is_dup): a doc is a duplicate iff an earlier
+    (smaller doc_id) doc has byte-identical text."""
+    hashed = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("_keep"))
+    return (
+        hashed.join(canon, "text_hash")
+        .select(
+            "doc_id", "text_hash", (F.col("doc_id") != F.col("_keep")).alias("is_dup")
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_MINHASH, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, minhash_idx, minhash): slot i's hash = min over shingles
+    of md5(i || '|' || shingle)."""
+    sh = shingles_df(tokens_df(docs), shingle_n)
+    idx = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias(
+        "minhash_idx"
+    )
+    return (
+        sh.select("doc_id", "shingle", idx)
+        .groupBy("doc_id", "minhash_idx")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("minhash_idx").cast("string"), "shingle"
+                    )
+                )
+            ).alias("minhash")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    band_rows: int = LSH_BAND_ROWS,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-duplicate pairs: docs sharing any
+    LSH band (band key = md5 of the band's minhash values in slot order).
+    """
+    sigs = minhash_signatures(docs, n_hashes, shingle_n)
+    band = (F.col("minhash_idx") / band_rows).cast("int").alias("band")
+    bands = (
+        sigs.select("doc_id", band, "minhash_idx", "minhash")
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("minhash_idx", "minhash"))
+                        ),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+        bands = bands.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= max_bucket_size
+        ).drop("_rn")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, shingle_n: int = 3, threshold: float = 0.05
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
+    threshold. Exact (inverted-index join on shingle), so cost scales with
+    shared-shingle pairs, not all pairs."""
+    sh = shingles_df(tokens_df(docs), shingle_n)
+    counts = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): tf-weighted sign aggregation over md5(term)
+    bits (bit b of the hex digest, little-endian within nibbles)."""
+    toks = tokens_df(docs)
+    tf = (
+        toks.select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("h", F.md5("term"))
+    )
+    # bit b of the hex digest (little-endian within each nibble); the
+    # shift amounts are columns, so SQL expressions (the Python
+    # shiftright/shiftleft helpers only take literal shift counts)
+    bit = F.expr(
+        "shiftright(instr('0123456789abcdef', "
+        "substr(h, 1 + cast(b / 4 as int), 1)) - 1, "
+        "cast(b % 4 as int)) & 1"
+    )
+    sums = (
+        tf.crossJoin(
+            F.broadcast(
+                tf.sparkSession.range(bits).select(
+                    F.col("id").cast("int").alias("b")
+                )
+            )
+        )
+        .withColumn(
+            "contrib", F.col("tf") * F.when(bit == 1, 1).otherwise(-1)
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(0)
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def random_planes(n_tables: int, n_planes: int, dims: int) -> list[list[list[float]]]:
+    """Deterministic md5-derived hyperplanes: planes[t][p][d] in [-1, 1].
+    Engine-independent (no RNG state), so any engine can reproduce the
+    exact bucket assignment."""
+    import hashlib
+
+    return [
+        [
+            [
+                (
+                    int(
+                        hashlib.md5(f"{t}|{p}|{d}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    / 0xFFFFFFFF
+                )
+                * 2.0
+                - 1.0
+                for d in range(dims)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _dot_lit(vec_col, plane: list[float]):
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(x) for x in plane]),
+            lambda a, bcol: a.cast("double") * bcol,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 16,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, cos) near-duplicate embedding pairs (cos >= threshold).
+
+    Scale path (default): multi-table sign-random-projection LSH — table
+    t hashes each vector to the sign-bit pattern of ``n_planes``
+    deterministic hyperplanes (:func:`random_planes`); candidates are
+    same-bucket pairs unioned over tables, then exact cosine filters.
+    Returned cosines are exact, so results ⊆ the exact all-pairs answer;
+    recall at cos>=0.9 with 16×4 tables is ≈1. ``exact=True`` compares
+    all pairs (oracle mode — O(n²), small inputs only).
+    """
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    norm = F.sqrt(
+        F.aggregate(
+            "v", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    if exact:
+        bucketed = base.select(
+            "id", "v", F.lit(0).alias("table"), F.lit(0).alias("bucket")
+        )
+    else:
+        dims = len(base.select("v").first()[0])
+        planes = random_planes(n_tables, n_planes, dims)
+        # one scan: array of per-table buckets, then posexplode
+        buckets = F.array(
+            *[
+                sum(
+                    (
+                        (_dot_lit(F.col("v"), planes[t][p]) > 0).cast("int")
+                        * (1 << p)
+                        for p in range(n_planes)
+                    ),
+                    F.lit(0),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        bucketed = base.select(
+            "id", "v", F.posexplode(buckets).alias("table", "bucket")
+        )
+    bucketed = bucketed.withColumn("norm", norm)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 4).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,191 @@
+"""Structured Streaming operators: streaming corpus ingestion into the
+inverted index, and watermarked windowed event aggregation.
+
+The reference engine is strictly batch (SURVEY.md §2.5: no streaming
+anywhere in the 41 files); these operators extend it the Spark-native
+way — the batch build's stages are re-expressed as an incremental
+micro-batch pipeline:
+
+    docs fileStream ──▶ foreachBatch: tokenize + postings delta append
+                                   │
+                            compact_index(): delta postings → chunked
+                            index via the SAME chunk_postings/lexicon
+                            code path as the batch DAG
+
+At 100 TB this is the "keep the index fresh" path: each micro-batch
+shuffles only its own postings (small), and compaction is an idempotent
+batch job over the accumulated delta — the classic LSM shape, with
+Spark checkpointing providing exactly-once file-source progress.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from .build import IndexBuilder
+from .tokenizer import register_udfs
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event_type.
+
+    Works on a streaming OR batch DataFrame (same plan; watermark is a
+    no-op in batch). Late rows beyond ``watermark`` are dropped in
+    streaming mode; the append-mode sink emits a window once it closes.
+    """
+    # watermarks require TIMESTAMP (not NTZ); cast is a no-op otherwise
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window").start.alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_events_from_dir(
+    spark, events_dir: str, schema=None
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files."""
+    if schema is None:
+        schema = spark.read.parquet(events_dir).schema
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def run_available_now(
+    sdf: DataFrame, checkpoint_dir: str, query_name: str = "se_stream"
+) -> DataFrame:
+    """Drain all currently-available input through the streaming plan
+    (Trigger.AvailableNow) into a memory sink; return the result table.
+
+    Uses *complete* mode for aggregations so a bounded drain emits every
+    window (append mode would hold windows open past the watermark).
+    """
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(query_name)
+
+
+class StreamingIndexer:
+    """Incremental inverted-index maintenance via foreachBatch.
+
+    ``start(stream_df)`` appends each micro-batch's partial postings
+    (term, doc_id, doc_length, tf) plus doc-table rows to a delta area
+    under ``index_dir``; ``compact()`` merges the delta into the final
+    chunked index using the exact batch code path (IndexBuilder stages
+    from the postings stage onward), so a compacted streaming index is
+    byte-identical to a batch build over the same corpus.
+    """
+
+    def __init__(self, spark, index_dir: str, **builder_kwargs):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.builder_kwargs = builder_kwargs
+        self.delta_dir = os.path.join(index_dir, "delta")
+        os.makedirs(self.delta_dir, exist_ok=True)
+
+    # ------------------------------------------------------ micro-batch
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        tok = register_udfs()
+        tokens = batch_df.select(
+            "doc_id",
+            "url",
+            "text",
+            tok("text").alias("terms"),
+        ).withColumn("doc_length", F.size("terms").cast("long"))
+        tokens.persist()
+        (
+            tokens.select("doc_id", "url", "doc_length", "text")
+            .write.mode("append")
+            .parquet(os.path.join(self.delta_dir, "doc_table"))
+        )
+        postings = (
+            tokens.select(
+                "doc_id", "doc_length", F.explode("terms").alias("term")
+            )
+            .groupBy("term", "doc_id", "doc_length")
+            .agg(F.count("*").cast("long").alias("tf"))
+        )
+        postings.write.mode("append").parquet(
+            os.path.join(self.delta_dir, "postings")
+        )
+        tokens.unpersist()
+
+    def start(self, stream_df: DataFrame, checkpoint_dir: str, available_now: bool = True):
+        """Attach the indexer to a streaming corpus DataFrame
+        (doc_id, url, text, ...). Returns the StreamingQuery."""
+        writer = (
+            stream_df.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # ------------------------------------------------------- compaction
+
+    def compact(self) -> dict:
+        """Merge accumulated delta postings into the final chunked index
+        (idempotent; reruns the downstream batch stages from scratch
+        over the full delta — an LSM full compaction)."""
+        b = IndexBuilder(self.spark, self.index_dir, **self.builder_kwargs)
+        manifest = b._load_manifest()
+        manifest["stages"].pop("chunks", None)
+        manifest["stages"].pop("lexicon", None)
+        manifest["config"] = {
+            "chunk_length": b.chunk_length,
+            "n_salts": b.n_salts,
+            "bucket_count": b.bucket_count,
+            "store_positions": b.store_positions,
+        }
+
+        import time as _t
+
+        doc_table = self.spark.read.parquet(
+            os.path.join(self.delta_dir, "doc_table")
+        )
+        t0 = _t.time()
+        b._write(doc_table, "doc_table")
+        b._record_stage(manifest, "doc_table", _t.time() - t0, ["delta/doc_table"])
+
+        t0 = _t.time()
+        stats = b._read("doc_table").agg(
+            F.count("*").alias("n_docs"),
+            F.avg("doc_length").alias("avgdl"),
+            F.sum("doc_length").alias("total_tokens"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        b._write(stats, "stats")
+        b._record_stage(manifest, "stats", _t.time() - t0, ["doc_table"])
+
+        t0 = _t.time()
+        postings = self.spark.read.parquet(
+            os.path.join(self.delta_dir, "postings")
+        )
+        b._write(postings, "postings")
+        b._record_stage(manifest, "postings", _t.time() - t0, ["delta/postings"])
+
+        return b.build_from_postings(manifest)

@@ -1,0 +1,165 @@
+"""Text-analysis operators for training-data curation.
+
+All scalar logic stays JVM-side (built-in functions / higher-order
+array expressions) except winnowing, which is a numpy-vectorized
+pandas UDF (rolling hashes over char arrays don't decompose into
+Catalyst expressions without a per-position explode).
+
+Determinism: regexes are portable (same semantics in Java regex and
+DuckDB's RE2 for the classes used); rolling hashes are fixed-base
+polynomial mod 2^31-1 over ASCII-stripped text, so oracles reproduce
+them exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .tokenizer import register_udfs
+
+# GPT-2-ish coarse token classes: letter runs, single digits,
+# non-alnum-non-space runs (portable subset: no lookarounds).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+
+ROLL_BASE = 257
+ROLL_MOD = (1 << 31) - 1
+ROLL_K = 8
+WINNOW_W = 4
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def language_id(docs: DataFrame, ascii_threshold: float = 0.9) -> DataFrame:
+    """n-gram-free heuristic language ID: ratio of [a-z ] chars.
+
+    (A real system plugs a fastText-style model in as a pandas UDF; the
+    heuristic keeps the operator JVM-side and oracle-reproducible.)
+    """
+    stripped = F.regexp_replace("text", "[^a-z ]", "")
+    ratio = F.length(stripped).cast("double") / F.nullif(
+        F.length("text"), F.lit(0)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 4).alias("ascii_ratio"),
+        F.when(ratio > ascii_threshold, "en").otherwise("other").alias(
+            "lang_pred"
+        ),
+    )
+
+
+def quality_score(docs: DataFrame, stopwords=STOPWORDS) -> DataFrame:
+    """Per-doc curation signals: token count, mean token length,
+    stop-word ratio (reference tokenizer semantics)."""
+    tok = register_udfs()
+    t = docs.select("doc_id", F.explode(tok("text")).alias("term"))
+    is_stop = F.when(F.col("term").isin(*stopwords), 1).otherwise(0)
+    return t.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg(F.length("term")), 4).alias("avg_token_len"),
+        F.round(F.avg(is_stop.cast("double")), 4).alias("stopword_ratio"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword-class tokens per doc."""
+    ws = F.size(F.split(F.trim("text"), "\\s+"))
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) == 0, 0)
+        .otherwise(ws)
+        .cast("long")
+        .alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+def rolling_hashes(text: str, k: int = ROLL_K) -> np.ndarray:
+    """All k-gram polynomial rolling hashes of ASCII-printable-stripped
+    text: h(i) = sum(ord(c[i+j]) * BASE^(k-1-j)) mod (2^31-1)."""
+    cleaned = "".join(ch for ch in text if " " <= ch <= "~")
+    b = np.frombuffer(cleaned.encode("ascii"), dtype=np.uint8)
+    if len(b) < k:
+        return np.empty(0, dtype=np.int64)
+    powers = np.array(
+        [pow(ROLL_BASE, k - 1 - j, ROLL_MOD) for j in range(k)], dtype=np.int64
+    )
+    win = np.lib.stride_tricks.sliding_window_view(b.astype(np.int64), k)
+    return (win * powers).sum(axis=1) % ROLL_MOD
+
+
+def winnow(hashes: np.ndarray, w: int = WINNOW_W) -> np.ndarray:
+    """Winnowing (Schleimer/Wilkerson/Aiken): minimum hash of every
+    w-window, rightmost on ties, deduped consecutively. Returns the
+    selected fingerprint hashes in document order."""
+    if len(hashes) == 0:
+        return hashes
+    if len(hashes) <= w:
+        return np.array([hashes.min()], dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    # rightmost min: reverse argmin trick
+    idx = w - 1 - np.argmin(win[:, ::-1], axis=1) + np.arange(len(win))
+    sel = hashes[idx]
+    keep = np.empty(len(idx), dtype=bool)
+    keep[0] = True
+    keep[1:] = idx[1:] != idx[:-1]
+    return sel[keep]
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = ROLL_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, n_fingerprints, fingerprint_min, fingerprint_xor):
+    winnowed rolling-hash document sketch, numpy inside mapInPandas."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, n, mn, xr = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                fps = winnow(rolling_hashes(text or "", k), w)
+                ids.append(doc_id)
+                n.append(len(fps))
+                mn.append(int(fps.min()) if len(fps) else -1)
+                x = 0
+                for v in fps:
+                    x ^= int(v)
+                xr.append(x)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_fingerprints": n,
+                    "fingerprint_min": mn,
+                    "fingerprint_xor": xr,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        "doc_id long, n_fingerprints long, fingerprint_min long, "
+        "fingerprint_xor long",
+    )
+
+
+def rolling_min_hash(docs: DataFrame, k: int = ROLL_K) -> DataFrame:
+    """(doc_id, n_grams, min_hash): min k-gram rolling hash per doc —
+    the SQL-expressible projection of the rolling-hash sketch (oracle
+    pairs with a reduce()-based DuckDB query)."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, n, mn = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = rolling_hashes(text or "", k)
+                ids.append(doc_id)
+                n.append(len(h))
+                mn.append(int(h.min()) if len(h) else -1)
+            yield pd.DataFrame({"doc_id": ids, "n_grams": n, "min_hash": mn})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, n_grams long, min_hash long"
+    )

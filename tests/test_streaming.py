@@ -1,0 +1,99 @@
+"""Structured-Streaming operators: windowed event aggs + incremental
+index maintenance (streaming build == batch build)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import streaming
+from search_engine_spark.build import IndexBuilder
+from search_engine_spark.query import QueryEngine
+from search_engine_spark.runtime import ensure_shipped
+
+from conftest import SF_DIR
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="se_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmpdir):
+    ensure_shipped(spark)
+    events_dir = os.path.join(tmpdir, "events")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.write.parquet(events_dir)
+
+    batch = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total_value"])
+        for r in streaming.windowed_event_counts(
+            spark.read.parquet(events_dir)
+        ).collect()
+    }
+    sdf = streaming.windowed_event_counts(
+        streaming.stream_events_from_dir(spark, events_dir)
+    )
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total_value"])
+        for r in streaming.run_available_now(
+            sdf, os.path.join(tmpdir, "ckpt"), "win_test"
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_streaming_index_matches_batch_build(spark, tmpdir):
+    ensure_shipped(spark)
+    from search_engine_spark.corpus import load_documents
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "url", "text")
+
+    # corpus arrives as two file "micro-batches"
+    stream_src = os.path.join(tmpdir, "src")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(stream_src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(stream_src)
+
+    stream_idx = os.path.join(tmpdir, "stream_idx")
+    indexer = streaming.StreamingIndexer(
+        spark, stream_idx, n_salts=2, bucket_count=4
+    )
+    stream_df = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_src)
+    )
+    q = indexer.start(stream_df, os.path.join(tmpdir, "ckpt"))
+    q.awaitTermination()
+    indexer.compact()
+
+    batch_idx = os.path.join(tmpdir, "batch_idx")
+    IndexBuilder(spark, batch_idx, n_salts=2, bucket_count=4).build(
+        docs.withColumn("warc_ts", F.current_timestamp())
+    )
+
+    # identical lexicon and identical query results
+    lex_s = {
+        (r["term"], r["df"])
+        for r in spark.read.parquet(f"{stream_idx}/lexicon").collect()
+    }
+    lex_b = {
+        (r["term"], r["df"])
+        for r in spark.read.parquet(f"{batch_idx}/lexicon").collect()
+    }
+    assert lex_s == lex_b and len(lex_s) > 0
+
+    qs = QueryEngine(spark, stream_idx)
+    qb = QueryEngine(spark, batch_idx)
+    for query in ("data spark query", "the row"):
+        rs = [(r["doc_id"], r["score"]) for r in qs.search(query).collect()]
+        rb = [(r["doc_id"], r["score"]) for r in qb.search(query).collect()]
+        assert rs == rb and rs
