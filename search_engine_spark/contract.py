@@ -401,6 +401,132 @@ def sql_events_hourly(engine: str) -> str:
     )
 
 
+EMB_NEARDUP_THRESHOLD = 0.4
+
+
+def sql_embedding_neardup(engine: str) -> str:
+    """Exact all-pairs cosine >= threshold (oracle for the exact path;
+    the LSH path is verified as a subset in tests + a rows-only entry)."""
+    if engine == "spark":
+        dot = (
+            "aggregate(zip_with(a.embedding, b.embedding, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        nrm = (
+            "sqrt(aggregate({t}.embedding, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+    else:
+        dot = (
+            "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+            "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+        )
+        nrm = (
+            "sqrt(list_sum(list_transform({t}.embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+    cos = f"{dot} / ({nrm.format(t='a')} * {nrm.format(t='b')})"
+    return (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"round({cos}, 4) AS cos "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE round({cos}, 4) >= {EMB_NEARDUP_THRESHOLD}"
+    )
+
+
+def sql_ann_ivf(engine: str) -> str:
+    """IVF replication: codebook = vec_id < n_cells, assign to max-cos
+    cell, probe top-nprobe cells per query, exact cosine inside."""
+    n_cells, nprobe = 16, 4
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    if engine == "spark":
+        dot = (
+            "aggregate(zip_with({x}, {y}, "
+            "(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        nrm = (
+            "sqrt(aggregate({x}, CAST(0.0 AS DOUBLE), "
+            "(acc, p) -> acc + CAST(p AS DOUBLE) * CAST(p AS DOUBLE)))"
+        )
+    else:
+        dot = (
+            "list_sum(list_transform(range(1, len({x}) + 1), "
+            "i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+        )
+        nrm = (
+            "sqrt(list_sum(list_transform({x}, "
+            "p -> CAST(p AS DOUBLE) * CAST(p AS DOUBLE))))"
+        )
+
+    def cos(x, y):
+        return (
+            f"{dot.format(x=x, y=y)} / ({nrm.format(x=x)} * {nrm.format(x=y)})"
+        )
+
+    return (
+        f"WITH cb AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS cv "
+        f"FROM embeddings WHERE vec_id < {n_cells}), "
+        "ac AS (SELECT vec_id, embedding, cell, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY "
+        f"{cos('embedding', 'cv')} DESC, cell) AS rn "
+        "FROM embeddings CROSS JOIN cb), "
+        "assigned AS (SELECT vec_id, embedding, cell FROM ac WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+        f"WHERE vec_id IN ({ids})), "
+        "pr AS (SELECT query_id, qe, cell, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY "
+        f"{cos('qe', 'cv')} DESC, cell) AS rn FROM q CROSS JOIN cb), "
+        f"probes AS (SELECT query_id, qe, cell FROM pr WHERE rn <= {nprobe}), "
+        "pairs AS (SELECT p.query_id, a.vec_id AS neighbor_id, "
+        f"round({cos('p.qe', 'a.embedding')}, 4) AS cos "
+        "FROM probes p JOIN assigned a ON p.cell = a.cell "
+        "WHERE a.vec_id <> p.query_id), "
+        "r AS (SELECT query_id, neighbor_id, cos, CAST(row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) "
+        "AS rank FROM pairs) "
+        f"SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= {ANN_K}"
+    )
+
+
+def sql_token_count_bpe(engine: str) -> str:
+    from .textstats import BPE_ISH_PATTERN
+
+    if engine == "spark":
+        raise ValueError("spark side uses textstats.token_counts directly")
+    # DuckDB standard-SQL strings pass backslashes through untouched
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return (
+        "SELECT doc_id, "
+        "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) "
+        "AS ws_tokens, "
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) "
+        "AS bpe_ish_tokens FROM documents"
+    )
+
+
+def sql_rolling_min_hash(engine: str) -> str:
+    from .textstats import ROLL_BASE, ROLL_K, ROLL_MOD
+
+    if engine == "spark":
+        raise ValueError("spark side uses textstats.rolling_min_hash directly")
+    return (
+        "WITH c AS (SELECT doc_id, "
+        "regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS s "
+        "FROM documents), "
+        "h AS (SELECT doc_id, CASE WHEN len(s) >= "
+        f"{ROLL_K} THEN list_transform(range(1, len(s) - {ROLL_K - 2}), "
+        f"i -> list_reduce(list_transform(range(0, {ROLL_K}), "
+        "j -> CAST(unicode(substr(s, CAST(i + j AS INT), 1)) AS BIGINT)), "
+        f"(a, b) -> (a * {ROLL_BASE} + b) % {ROLL_MOD})) "
+        "ELSE [] END AS hashes FROM c) "
+        "SELECT doc_id, CAST(len(hashes) AS BIGINT) AS n_grams, "
+        "CAST(coalesce(list_min(hashes), -1) AS BIGINT) AS min_hash FROM h"
+    )
+
+
 # ---------------------------------------------------- non-SQL Spark paths
 
 
@@ -422,6 +548,164 @@ def spark_chunk_metadata(spark, sf_dir: str) -> DataFrame:
     return chunks.select(
         "term", "chunk_seq", "first_doc_id", "last_doc_id", "n"
     )
+
+
+def _docs(spark, sf_dir: str) -> DataFrame:
+    _prepare(spark, sf_dir)
+    return spark.table("documents").select("doc_id", "text")
+
+
+def _emb(spark, sf_dir: str) -> DataFrame:
+    _prepare(spark, sf_dir)
+    return spark.table("embeddings")
+
+
+def _ann_queries(spark, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return e.where(F.col("vec_id").isin(list(ANN_QUERY_IDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+
+
+def _lib(fn):
+    """Adapter: library operator over the documents table."""
+
+    def run(spark, sf_dir: str) -> DataFrame:
+        return fn(_docs(spark, sf_dir))
+
+    return run
+
+
+def spark_dedup_exact(spark, sf_dir: str) -> DataFrame:
+    from .dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def spark_minhash(spark, sf_dir: str) -> DataFrame:
+    from .dedup import minhash_signatures as mh
+
+    return mh(_docs(spark, sf_dir), n_hashes=N_MINHASH)
+
+
+def spark_lsh_pairs(spark, sf_dir: str) -> DataFrame:
+    from .dedup import lsh_candidate_pairs as lsh
+
+    return lsh(_docs(spark, sf_dir), n_hashes=N_MINHASH, band_rows=4)
+
+
+def spark_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
+    from .dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD
+    )
+
+
+def spark_simhash(spark, sf_dir: str) -> DataFrame:
+    from .dedup import simhash as sh
+
+    return sh(_docs(spark, sf_dir), bits=16)
+
+
+def spark_langid(spark, sf_dir: str) -> DataFrame:
+    from .textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def spark_quality(spark, sf_dir: str) -> DataFrame:
+    from .textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir), stopwords=STOPWORDS)
+
+
+def spark_token_count_bpe(spark, sf_dir: str) -> DataFrame:
+    from .textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def spark_rolling_min_hash(spark, sf_dir: str) -> DataFrame:
+    from .textstats import rolling_min_hash
+
+    return rolling_min_hash(_docs(spark, sf_dir))
+
+
+def spark_winnow(spark, sf_dir: str) -> DataFrame:
+    from .textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def spark_ann_bruteforce(spark, sf_dir: str) -> DataFrame:
+    from .ann import cosine_topk
+
+    return cosine_topk(
+        _emb(spark, sf_dir), _ann_queries(spark, sf_dir), k=ANN_K
+    )
+
+
+def spark_ann_ivf(spark, sf_dir: str) -> DataFrame:
+    from .ann import ivf_topk
+
+    return ivf_topk(
+        _emb(spark, sf_dir),
+        _ann_queries(spark, sf_dir),
+        k=ANN_K,
+        n_cells=16,
+        nprobe=4,
+    )
+
+
+def spark_embedding_neardup_exact(spark, sf_dir: str) -> DataFrame:
+    from .dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=EMB_NEARDUP_THRESHOLD, exact=True
+    )
+
+
+def spark_embedding_neardup_lsh(spark, sf_dir: str) -> DataFrame:
+    from .dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=EMB_NEARDUP_THRESHOLD
+    )
+
+
+def spark_events_hourly(spark, sf_dir: str) -> DataFrame:
+    from .streaming import windowed_event_counts
+
+    _prepare(spark, sf_dir)
+    return windowed_event_counts(spark.table("events"))
+
+
+def spark_events_streaming(spark, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming path (readStream + watermark +
+    AvailableNow drain) — same oracle as the batch window agg."""
+    import tempfile
+    import uuid
+
+    from .streaming import (
+        run_available_now,
+        stream_events_from_dir,
+        windowed_event_counts,
+    )
+
+    import os
+
+    _prepare(spark, sf_dir)
+    # file stream sources need a directory: symlink the events parquet
+    src = tempfile.mkdtemp(prefix="se_stream_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    sdf = windowed_event_counts(stream_events_from_dir(spark, src))
+    name = "se_contract_stream_" + uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="se_stream_ck_")
+    return run_available_now(sdf, ck, name)
 
 
 _E2E_CACHE: dict = {}
@@ -453,30 +737,44 @@ def spark_index_e2e_topk(spark, sf_dir: str) -> DataFrame:
 
 def _registry() -> dict:
     q: dict = {}
-    pairs = {
+    # spark side = spark.sql plan of the same expression tree
+    sql_pairs = {
         "term_tf": sql_term_tf,
         "lexicon_df": sql_lexicon_df,
         "doc_stats": sql_doc_stats,
         "doc_table": sql_doc_table,
         "top_terms": sql_top_terms,
-        "chunk_metadata": sql_chunk_metadata,
-        "dedup_exact": sql_dedup_exact,
-        "minhash_signatures": sql_minhash_signatures,
-        "lsh_candidate_pairs": sql_lsh_pairs,
-        "ngram_jaccard_pairs": sql_ngram_jaccard,
-        "simhash": sql_simhash,
-        "langid": sql_langid,
-        "quality_score": sql_quality,
         "token_count": sql_token_count,
         "doc_fingerprint": sql_fingerprint,
-        "ann_cosine_topk": sql_ann_cosine,
-        "events_hourly": sql_events_hourly,
     }
-    for name, builder in pairs.items():
+    for name, builder in sql_pairs.items():
         q[name] = {
             "spark": _sql_query(builder("spark")),
             "sql": builder("duckdb"),
         }
+    # spark side = the REAL library operator (dedup/ann/textstats/
+    # streaming modules); oracle = equivalent ANSI SQL
+    lib_pairs = {
+        "dedup_exact": (spark_dedup_exact, sql_dedup_exact),
+        "minhash_signatures": (spark_minhash, sql_minhash_signatures),
+        "lsh_candidate_pairs": (spark_lsh_pairs, sql_lsh_pairs),
+        "ngram_jaccard_pairs": (spark_ngram_jaccard, sql_ngram_jaccard),
+        "simhash": (spark_simhash, sql_simhash),
+        "langid": (spark_langid, sql_langid),
+        "quality_score": (spark_quality, sql_quality),
+        "token_count_bpe": (spark_token_count_bpe, sql_token_count_bpe),
+        "rolling_min_hash": (spark_rolling_min_hash, sql_rolling_min_hash),
+        "ann_cosine_topk": (spark_ann_bruteforce, sql_ann_cosine),
+        "ann_ivf_topk": (spark_ann_ivf, sql_ann_ivf),
+        "embedding_neardup_exact": (
+            spark_embedding_neardup_exact,
+            sql_embedding_neardup,
+        ),
+        "events_hourly": (spark_events_hourly, sql_events_hourly),
+        "events_streaming_windowed": (spark_events_streaming, sql_events_hourly),
+    }
+    for name, (spark_fn, builder) in lib_pairs.items():
+        q[name] = {"spark": spark_fn, "sql": builder("duckdb")}
     q["bm25_disjunctive"] = {
         "spark": _sql_query(sql_bm25("spark", BM25_DISJ_TERMS, False)),
         "sql": sql_bm25("duckdb", BM25_DISJ_TERMS, False),
@@ -491,6 +789,12 @@ def _registry() -> dict:
         "sql": sql_chunk_metadata("duckdb"),
     }
     q["index_e2e_topk"] = {"spark": spark_index_e2e_topk, "sql": None}
+    # rows-only (approximate / not reasonably SQL-expressible) paths
+    q["embedding_neardup_lsh"] = {
+        "spark": spark_embedding_neardup_lsh,
+        "sql": None,
+    }
+    q["winnow_fingerprints"] = {"spark": spark_winnow, "sql": None}
     return q
 
 
