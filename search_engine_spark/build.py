@@ -141,6 +141,86 @@ def chunk_postings(
     )
 
 
+def chunk_postings_arrays(
+    postings: DataFrame,
+    max_doc_id: int,
+    n_salts: int = 8,
+    chunk_length: int = codecs.CHUNK_LENGTH,
+) -> DataFrame:
+    """Array-packed variant of :func:`chunk_postings`.
+
+    Grouping and doc-id sorting happen JVM-side (one exchange on
+    (term, salt), in-partition sort, hash-agg ``collect_list``), so the
+    JVM->Python Arrow channel carries three packed int64 buffers per
+    (term, salt) group instead of one skinny row per posting — the
+    per-row channel overhead disappears. Salting bounds each group, so
+    ``collect_list`` memory is bounded by design. Output is identical to
+    :func:`chunk_postings`.
+    """
+    salted = postings.withColumn(
+        "salt",
+        F.floor(F.col("doc_id") * n_salts / F.lit(max_doc_id + 1)).cast("int"),
+    )
+    grouped = (
+        salted.repartition("term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_id")
+        # partitioning already satisfies the agg distribution -> no
+        # second exchange; collect_list preserves the sorted in-partition
+        # encounter order, so the three arrays stay aligned + sorted
+        .groupBy("term", "salt")
+        .agg(
+            F.collect_list("doc_id").alias("ids"),
+            F.collect_list("tf").alias("tfs"),
+            F.collect_list("doc_length").alias("dls"),
+        )
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            out = []
+            for term, salt, ids, tfs, dls in zip(
+                pdf["term"], pdf["salt"], pdf["ids"], pdf["tfs"], pdf["dls"]
+            ):
+                ids = np.asarray(ids, dtype=np.uint64)
+                tfs = np.asarray(tfs, dtype=np.uint64)
+                dls = np.asarray(dls, dtype=np.uint64)
+                for seq, start in enumerate(range(0, len(ids), chunk_length)):
+                    ci = ids[start : start + chunk_length]
+                    ct = tfs[start : start + chunk_length]
+                    cd = dls[start : start + chunk_length]
+                    codec_id, payload = codecs.encode_chunk(ci, ct)
+                    out.append(
+                        (
+                            term,
+                            int(salt),
+                            seq,
+                            int(ci[0]),
+                            int(ci[-1]),
+                            len(ci),
+                            codec_id,
+                            payload,
+                            codecs.encode_lengths(cd),
+                        )
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "term",
+                        "salt",
+                        "chunk_seq",
+                        "first_doc_id",
+                        "last_doc_id",
+                        "n",
+                        "codec",
+                        "payload",
+                        "dls",
+                    ],
+                )
+
+    return grouped.mapInPandas(encode, CHUNK_SCHEMA)
+
+
 class IndexBuilder:
     def __init__(
         self,
@@ -296,13 +376,53 @@ class IndexBuilder:
                     F.sort_array(F.collect_list("pos")).alias("positions"),
                 )
             else:
-                exploded = tokens.select(
-                    "doc_id", "doc_length", F.explode("terms").alias("term")
-                )
-                # Catalyst partial (map-side) + final hash agg == the
-                # reference's per-run sort+dedup (PostingsBuilder.cpp:56-73)
-                postings = exploded.groupBy("term", "doc_id", "doc_length").agg(
-                    F.count("*").cast("long").alias("tf")
+                # tf is a PER-DOCUMENT aggregate, and mapInPandas batches
+                # never split a document — so count tf inside the Arrow
+                # batch (pandas C explode+groupby) and emit final
+                # (term, doc_id, dl, tf) rows with NO shuffle at all.
+                # This is the reference's per-run sort+dedup
+                # (PostingsBuilder.cpp:56-73) done map-side; shuffle
+                # volume later (chunks stage) is distinct (doc,term)
+                # pairs instead of every token occurrence.
+                def emit(batches):
+                    for pdf in batches:
+                        tl = pdf["terms"].to_numpy()
+                        lens = np.fromiter(
+                            (len(t) for t in tl), dtype=np.int64, count=len(tl)
+                        )
+                        total = int(lens.sum())
+                        if total == 0:
+                            continue
+                        flat = np.concatenate(
+                            [np.asarray(t, dtype=object) for t in tl if len(t)]
+                        )
+                        # per-batch tf: factorize terms, then bincount on
+                        # the (doc, term) composite key — all C kernels,
+                        # no pandas explode (quadratic-ish on list cols)
+                        codes, uniq = pd.factorize(flat)
+                        doc_idx = np.repeat(
+                            np.arange(len(tl), dtype=np.int64), lens
+                        )
+                        key = doc_idx * len(uniq) + codes
+                        uk, counts = np.unique(key, return_counts=True)
+                        d_i = uk // len(uniq)
+                        t_i = uk % len(uniq)
+                        yield pd.DataFrame(
+                            {
+                                "term": uniq[t_i],
+                                "doc_id": pdf["doc_id"].to_numpy()[d_i],
+                                "doc_length": pdf["doc_length"].to_numpy()[
+                                    d_i
+                                ],
+                                "tf": counts.astype(np.int64),
+                            }
+                        )
+
+                postings = tokens.select(
+                    "doc_id", "doc_length", "terms"
+                ).mapInPandas(
+                    emit,
+                    "term string, doc_id long, doc_length long, tf long",
                 )
             self._write(postings, "postings")
             self._record_stage(manifest, "postings", time.time() - t0, ["tokens"])

@@ -65,9 +65,13 @@ def extract_text(df: DataFrame) -> DataFrame:
 
 
 def assign_doc_ids(
-    df: DataFrame, order_col: str = "url", num_partitions: int | None = None
+    df: DataFrame,
+    order_col: str | list[str] = "url",
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Assign dense monotonically increasing doc ids by ``order_col``.
+    """Assign dense monotonically increasing doc ids by ``order_col``
+    (a column name or list of names; add a unique tiebreaker for full
+    determinism).
 
     Scalable replacement for the reference's sequential counter
     (CoreBuilder.cpp:46,77-78): range-repartition on the order column,
@@ -77,11 +81,12 @@ def assign_doc_ids(
     """
     from pyspark.sql import Window
 
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     spark = df.sparkSession
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    part = df.repartitionByRange(
+        n, *[F.col(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
     part = part.persist()
     counts = (
         part.groupBy("_pid").count().orderBy("_pid").collect()
@@ -96,7 +101,7 @@ def assign_doc_ids(
             [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
         )
     )
-    w = Window.partitionBy("_pid").orderBy(order_col)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
     out = (
         part.withColumn("_rn", F.row_number().over(w))
         .join(offsets_df, "_pid")

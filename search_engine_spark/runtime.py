@@ -63,15 +63,37 @@ def get_spark(
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local mode: every executor thread shares the driver heap — the
+        # 1g default throttles any parallelism above ~4 threads, while
+        # very large heaps trigger page-fault storms on this VM
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # each JVM<->Python Arrow batch is a socket roundtrip; too-small
+        # batches make UDF stages syscall-latency-bound, too-large ones
+        # hurt pipelining + per-batch pandas memory
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
+        )
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill dir: virtio-disk syscall latency dominates shuffle
+    # cost in this sandbox; prefer tmpfs (a real cluster sets
+    # spark.local.dir to fast local disks the same way)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -195,3 +195,32 @@ def test_lineage_and_metrics(spark, built):
         for r in lineage.groupBy("stage").agg({"rows": "sum"}).withColumnRenamed("sum(rows)", "s").collect()
     }
     assert per_stage["lexicon"] == manifest["stages"]["lexicon"]["rows"]
+
+
+def test_chunk_postings_arrays_equivalent(spark, built):
+    """The array-packed encoder (JVM-side grouping) must produce the
+    exact same chunk rows as the row-wise applyInPandas encoder."""
+    from search_engine_spark.build import chunk_postings, chunk_postings_arrays
+
+    _docs, index_dir, _m = built
+    postings = spark.read.parquet(f"{index_dir}/postings")
+
+    def rows(df):
+        return sorted(
+            (
+                r["term"],
+                r["salt"],
+                r["chunk_seq"],
+                r["first_doc_id"],
+                r["last_doc_id"],
+                r["n"],
+                r["codec"],
+                bytes(r["payload"]),
+                bytes(r["dls"]),
+            )
+            for r in df.collect()
+        )
+
+    a = rows(chunk_postings(postings, 301, n_salts=4))
+    b = rows(chunk_postings_arrays(postings, 301, n_salts=4))
+    assert a == b and len(a) > 0

@@ -1,0 +1,73 @@
+"""Doc-ID reordering: dense-id invariants + compression payoff."""
+
+import pytest
+
+from search_engine_spark import reorder
+from search_engine_spark.build import IndexBuilder
+from search_engine_spark.runtime import ensure_shipped
+
+
+def clustered_corpus(spark, n_groups: int = 6, per_group: int = 40):
+    """Docs in content clusters but with ids interleaved across clusters
+    (worst case for delta-gaps: every cluster's terms spread over the
+    whole id range)."""
+    rows = []
+    vocab = [
+        ["alpha", "beta", "gamma", "delta"],
+        ["red", "green", "blue", "cyan"],
+        ["one", "two", "three", "four"],
+        ["cat", "dog", "fox", "owl"],
+        ["sun", "moon", "star", "sky"],
+        ["run", "walk", "jump", "swim"],
+    ]
+    for i in range(n_groups * per_group):
+        g = i % n_groups  # interleaved!
+        words = vocab[g] * 6
+        rows.append((i, f"https://x/{i}", " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+def test_reorder_preserves_rows_and_density(spark):
+    ensure_shipped(spark)
+    docs = clustered_corpus(spark)
+    out = reorder.reorder_by_content(docs).cache()
+    n = docs.count()
+    assert out.count() == n
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == list(range(n))  # dense, unique, zero-based
+    # deterministic
+    again = {
+        r["orig_doc_id"]: r["doc_id"]
+        for r in reorder.reorder_by_content(docs).collect()
+    }
+    first = {r["orig_doc_id"]: r["doc_id"] for r in out.collect()}
+    assert first == again
+
+
+def test_reorder_groups_similar_docs(spark):
+    ensure_shipped(spark)
+    docs = clustered_corpus(spark)
+    out = reorder.reorder_by_content(docs)
+    rows = out.select("doc_id", "orig_doc_id").collect()
+    group_of = {r["doc_id"]: r["orig_doc_id"] % 6 for r in rows}
+    # adjacent new ids should mostly share a content group
+    same = sum(
+        1
+        for i in range(len(rows) - 1)
+        if group_of[i] == group_of[i + 1]
+    )
+    assert same / (len(rows) - 1) > 0.9
+
+
+def test_reorder_improves_compression(spark, tmp_path_factory):
+    ensure_shipped(spark)
+    docs = clustered_corpus(spark)
+    d1 = str(tmp_path_factory.mktemp("idx_orig"))
+    d2 = str(tmp_path_factory.mktemp("idx_reord"))
+    IndexBuilder(spark, d1, n_salts=1, bucket_count=4).build(docs)
+    IndexBuilder(spark, d2, n_salts=1, bucket_count=4).build(
+        reorder.reorder_by_content(docs).select("doc_id", "url", "text")
+    )
+    before = reorder.compression_stats(spark, d1)
+    after = reorder.compression_stats(spark, d2)
+    assert after["payload_bytes"] < before["payload_bytes"]
