@@ -64,6 +64,48 @@ CHUNK_SCHEMA = (
 )
 
 
+def _tokenize_count_batches(batches):
+    """Arrow-batched tokenize + per-doc tf count.
+
+    For each doc: doc_length = total token count (reference semantics,
+    HTMLParser.cpp:79), uterms/utfs = unique terms + their counts.
+    Vectorized: one regex pass over the batch (pandas C string kernels),
+    one factorize + composite-key bincount over the flat token stream,
+    then np.split back into per-doc lists.
+    """
+    from .tokenizer import tokenize_series
+
+    for pdf in batches:
+        toks = tokenize_series(pdf["text"])
+        tl = toks.to_numpy()
+        lens = np.fromiter(
+            (len(t) for t in tl), dtype=np.int64, count=len(tl)
+        )
+        out = pdf[["doc_id", "url", "text"]].copy()
+        out["doc_length"] = lens
+        total = int(lens.sum())
+        if total == 0:
+            out["uterms"] = [[] for _ in range(len(tl))]
+            out["utfs"] = [[] for _ in range(len(tl))]
+            yield out
+            continue
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in tl if len(t)])
+        codes, uniq = pd.factorize(flat)
+        doc_idx = np.repeat(np.arange(len(tl), dtype=np.int64), lens)
+        key = doc_idx * len(uniq) + codes
+        uk, counts = np.unique(key, return_counts=True)
+        d_i = uk // len(uniq)
+        t_i = uk % len(uniq)
+        # group boundaries of d_i (sorted) -> per-doc slices
+        n_per_doc = np.bincount(d_i, minlength=len(tl))
+        splits = np.cumsum(n_per_doc)[:-1]
+        uterms = np.split(uniq[t_i], splits)
+        utfs = np.split(counts.astype(np.int32), splits)
+        out["uterms"] = [u.tolist() for u in uterms]
+        out["utfs"] = [u.tolist() for u in utfs]
+        yield out
+
+
 def term_bucket(term: str, bucket_count: int) -> int:
     """Driver-side term → partition bucket (md5-based, engine-agnostic)."""
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % bucket_count
@@ -221,6 +263,129 @@ def chunk_postings_arrays(
     return grouped.mapInPandas(encode, CHUNK_SCHEMA)
 
 
+def chunk_tokens_docmajor(
+    tokens: DataFrame,
+    max_doc_id: int,
+    n_salts: int = 8,
+    chunk_length: int = codecs.CHUNK_LENGTH,
+) -> DataFrame:
+    """Encode chunks STRAIGHT from the doc-major tokens stage.
+
+    The classic "local inversion": instead of exploding to one row per
+    posting and shuffling ~25x more rows (measured: the exploded-row
+    shuffle + collect_list dominated the whole build), range-partition
+    the 1-row-per-DOC table by salt (= contiguous doc-id range), then
+    pivot doc-major -> term-major with numpy inside each partition
+    (factorize + lexsort) and emit encoded chunk rows directly.
+
+    Works because a salt's doc range lives wholly in one partition and
+    chunk boundaries are 128-aligned PER SALT — per-salt outputs
+    concatenate into globally doc-id-sorted lists with no re-merge
+    (same guarantee as :func:`chunk_postings`; outputs are identical).
+    Per-partition memory = one salt range's postings, bounded by
+    ``n_salts`` — the same knob that bounds skew.
+    """
+    salted = tokens.select(
+        "doc_id",
+        "doc_length",
+        "uterms",
+        "utfs",
+        F.floor(F.col("doc_id") * n_salts / F.lit(max_doc_id + 1))
+        .cast("int")
+        .alias("salt"),
+    ).repartitionByRange(n_salts, "salt")
+
+    def encode_partition(batches):
+        ids_b, dls_b, terms_b, tfs_b, salts_b = [], [], [], [], []
+        for pdf in batches:
+            tl = pdf["uterms"].to_numpy()
+            lens = np.fromiter(
+                (len(t) for t in tl), dtype=np.int64, count=len(tl)
+            )
+            if not lens.sum():
+                continue
+            nz = lens > 0
+            terms_b.append(
+                np.concatenate([np.asarray(t, dtype=object) for t in tl[nz]])
+            )
+            tfs_b.append(
+                np.concatenate(
+                    [np.asarray(t, dtype=np.int64) for t in pdf["utfs"].to_numpy()[nz]]
+                )
+            )
+            ids_b.append(np.repeat(pdf["doc_id"].to_numpy(), lens))
+            dls_b.append(np.repeat(pdf["doc_length"].to_numpy(), lens))
+            salts_b.append(np.repeat(pdf["salt"].to_numpy(), lens))
+        if not ids_b:
+            return
+        ids = np.concatenate(ids_b)
+        dls = np.concatenate(dls_b)
+        tfs = np.concatenate(tfs_b)
+        salts = np.concatenate(salts_b)
+        codes, uniq = pd.factorize(np.concatenate(terms_b))
+        order = np.lexsort((ids, codes, salts))
+        ids, dls, tfs, salts, codes = (
+            ids[order],
+            dls[order],
+            tfs[order],
+            salts[order],
+            codes[order],
+        )
+        # boundaries where (salt, term) changes
+        change = np.empty(len(ids), dtype=bool)
+        change[0] = True
+        change[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(ids))
+        rows = []
+        for s, e in zip(starts, ends):
+            term = uniq[codes[s]]
+            salt = int(salts[s])
+            gi = ids[s:e].astype(np.uint64)
+            gt = tfs[s:e].astype(np.uint64)
+            gd = dls[s:e].astype(np.uint64)
+            for seq, start in enumerate(range(0, len(gi), chunk_length)):
+                ci = gi[start : start + chunk_length]
+                ct = gt[start : start + chunk_length]
+                cd = gd[start : start + chunk_length]
+                codec_id, payload = codecs.encode_chunk(ci, ct)
+                rows.append(
+                    (
+                        term,
+                        salt,
+                        seq,
+                        int(ci[0]),
+                        int(ci[-1]),
+                        len(ci),
+                        codec_id,
+                        payload,
+                        codecs.encode_lengths(cd),
+                    )
+                )
+                if len(rows) >= 8192:
+                    yield pd.DataFrame(
+                        rows, columns=_CHUNK_COLS
+                    )
+                    rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=_CHUNK_COLS)
+
+    return salted.mapInPandas(encode_partition, CHUNK_SCHEMA)
+
+
+_CHUNK_COLS = [
+    "term",
+    "salt",
+    "chunk_seq",
+    "first_doc_id",
+    "last_doc_id",
+    "n",
+    "codec",
+    "payload",
+    "dls",
+]
+
+
 class IndexBuilder:
     def __init__(
         self,
@@ -230,6 +395,7 @@ class IndexBuilder:
         n_salts: int = 8,
         bucket_count: int = 16,
         store_positions: bool = False,
+        materialize_postings: bool = True,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -237,6 +403,11 @@ class IndexBuilder:
         self.n_salts = n_salts
         self.bucket_count = bucket_count
         self.store_positions = store_positions
+        # the exploded postings checkpoint is useful for ad-hoc analysis
+        # and finer-grained resume, but at full scale shuffling ~25x more
+        # rows than the doc-major table dominates the build — turn off to
+        # encode chunks straight from the tokens stage (local inversion)
+        self.materialize_postings = materialize_postings or store_positions
         ensure_shipped(spark)
         os.makedirs(index_dir, exist_ok=True)
 
@@ -330,16 +501,29 @@ class IndexBuilder:
             "store_positions": self.store_positions,
         }
 
-        tokenize_udf = register_udfs()
-
         if not self._stage_done(manifest, "tokens"):
             t0 = time.time()
-            tokens = docs.select(
-                "doc_id",
-                "url",
-                "text",
-                tokenize_udf("text").alias("terms"),
-            ).withColumn("doc_length", F.size("terms").cast("long"))
+            if self.store_positions:
+                tokenize_udf = register_udfs()
+                tokens = docs.select(
+                    "doc_id",
+                    "url",
+                    "text",
+                    tokenize_udf("text").alias("terms"),
+                ).withColumn("doc_length", F.size("terms").cast("long"))
+            else:
+                # tokenize AND tf-count in one Arrow pass: emitting
+                # (unique terms, tf counts) instead of the raw token
+                # stream shrinks both the checkpoint and every later
+                # JVM<->Python transfer ~3x, and makes the postings
+                # stage pure JVM (arrays_zip + explode)
+                tokens = docs.select(
+                    "doc_id", "url", "text"
+                ).mapInPandas(
+                    _tokenize_count_batches,
+                    "doc_id long, url string, text string, "
+                    "doc_length long, uterms array<string>, utfs array<int>",
+                )
             self._write(tokens, "tokens")
             self._record_stage(manifest, "tokens", time.time() - t0, ["documents"])
 
@@ -362,7 +546,9 @@ class IndexBuilder:
             self._write(stats, "stats")
             self._record_stage(manifest, "stats", time.time() - t0, ["doc_table"])
 
-        if not self._stage_done(manifest, "postings"):
+        if self.materialize_postings and not self._stage_done(
+            manifest, "postings"
+        ):
             t0 = time.time()
             tokens = self._read("tokens")
             if self.store_positions:
@@ -376,53 +562,21 @@ class IndexBuilder:
                     F.sort_array(F.collect_list("pos")).alias("positions"),
                 )
             else:
-                # tf is a PER-DOCUMENT aggregate, and mapInPandas batches
-                # never split a document — so count tf inside the Arrow
-                # batch (pandas C explode+groupby) and emit final
-                # (term, doc_id, dl, tf) rows with NO shuffle at all.
-                # This is the reference's per-run sort+dedup
-                # (PostingsBuilder.cpp:56-73) done map-side; shuffle
-                # volume later (chunks stage) is distinct (doc,term)
-                # pairs instead of every token occurrence.
-                def emit(batches):
-                    for pdf in batches:
-                        tl = pdf["terms"].to_numpy()
-                        lens = np.fromiter(
-                            (len(t) for t in tl), dtype=np.int64, count=len(tl)
-                        )
-                        total = int(lens.sum())
-                        if total == 0:
-                            continue
-                        flat = np.concatenate(
-                            [np.asarray(t, dtype=object) for t in tl if len(t)]
-                        )
-                        # per-batch tf: factorize terms, then bincount on
-                        # the (doc, term) composite key — all C kernels,
-                        # no pandas explode (quadratic-ish on list cols)
-                        codes, uniq = pd.factorize(flat)
-                        doc_idx = np.repeat(
-                            np.arange(len(tl), dtype=np.int64), lens
-                        )
-                        key = doc_idx * len(uniq) + codes
-                        uk, counts = np.unique(key, return_counts=True)
-                        d_i = uk // len(uniq)
-                        t_i = uk % len(uniq)
-                        yield pd.DataFrame(
-                            {
-                                "term": uniq[t_i],
-                                "doc_id": pdf["doc_id"].to_numpy()[d_i],
-                                "doc_length": pdf["doc_length"].to_numpy()[
-                                    d_i
-                                ],
-                                "tf": counts.astype(np.int64),
-                            }
-                        )
-
-                postings = tokens.select(
-                    "doc_id", "doc_length", "terms"
-                ).mapInPandas(
-                    emit,
-                    "term string, doc_id long, doc_length long, tf long",
+                # tf was already counted per-doc in the tokens stage —
+                # unpacking (uterms, utfs) to posting rows is pure JVM
+                # (whole-stage codegen, no shuffle, no Python)
+                postings = (
+                    tokens.select(
+                        "doc_id",
+                        "doc_length",
+                        F.explode(F.arrays_zip("uterms", "utfs")).alias("p"),
+                    )
+                    .select(
+                        F.col("p.uterms").alias("term"),
+                        "doc_id",
+                        "doc_length",
+                        F.col("p.utfs").cast("long").alias("tf"),
+                    )
                 )
             self._write(postings, "postings")
             self._record_stage(manifest, "postings", time.time() - t0, ["tokens"])
@@ -440,12 +594,28 @@ class IndexBuilder:
             t0 = time.time()
             stats_row = self._read("stats").collect()[0]
             max_doc_id = int(stats_row["max_doc_id"] or 0)
-            chunks = chunk_postings(
-                self._read("postings"),
-                max_doc_id,
-                n_salts=self.n_salts,
-                chunk_length=self.chunk_length,
-            )
+            if self.store_positions or not os.path.exists(
+                os.path.join(self._stage_dir("tokens"), "_SUCCESS")
+            ):
+                # positions layout / streaming compaction: encode from
+                # the exploded postings checkpoint
+                chunks = chunk_postings_arrays(
+                    self._read("postings"),
+                    max_doc_id,
+                    n_salts=self.n_salts,
+                    chunk_length=self.chunk_length,
+                )
+                chunk_inputs = ["postings", "stats"]
+            else:
+                # default: local inversion straight from the doc-major
+                # tokens stage (no exploded-row shuffle)
+                chunks = chunk_tokens_docmajor(
+                    self._read("tokens"),
+                    max_doc_id,
+                    n_salts=self.n_salts,
+                    chunk_length=self.chunk_length,
+                )
+                chunk_inputs = ["tokens", "stats"]
             chunks = chunks.withColumn(
                 "bucket", term_bucket_col(F.col("term"), self.bucket_count)
             )
@@ -456,7 +626,7 @@ class IndexBuilder:
                 sort_cols=["term", "salt", "chunk_seq"],
             )
             self._record_stage(
-                manifest, "chunks", time.time() - t0, ["postings", "stats"]
+                manifest, "chunks", time.time() - t0, chunk_inputs
             )
 
         if not self._stage_done(manifest, "lexicon"):

@@ -224,3 +224,33 @@ def test_chunk_postings_arrays_equivalent(spark, built):
     a = rows(chunk_postings(postings, 301, n_salts=4))
     b = rows(chunk_postings_arrays(postings, 301, n_salts=4))
     assert a == b and len(a) > 0
+
+
+def test_chunk_tokens_docmajor_equivalent(spark, built):
+    """The doc-major local-inversion encoder (default build path) must
+    produce the exact same chunk rows as the exploded-row encoder."""
+    from search_engine_spark.build import chunk_postings, chunk_tokens_docmajor
+
+    _docs, index_dir, _m = built
+    tokens = spark.read.parquet(f"{index_dir}/tokens")
+    postings = spark.read.parquet(f"{index_dir}/postings")
+
+    def rows(df):
+        return sorted(
+            (
+                r["term"],
+                r["salt"],
+                r["chunk_seq"],
+                r["first_doc_id"],
+                r["last_doc_id"],
+                r["n"],
+                r["codec"],
+                bytes(r["payload"]),
+                bytes(r["dls"]),
+            )
+            for r in df.collect()
+        )
+
+    a = rows(chunk_postings(postings, 301, n_salts=4))
+    b = rows(chunk_tokens_docmajor(tokens, 301, n_salts=4))
+    assert a == b and len(a) > 0

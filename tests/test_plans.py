@@ -76,32 +76,29 @@ def test_chunk_postings_single_exchange(spark, built):
     assert p.count("Exchange") == 1
 
 
-def test_postings_stage_is_map_only(spark, built):
-    """Partial postings (term, doc_id, dl, tf) are computed inside the
-    Arrow batch — no Exchange anywhere before the parquet write."""
+def test_postings_stage_is_map_only_and_jvm_only(spark, built):
+    """Posting rows unpack from the tokens stage's (uterms, utfs) via a
+    JVM explode — no Exchange and no Python evaluation anywhere before
+    the parquet write (tf was counted in the tokenize pass)."""
+    from pyspark.sql import functions as F
+
     tokens = spark.read.parquet(f"{built}/tokens")
-    import numpy as np
-    import pandas as pd
-
-    # reuse the real builder code path by rebuilding the stage plan
-    b = IndexBuilder(spark, built, n_salts=2, bucket_count=4)
-    # the postings parquet already exists; assert the original plan shape
-    # by reconstructing it the same way build() does
-    def emit(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "term": ["x"],
-                    "doc_id": [0],
-                    "doc_length": [1],
-                    "tf": [1],
-                }
-            )
-
-    df = tokens.select("doc_id", "doc_length", "terms").mapInPandas(
-        emit, "term string, doc_id long, doc_length long, tf long"
+    df = (
+        tokens.select(
+            "doc_id",
+            "doc_length",
+            F.explode(F.arrays_zip("uterms", "utfs")).alias("p"),
+        )
+        .select(
+            F.col("p.uterms").alias("term"),
+            "doc_id",
+            "doc_length",
+            F.col("p.utfs").cast("long").alias("tf"),
+        )
     )
-    assert "Exchange" not in plan_str(df)
+    p = plan_str(df)
+    assert "Exchange" not in p
+    assert "MapInPandas" not in p and "EvalPython" not in p
 
 
 def test_wholestage_codegen_covers_relational_ops(spark, built):
