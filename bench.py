@@ -138,6 +138,10 @@ def run_suite() -> dict:
         for _ in range(20):
             qe.search_local("spark query data", "disjunctive")
         timings["local_path_20q"] = time.time() - t0
+        # the interactive/REPL serving path (no Spark job per query)
+        extras["local_queries_per_sec"] = round(
+            20 / timings["local_path_20q"], 1
+        )
 
         for name in [
             "bm25_disjunctive",
