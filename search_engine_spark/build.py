@@ -52,7 +52,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from . import codecs
+from . import codecs, wand
 from .runtime import ensure_shipped
 from .tokenizer import register_udfs
 
@@ -60,8 +60,27 @@ STAGES = ("tokens", "doc_table", "stats", "postings", "chunks", "lexicon")
 
 CHUNK_SCHEMA = (
     "term string, salt int, chunk_seq int, first_doc_id long, "
-    "last_doc_id long, n int, codec int, payload binary, dls binary"
+    "last_doc_id long, n int, codec int, payload binary, dls binary, "
+    "max_ratio double, min_ratio double"
 )
+
+# auto-salting: target postings per (term-range, salt) task. ~2M postings
+# is ~200 MB of working numpy arrays in the doc-major inversion — safely
+# inside an executor's memory at any corpus size, since n_salts grows
+# linearly with the corpus.
+POSTINGS_PER_SALT = 2_000_000
+
+
+def auto_n_salts(
+    est_postings: int,
+    min_salts: int = 8,
+    postings_per_salt: int = POSTINGS_PER_SALT,
+) -> int:
+    """Derive the salt count from corpus size: enough salts that one
+    salt range's postings fit a worker's memory budget, never fewer
+    than ``min_salts`` (keeps small builds parallel)."""
+    need = -(-max(int(est_postings), 1) // postings_per_salt)
+    return max(int(min_salts), need)
 
 
 def _tokenize_count_batches(batches):
@@ -119,18 +138,72 @@ def term_bucket_col(col, bucket_count: int):
     ).cast("int")
 
 
+def _chunk_boundaries(
+    group_starts: np.ndarray, group_ends: np.ndarray, chunk_length: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split contiguous groups into chunk_length-aligned chunks.
+
+    Returns (group_index, chunk_seq, chunk_start) per chunk, vectorized.
+    """
+    glens = group_ends - group_starts
+    nch = -(-glens // chunk_length)
+    total = int(nch.sum())
+    grp = np.repeat(np.arange(len(group_starts), dtype=np.int64), nch)
+    cum = np.zeros(len(nch), dtype=np.int64)
+    np.cumsum(nch[:-1], out=cum[1:])
+    seq = np.arange(total, dtype=np.int64) - cum[grp]
+    return grp, seq, group_starts[grp] + seq * chunk_length
+
+
+def _encode_chunk_frame(
+    terms_pc: np.ndarray,
+    salts_pc: np.ndarray,
+    seq_pc: np.ndarray,
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    chunk_starts: np.ndarray,
+    avgdl: float,
+) -> pd.DataFrame:
+    """Encode all chunks of one batch into a CHUNK_SCHEMA DataFrame
+    (batched codec: no per-posting or per-chunk Python in the codec)."""
+    starts = np.asarray(chunk_starts, dtype=np.int64)
+    ends = np.append(starts[1:], len(ids))
+    codec_ids, payloads = codecs.encode_chunk_batch(ids, tfs, starts)
+    dl_payloads = codecs.bitpack_batch(dls, starts, ends)
+    max_ratio, min_ratio = wand.ratio_bounds(tfs, dls, starts, avgdl)
+    return pd.DataFrame(
+        {
+            "term": terms_pc,
+            "salt": salts_pc.astype(np.int32),
+            "chunk_seq": seq_pc.astype(np.int32),
+            "first_doc_id": ids[starts].astype(np.int64),
+            "last_doc_id": ids[ends - 1].astype(np.int64),
+            "n": (ends - starts).astype(np.int32),
+            "codec": codec_ids.astype(np.int32),
+            "payload": payloads,
+            "dls": dl_payloads,
+            "max_ratio": max_ratio,
+            "min_ratio": min_ratio,
+        }
+    )
+
+
 def chunk_postings(
     postings: DataFrame,
     max_doc_id: int,
     n_salts: int = 8,
     chunk_length: int = codecs.CHUNK_LENGTH,
+    avgdl: float = 1.0,
 ) -> DataFrame:
     """(term, doc_id, doc_length, tf) -> encoded chunk rows.
 
     Salted groupBy(term, salt) with contiguous doc-id-range salts keeps
     per-task groups bounded for hot (stop-word) terms while preserving
     global doc-id order across salts. ``n_salts=1`` reproduces the
-    reference's global 128-aligned chunking exactly.
+    reference's global 128-aligned chunking exactly. ``avgdl`` feeds the
+    per-chunk block-max score-bound columns (pass the corpus average
+    doc length; metadata-only callers may leave the default).
     """
     salted = postings.withColumn(
         "salt",
@@ -142,40 +215,20 @@ def chunk_postings(
         ids = pdf["doc_id"].to_numpy(dtype=np.uint64)
         tfs = pdf["tf"].to_numpy(dtype=np.uint64)
         dls = pdf["doc_length"].to_numpy(dtype=np.uint64)
-        term = pdf["term"].iloc[0]
-        salt = int(pdf["salt"].iloc[0])
-        rows = []
-        for seq, start in enumerate(range(0, len(ids), chunk_length)):
-            ci = ids[start : start + chunk_length]
-            ct = tfs[start : start + chunk_length]
-            cd = dls[start : start + chunk_length]
-            codec_id, payload = codecs.encode_chunk(ci, ct)
-            rows.append(
-                (
-                    term,
-                    salt,
-                    seq,
-                    int(ci[0]),
-                    int(ci[-1]),
-                    len(ci),
-                    codec_id,
-                    payload,
-                    codecs.encode_lengths(cd),
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term",
-                "salt",
-                "chunk_seq",
-                "first_doc_id",
-                "last_doc_id",
-                "n",
-                "codec",
-                "payload",
-                "dls",
-            ],
+        n = len(ids)
+        _grp, seq, chunk_starts = _chunk_boundaries(
+            np.array([0]), np.array([n]), chunk_length
+        )
+        nch = len(seq)
+        return _encode_chunk_frame(
+            np.repeat(np.array([pdf["term"].iloc[0]], dtype=object), nch),
+            np.full(nch, int(pdf["salt"].iloc[0])),
+            seq,
+            ids,
+            tfs,
+            dls,
+            chunk_starts,
+            avgdl,
         )
 
     return salted.groupBy("term", "salt").applyInPandas(
@@ -188,6 +241,7 @@ def chunk_postings_arrays(
     max_doc_id: int,
     n_salts: int = 8,
     chunk_length: int = codecs.CHUNK_LENGTH,
+    avgdl: float = 1.0,
 ) -> DataFrame:
     """Array-packed variant of :func:`chunk_postings`.
 
@@ -219,46 +273,35 @@ def chunk_postings_arrays(
 
     def encode(batches):
         for pdf in batches:
-            out = []
-            for term, salt, ids, tfs, dls in zip(
-                pdf["term"], pdf["salt"], pdf["ids"], pdf["tfs"], pdf["dls"]
-            ):
-                ids = np.asarray(ids, dtype=np.uint64)
-                tfs = np.asarray(tfs, dtype=np.uint64)
-                dls = np.asarray(dls, dtype=np.uint64)
-                for seq, start in enumerate(range(0, len(ids), chunk_length)):
-                    ci = ids[start : start + chunk_length]
-                    ct = tfs[start : start + chunk_length]
-                    cd = dls[start : start + chunk_length]
-                    codec_id, payload = codecs.encode_chunk(ci, ct)
-                    out.append(
-                        (
-                            term,
-                            int(salt),
-                            seq,
-                            int(ci[0]),
-                            int(ci[-1]),
-                            len(ci),
-                            codec_id,
-                            payload,
-                            codecs.encode_lengths(cd),
-                        )
-                    )
-            if out:
-                yield pd.DataFrame(
-                    out,
-                    columns=[
-                        "term",
-                        "salt",
-                        "chunk_seq",
-                        "first_doc_id",
-                        "last_doc_id",
-                        "n",
-                        "codec",
-                        "payload",
-                        "dls",
-                    ],
-                )
+            if not len(pdf):
+                continue
+            lens = np.fromiter(
+                (len(x) for x in pdf["ids"]), dtype=np.int64, count=len(pdf)
+            )
+            gstarts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=gstarts[1:])
+            ids = np.concatenate([np.asarray(x) for x in pdf["ids"]]).astype(
+                np.uint64
+            )
+            tfs = np.concatenate([np.asarray(x) for x in pdf["tfs"]]).astype(
+                np.uint64
+            )
+            dls = np.concatenate([np.asarray(x) for x in pdf["dls"]]).astype(
+                np.uint64
+            )
+            grp, seq, chunk_starts = _chunk_boundaries(
+                gstarts, gstarts + lens, chunk_length
+            )
+            yield _encode_chunk_frame(
+                pdf["term"].to_numpy()[grp],
+                pdf["salt"].to_numpy()[grp],
+                seq,
+                ids,
+                tfs,
+                dls,
+                chunk_starts,
+                avgdl,
+            )
 
     return grouped.mapInPandas(encode, CHUNK_SCHEMA)
 
@@ -268,6 +311,7 @@ def chunk_tokens_docmajor(
     max_doc_id: int,
     n_salts: int = 8,
     chunk_length: int = codecs.CHUNK_LENGTH,
+    avgdl: float = 1.0,
 ) -> DataFrame:
     """Encode chunks STRAIGHT from the doc-major tokens stage.
 
@@ -335,55 +379,26 @@ def chunk_tokens_docmajor(
         change = np.empty(len(ids), dtype=bool)
         change[0] = True
         change[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(ids))
-        rows = []
-        for s, e in zip(starts, ends):
-            term = uniq[codes[s]]
-            salt = int(salts[s])
-            gi = ids[s:e].astype(np.uint64)
-            gt = tfs[s:e].astype(np.uint64)
-            gd = dls[s:e].astype(np.uint64)
-            for seq, start in enumerate(range(0, len(gi), chunk_length)):
-                ci = gi[start : start + chunk_length]
-                ct = gt[start : start + chunk_length]
-                cd = gd[start : start + chunk_length]
-                codec_id, payload = codecs.encode_chunk(ci, ct)
-                rows.append(
-                    (
-                        term,
-                        salt,
-                        seq,
-                        int(ci[0]),
-                        int(ci[-1]),
-                        len(ci),
-                        codec_id,
-                        payload,
-                        codecs.encode_lengths(cd),
-                    )
-                )
-                if len(rows) >= 8192:
-                    yield pd.DataFrame(
-                        rows, columns=_CHUNK_COLS
-                    )
-                    rows = []
-        if rows:
-            yield pd.DataFrame(rows, columns=_CHUNK_COLS)
+        gstarts = np.flatnonzero(change)
+        gends = np.append(gstarts[1:], len(ids))
+        grp, seq, chunk_starts = _chunk_boundaries(
+            gstarts, gends, chunk_length
+        )
+        frame = _encode_chunk_frame(
+            uniq[codes[chunk_starts]],
+            salts[chunk_starts],
+            seq,
+            ids.astype(np.uint64),
+            tfs.astype(np.uint64),
+            dls.astype(np.uint64),
+            chunk_starts,
+            avgdl,
+        )
+        # bound Arrow batch size on the way out
+        for lo in range(0, len(frame), 16384):
+            yield frame.iloc[lo : lo + 16384]
 
     return salted.mapInPandas(encode_partition, CHUNK_SCHEMA)
-
-
-_CHUNK_COLS = [
-    "term",
-    "salt",
-    "chunk_seq",
-    "first_doc_id",
-    "last_doc_id",
-    "n",
-    "codec",
-    "payload",
-    "dls",
-]
 
 
 class IndexBuilder:
@@ -392,7 +407,7 @@ class IndexBuilder:
         spark,
         index_dir: str,
         chunk_length: int = codecs.CHUNK_LENGTH,
-        n_salts: int = 8,
+        n_salts: int | None = None,
         bucket_count: int = 16,
         store_positions: bool = False,
         materialize_postings: bool = True,
@@ -494,9 +509,16 @@ class IndexBuilder:
     def build(self, docs: DataFrame, resume: bool = True) -> dict:
         """Run all stages; skip completed ones when ``resume``."""
         manifest = self._load_manifest() if resume else {"stages": {}, "config": {}}
+        prior = manifest.get("config", {})
         manifest["config"] = {
             "chunk_length": self.chunk_length,
-            "n_salts": self.n_salts,
+            # None = auto (resolved from stats in the chunks stage; keep
+            # a resumed build's resolved value)
+            "n_salts": (
+                self.n_salts
+                if self.n_salts is not None
+                else prior.get("n_salts")
+            ),
             "bucket_count": self.bucket_count,
             "store_positions": self.store_positions,
         }
@@ -594,6 +616,21 @@ class IndexBuilder:
             t0 = time.time()
             stats_row = self._read("stats").collect()[0]
             max_doc_id = int(stats_row["max_doc_id"] or 0)
+            avgdl = float(stats_row["avgdl"] or 1.0)
+            # auto-size the salt count from corpus stats unless pinned:
+            # total_tokens upper-bounds the posting count, so one salt
+            # range's postings stay within a worker's memory budget at
+            # ANY corpus size (and small corpora keep >= cores salts
+            # for parallelism)
+            n_salts = self.n_salts
+            if n_salts is None:
+                n_salts = auto_n_salts(
+                    int(stats_row["total_tokens"] or 0),
+                    min_salts=max(
+                        8, self.spark.sparkContext.defaultParallelism
+                    ),
+                )
+            manifest["config"]["n_salts"] = n_salts
             if self.store_positions or not os.path.exists(
                 os.path.join(self._stage_dir("tokens"), "_SUCCESS")
             ):
@@ -602,8 +639,9 @@ class IndexBuilder:
                 chunks = chunk_postings_arrays(
                     self._read("postings"),
                     max_doc_id,
-                    n_salts=self.n_salts,
+                    n_salts=n_salts,
                     chunk_length=self.chunk_length,
+                    avgdl=avgdl,
                 )
                 chunk_inputs = ["postings", "stats"]
             else:
@@ -612,8 +650,9 @@ class IndexBuilder:
                 chunks = chunk_tokens_docmajor(
                     self._read("tokens"),
                     max_doc_id,
-                    n_salts=self.n_salts,
+                    n_salts=n_salts,
                     chunk_length=self.chunk_length,
+                    avgdl=avgdl,
                 )
                 chunk_inputs = ["tokens", "stats"]
             chunks = chunks.withColumn(
@@ -639,6 +678,10 @@ class IndexBuilder:
                     F.count("*").cast("int").alias("n_chunks"),
                     F.min("first_doc_id").alias("min_doc_id"),
                     F.max("last_doc_id").alias("max_doc_id"),
+                    # term-level WAND bounds (block-max fallback when a
+                    # term has too many chunks to sweep individually)
+                    F.max("max_ratio").alias("max_ratio"),
+                    F.min("min_ratio").alias("min_ratio"),
                 )
                 .withColumn(
                     "bucket", term_bucket_col(F.col("term"), self.bucket_count)

@@ -144,54 +144,130 @@ def bit_packing_decode(
 
 # ---------------------------------------------------------------- simple9
 
+_SEL_NITEMS = np.array([s[0] for s in _SELECTORS], dtype=np.int64)
+_SEL_NBITS = np.array([s[1] for s in _SELECTORS], dtype=np.int64)
+_MAX_NITEMS = int(_SEL_NITEMS.max())  # 28
+
+
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+
+def _bit_widths(arr: np.ndarray) -> np.ndarray:
+    """bit_length of each value (0 for 0), pure integer domain
+    (searchsorted against the power-of-two table; no float casts)."""
+    return np.searchsorted(_POW2, arr, side="right").astype(np.int64)
+
+
+def _chosen_selectors(w: np.ndarray) -> np.ndarray:
+    """Greedy Simple9 selector choice as an array.
+
+    ``chosen[i]`` = the selector the reference greedy loop picks when a
+    word starts at ``i``: the first (largest-nitems) selector s such
+    that every value in ``w[i : i+nitems_s]`` (truncated at the end)
+    fits in nbits_s bits. Vectorized via power-of-two sliding-window
+    maxima (out-of-range treated as width 0, which never blocks).
+    """
+    n = len(w)
+    pows = {1: w}
+    for p in (2, 4, 8, 16):
+        h = p // 2
+        prev = pows[h]
+        shifted = np.zeros(n, dtype=np.int64)
+        if h < n:
+            shifted[: n - h] = prev[h:]
+        pows[p] = np.maximum(prev, shifted)
+    fits = np.empty((len(_SELECTORS), n), dtype=bool)
+    for s, (k, b) in enumerate(_SELECTORS):
+        p = 1 << (k.bit_length() - 1)  # largest power of two <= k
+        a = pows[p]
+        off = k - p
+        if off == 0:
+            wm = a
+        else:
+            tail = np.zeros(n, dtype=np.int64)
+            if off < n:
+                tail[: n - off] = a[off:]
+            wm = np.maximum(a, tail)
+        fits[s] = wm <= b
+    # selector 8 (1x28) always fits values <= 28 bits -> argmax defined
+    return np.argmax(fits, axis=0)
+
+
+def _word_starts(chosen: np.ndarray, n: int) -> np.ndarray:
+    """Walk the greedy word boundaries (one cheap Python step per WORD)."""
+    step = _SEL_NITEMS[chosen].tolist()
+    starts = []
+    i = 0
+    while i < n:
+        starts.append(i)
+        i += step[i]
+    return np.asarray(starts, dtype=np.int64)
+
+
+def _pack_words(
+    arr: np.ndarray, starts: np.ndarray, sels: np.ndarray, n: int
+) -> np.ndarray:
+    """OR values into 32-bit words (selector low 4 bits), fully vectorized."""
+    counts = np.minimum(_SEL_NITEMS[sels], n - starts)
+    nbits = _SEL_NBITS[sels]
+    slot = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    shifts = (4 + slot * np.repeat(nbits, counts)).astype(np.uint64)
+    shifted = arr << shifts
+    words = np.bitwise_or.reduceat(shifted, starts)
+    return words | sels.astype(np.uint64)
+
+
 def simple9_encode(nums: np.ndarray, out: bytearray) -> None:
-    """Varbyte length prefix + 32-bit packed words (selector in low 4 bits)."""
-    arr = np.asarray(nums, dtype=np.uint64)
+    """Varbyte length prefix + 32-bit packed words (selector in low 4 bits).
+
+    Byte-identical to the reference greedy encoder; vectorized (numpy
+    window maxima + reduceat packing — no per-value Python loop)."""
+    arr = np.ascontiguousarray(nums, dtype=np.uint64)
     n = len(arr)
     var_byte_encode(n, out)
-    if n and int(arr.max()) > SIMPLE9_MAX:
+    if n == 0:
+        return
+    if int(arr.max()) > SIMPLE9_MAX:
         raise OverflowError("simple9 value exceeds 28 bits")
-    vals = arr.tolist()
-    index = 0
-    while index < n:
-        for selector, (nitems_max, nbits) in enumerate(_SELECTORS):
-            limit = (1 << nbits) - 1
-            data = selector
-            shift = 4
-            nitems = 0
-            i = index
-            while i < n and nitems < nitems_max and vals[i] <= limit:
-                data |= vals[i] << shift
-                shift += nbits
-                nitems += 1
-                i += 1
-            if nitems == nitems_max or index + nitems == n:
-                out += (data & 0xFFFFFFFF).to_bytes(4, "little")
-                index += nitems
-                break
+    chosen = _chosen_selectors(_bit_widths(arr))
+    starts = _word_starts(chosen, n)
+    words = _pack_words(arr, starts, chosen[starts], n)
+    out += words.astype("<u4").tobytes()
 
 
 def simple9_decode(
     buf: bytes | memoryview, pos: int
 ) -> tuple[np.ndarray, int]:
+    """Vectorized inverse of :func:`simple9_encode`."""
     n, pos = var_byte_decode(buf, pos)
     if n == 0:
         return np.empty(0, dtype=np.uint64), pos
-    vals = np.empty(n, dtype=np.uint64)
-    filled = 0
-    while filled < n:
-        data = int.from_bytes(bytes(buf[pos : pos + 4]), "little")
-        pos += 4
-        nitems_max, nbits = _SELECTORS[data & 0xF]
-        data >>= 4
-        mask = (1 << nbits) - 1
-        for _ in range(nitems_max):
-            vals[filled] = data & mask
-            filled += 1
-            if filled == n:
-                break
-            data >>= nbits
-    return vals, pos
+    mv = memoryview(buf)
+    # each word holds >= 1 value, so at most n words belong to us
+    nmax = min(n, (len(mv) - pos) // 4)
+    words = np.frombuffer(mv[pos : pos + 4 * nmax], dtype="<u4").astype(
+        np.uint64
+    )
+    sels = (words & np.uint64(0xF)).astype(np.int64)
+    # the slice may include trailing NON-simple9 bytes (e.g. the tf
+    # section of a chunk payload): their fake selectors are clipped so
+    # the capacity cumsum is safe — real words always reach n first
+    cap = _SEL_NITEMS[np.minimum(sels, len(_SELECTORS) - 1)]
+    cum = np.cumsum(cap)
+    nwords = int(np.searchsorted(cum, n, side="left")) + 1
+    words = words[:nwords]
+    counts = cap[:nwords].copy()
+    counts[-1] = n - (int(cum[nwords - 2]) if nwords > 1 else 0)
+    nbits = _SEL_NBITS[sels[:nwords]]
+    starts = np.zeros(nwords, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    slot = (np.arange(n, dtype=np.int64) - np.repeat(starts, counts)).astype(
+        np.uint64
+    )
+    b = np.repeat(nbits, counts).astype(np.uint64)
+    wv = np.repeat(words >> np.uint64(4), counts)
+    vals = (wv >> (slot * b)) & ((np.uint64(1) << b) - np.uint64(1))
+    return vals, pos + 4 * nwords
 
 
 # ------------------------------------------------------------ delta codecs
@@ -279,6 +355,149 @@ def decode_chunk(
         raise ValueError(f"unknown codec id {codec}")
     tfs, pos = bit_packing_decode(payload, pos)
     return ids, tfs
+
+
+# ------------------------------------------------- batched chunk codec
+
+def bitpack_batch(
+    vals: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> list[bytes]:
+    """Per-segment :func:`bit_packing` payloads, vectorized across
+    segments (segments must be contiguous: ``ends[c] == starts[c+1]``).
+
+    The width classes (8/16/32/64-bit) are computed with one reduceat;
+    the value bytes come from whole-array casts sliced per segment, so
+    the per-segment Python work is string slicing only.
+    """
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    n_seg = len(starts)
+    if n_seg == 0:
+        return []
+    maxv = np.maximum.reduceat(vals, starts)
+    widths = np.maximum(_bit_widths(maxv), 1)
+    nbytes = np.select(
+        [widths <= 8, widths <= 16, widths <= 32], [1, 2, 4], 8
+    )
+    blobs = {}
+    for nb, dt in ((1, "<u1"), (2, "<u2"), (4, "<u4"), (8, "<u8")):
+        if (nbytes == nb).any():
+            blobs[nb] = vals.astype(dt).tobytes()
+    headers = [
+        bytes([w]) + int(e - s).to_bytes(8, "little")
+        for w, s, e in zip(widths.tolist(), starts.tolist(), ends.tolist())
+    ]
+    sl = starts.tolist()
+    el = ends.tolist()
+    nbl = nbytes.tolist()
+    return [
+        headers[c] + blobs[nbl[c]][sl[c] * nbl[c] : el[c] * nbl[c]]
+        for c in range(n_seg)
+    ]
+
+
+def encode_chunk_batch(
+    ids: np.ndarray, tfs: np.ndarray, chunk_starts: np.ndarray
+) -> tuple[np.ndarray, list[bytes]]:
+    """Encode MANY chunks at once — byte-identical per chunk to
+    :func:`encode_chunk`, vectorized across chunks.
+
+    ``ids``/``tfs`` hold the concatenated postings of all chunks (each
+    chunk's doc ids ascending); chunk ``c`` spans
+    ``[chunk_starts[c], chunk_starts[c+1])`` (last chunk to the end).
+    Returns (codec_ids, payloads). The Simple9 word stream for every
+    chunk is packed in one pass (padded layout + per-word frontier walk:
+    the only Python-level loop advances ALL chunks one word per
+    iteration); per-chunk work is header varbytes + byte slicing.
+    """
+    ids = np.ascontiguousarray(ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    n_total = len(ids)
+    starts = np.asarray(chunk_starts, dtype=np.int64)
+    nchunks = len(starts)
+    if nchunks == 0:
+        return np.empty(0, dtype=np.int64), []
+    ends = np.append(starts[1:], n_total)
+    lens = ends - starts
+
+    d = np.zeros(n_total, dtype=np.uint64)
+    d[1:] = ids[1:] - ids[:-1]
+    d[starts] = 0
+    fallback = np.maximum.reduceat(d, starts) > SIMPLE9_MAX
+
+    pad = _MAX_NITEMS - 1
+    g = np.where(fallback, 0, lens - 1)  # simple9 gap counts per chunk
+    off = np.zeros(nchunks, dtype=np.int64)
+    np.cumsum(g[:-1] + pad, out=off[1:])
+    m = int(off[-1] + g[-1]) + pad
+    gaps = np.zeros(m, dtype=np.uint64)
+    src_mask = np.ones(n_total, dtype=bool)
+    src_mask[starts] = False
+    if fallback.any():
+        src_mask &= ~np.repeat(fallback, lens)
+    total_g = int(g.sum())
+    goff = np.zeros(nchunks, dtype=np.int64)
+    np.cumsum(g[:-1], out=goff[1:])
+    intra = np.arange(total_g, dtype=np.int64) - np.repeat(goff, g)
+    gaps[np.repeat(off, g) + intra] = d[src_mask]
+
+    # greedy selector walk: all chunks advance one word per iteration
+    chosen = _chosen_selectors(_bit_widths(gaps))
+    cend = off + g
+    frontier = off.copy()
+    active = np.flatnonzero(g > 0)
+    wchunk_l, wstart_l, wsel_l = [], [], []
+    while len(active):
+        f = frontier[active]
+        s = chosen[f]
+        wchunk_l.append(active)
+        wstart_l.append(f)
+        wsel_l.append(s)
+        f2 = f + _SEL_NITEMS[s]
+        frontier[active] = f2
+        active = active[f2 < cend[active]]
+
+    if wchunk_l:
+        wchunk = np.concatenate(wchunk_l)
+        wstart = np.concatenate(wstart_l)
+        wsel = np.concatenate(wsel_l)
+        order = np.argsort(wchunk, kind="stable")  # per-chunk word order
+        wchunk, wstart, wsel = wchunk[order], wstart[order], wsel[order]
+        counts = np.minimum(_SEL_NITEMS[wsel], cend[wchunk] - wstart)
+        nv = int(counts.sum())
+        nbits = _SEL_NBITS[wsel]
+        woff = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=woff[1:])
+        slot = np.arange(nv, dtype=np.int64) - np.repeat(woff, counts)
+        vidx = np.repeat(wstart, counts) + slot
+        shifts = (4 + slot * np.repeat(nbits, counts)).astype(np.uint64)
+        words = np.bitwise_or.reduceat(
+            gaps[vidx] << shifts, woff
+        ) | wsel.astype(np.uint64)
+        wbytes = words.astype("<u4").tobytes()
+        wc = np.bincount(wchunk, minlength=nchunks)
+    else:
+        wbytes = b""
+        wc = np.zeros(nchunks, dtype=np.int64)
+    wboff = np.zeros(nchunks + 1, dtype=np.int64)
+    np.cumsum(wc * 4, out=wboff[1:])
+
+    tf_payloads = bitpack_batch(tfs, starts, ends)
+    bases = ids[starts].tolist()
+    payloads: list[bytes] = []
+    sl, el, gl = starts.tolist(), ends.tolist(), g.tolist()
+    wb = wboff.tolist()
+    fb = fallback.tolist()
+    for c in range(nchunks):
+        if fb[c]:
+            _codec, payload = encode_chunk(ids[sl[c] : el[c]], tfs[sl[c] : el[c]])
+            payloads.append(payload)
+            continue
+        head = bytearray()
+        var_byte_encode(bases[c], head)
+        var_byte_encode(gl[c], head)
+        payloads.append(bytes(head) + wbytes[wb[c] : wb[c + 1]] + tf_payloads[c])
+    codec_ids = np.where(fallback, CODEC_VB_FALLBACK, CODEC_SIMPLE9)
+    return codec_ids, payloads
 
 
 def encode_lengths(doc_lengths: np.ndarray) -> bytes:

@@ -527,6 +527,53 @@ def sql_rolling_min_hash(engine: str) -> str:
     )
 
 
+def sql_winnow_duckdb() -> str:
+    """Winnowing fingerprint oracle (DuckDB): rolling k-gram hashes (same
+    CTE as the rolling_min_hash oracle), then per-window rightmost-argmin
+    selection with consecutive-duplicate suppression via lag() — the
+    exact Schleimer/Wilkerson/Aiken semantics of textstats.winnow."""
+    from .textstats import ROLL_BASE, ROLL_K, ROLL_MOD, WINNOW_W
+
+    w = WINNOW_W
+    return (
+        "WITH c AS (SELECT doc_id, "
+        "regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS s "
+        "FROM documents), "
+        "h AS (SELECT doc_id, CASE WHEN len(s) >= "
+        f"{ROLL_K} THEN list_transform(range(1, len(s) - {ROLL_K - 2}), "
+        f"i -> list_reduce(list_transform(range(0, {ROLL_K}), "
+        "j -> CAST(unicode(substr(s, CAST(i + j AS INT), 1)) AS BIGINT)), "
+        f"(a, b) -> (a * {ROLL_BASE} + b) % {ROLL_MOD})) "
+        "ELSE [] END AS hashes FROM c), "
+        "win AS (SELECT doc_id, hashes, len(hashes) AS m FROM h), "
+        "sel AS (SELECT doc_id, i, "
+        f"list_max(list_transform(range(0, {w}), j -> CASE WHEN "
+        f"hashes[CAST(i + j AS INT)] = list_min(hashes[i:i+{w - 1}]) "
+        "THEN i + j ELSE NULL END)) AS sidx "
+        f"FROM win, unnest(range(1, m - {w - 2})) AS t(i) WHERE m > {w}), "
+        "dedup AS (SELECT doc_id, i, sidx, lag(sidx) OVER "
+        "(PARTITION BY doc_id ORDER BY i) AS prev FROM sel), "
+        "fps AS (SELECT d.doc_id, w.hashes[CAST(d.sidx AS INT)] AS fp "
+        "FROM dedup d JOIN win w USING (doc_id) "
+        "WHERE prev IS NULL OR sidx <> prev), "
+        "agg AS (SELECT doc_id, count(*) AS n_fingerprints, "
+        "min(fp) AS fingerprint_min, bit_xor(fp) AS fingerprint_xor "
+        "FROM fps GROUP BY doc_id), "
+        "small AS (SELECT doc_id, 1 AS n_fingerprints, "
+        "list_min(hashes) AS fingerprint_min, "
+        f"list_min(hashes) AS fingerprint_xor FROM win WHERE m BETWEEN 1 AND {w}) "
+        "SELECT d.doc_id, "
+        "CAST(coalesce(a.n_fingerprints, s.n_fingerprints, 0) AS BIGINT) "
+        "AS n_fingerprints, "
+        "CAST(coalesce(a.fingerprint_min, s.fingerprint_min, -1) AS BIGINT) "
+        "AS fingerprint_min, "
+        "CAST(coalesce(a.fingerprint_xor, s.fingerprint_xor, 0) AS BIGINT) "
+        "AS fingerprint_xor "
+        "FROM documents d LEFT JOIN agg a USING (doc_id) "
+        "LEFT JOIN small s USING (doc_id)"
+    )
+
+
 # ---------------------------------------------------- non-SQL Spark paths
 
 
@@ -712,9 +759,16 @@ _E2E_CACHE: dict = {}
 
 
 def spark_index_e2e_topk(spark, sf_dir: str) -> DataFrame:
-    """Full-engine path (rows-only check): build the real chunked index and
-    answer the flagship disjunctive query through QueryEngine."""
+    """Full-engine path, HARD-ORACLED: build the real chunked index
+    (tokenize -> doc-major inversion -> delta+Simple9 chunks -> lexicon)
+    and answer the flagship disjunctive query through QueryEngine's
+    block-max WAND pipeline. Scoring runs in float64 for this entry so
+    the result hash-matches the relational DuckDB BM25 oracle to 4
+    decimals (the reference's float32 arithmetic parity is separately
+    enforced by tests/test_query.py rank-identity)."""
     import tempfile
+
+    import numpy as np
 
     from .build import IndexBuilder
     from .corpus import load_documents
@@ -729,7 +783,10 @@ def spark_index_e2e_topk(spark, sf_dir: str) -> DataFrame:
         )
         _E2E_CACHE[sf_dir] = index_dir
     qe = QueryEngine(spark, index_dir)
-    return qe.search(" ".join(BM25_DISJ_TERMS), mode="disjunctive", k=10)
+    res = qe.search(
+        " ".join(BM25_DISJ_TERMS), mode="disjunctive", k=10, dtype=np.float64
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
 
 
 # ---------------------------------------------------------------- registry
@@ -788,13 +845,23 @@ def _registry() -> dict:
         "spark": spark_chunk_metadata,
         "sql": sql_chunk_metadata("duckdb"),
     }
-    q["index_e2e_topk"] = {"spark": spark_index_e2e_topk, "sql": None}
-    # rows-only (approximate / not reasonably SQL-expressible) paths
+    # full engine pipeline vs the relational BM25 formulation (float64
+    # engine mode; see spark_index_e2e_topk docstring)
+    q["index_e2e_topk"] = {
+        "spark": spark_index_e2e_topk,
+        "sql": sql_bm25("duckdb", BM25_DISJ_TERMS, False),
+    }
+    q["winnow_fingerprints"] = {
+        "spark": spark_winnow,
+        "sql": sql_winnow_duckdb(),
+    }
+    # rows-only (approximate LSH recall is not SQL-expressible; its exact
+    # twin embedding_neardup_exact IS hash-checked, and pytest asserts
+    # the LSH result is a subset of the exact pairs)
     q["embedding_neardup_lsh"] = {
         "spark": spark_embedding_neardup_lsh,
         "sql": None,
     }
-    q["winnow_fingerprints"] = {"spark": spark_winnow, "sql": None}
     return q
 
 

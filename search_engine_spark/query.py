@@ -11,40 +11,73 @@ QueryExecution.cpp:283-457 — studied, not copied):
 BM25: k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)) with NO clamp (idf
 goes negative for df > N/2, reference quirk preserved), float32 outputs.
 
+Chunk skipping (block-max WAND, see wand.py): the reference skips chunks
+via nextGEQ doc-id binary search (QueryExecution.cpp:122-147); we extend
+that with per-chunk score upper bounds stored at build time. Both query
+paths sweep the query terms' chunk intervals into elementary segments
+and process them in descending score-bound order against the running
+top-k threshold — segments (and therefore chunks) whose bound cannot
+reach the threshold are never decoded. Pruning is margin-safe: results
+stay rank-identical to exhaustive evaluation.
+
 Physical plan (Spark path):
     lexicon lookup (parquet filter bucket+term — partition pruned)
-    chunks scan (same pruning; row-group stats pruned via sorted term col)
-    [conjunctive: chunk-level pruning — global doc-id window + rarest-term
-     interval semi-join, the block-max/skip-pointer analogue of nextGEQ's
-     last_doc_ids binary search (QueryExecution.cpp:122-147)]
-    mapInPandas decode+score (numpy, Arrow-batched)
+    driver-side WAND planning over chunk METADATA only (collected,
+      capped; falls back to interval-only pruning above the cap)
+    phase 1: decode+score the top-bound segments -> threshold theta
+    phase 2: chunks covering segments with bound >= theta
+      (broadcast leftsemi on (term, salt, chunk_seq))
+    mapInPandas decode+score (numpy, Arrow-batched; postings outside
+      kept segments masked so partial scores can never surface)
     groupBy(doc_id) agg  [conjunctive adds HAVING count == n_terms]
     ORDER BY score DESC, doc_id LIMIT k   (TakeOrderedAndProject)
 
 A driver-local fast path (``search_local``) reads the same parquet via
-pyarrow with predicate pushdown and scores in numpy — the interactive
-"REPL" parity path with ~ms latency, no Spark job.
+pyarrow with predicate pushdown and runs the same block-max sweep
+sequentially in numpy — the interactive "REPL" parity path with ~ms
+latency, no Spark job.
 """
 
 from __future__ import annotations
+
+import heapq
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from . import codecs
+from . import codecs, wand
 from .build import term_bucket
 from .runtime import ensure_shipped
 from .tokenizer import tokenize_query
+from .wand import B, K1  # noqa: F401  (re-export: historical home)
 
-K1 = 1.2
-B = 0.75
+# max chunk-metadata rows the driver will collect for WAND planning;
+# above this we fall back to interval-only pruning (a real deployment
+# would push the sweep itself into a Spark job at this point)
+METADATA_CAP = 65536
 
 
 def bm25_scores(
-    tf: np.ndarray, dl: np.ndarray, df: int, n_docs: int, avgdl: float
+    tf: np.ndarray,
+    dl: np.ndarray,
+    df: int,
+    n_docs: int,
+    avgdl: float,
+    dtype=np.float32,
 ) -> np.ndarray:
-    """Vectorized float32 BM25 (formula of QueryExecution.cpp:447-457)."""
+    """Vectorized BM25 (formula of QueryExecution.cpp:447-457).
+
+    ``dtype=np.float32`` (default) reproduces the reference's float32
+    arithmetic exactly; ``np.float64`` computes in double precision
+    (used by the driver-contract oracle pairing, where both engines
+    must agree to 4 decimals).
+    """
+    if dtype is np.float64:
+        k = K1 * ((1.0 - B) + B * dl.astype(np.float64) / avgdl)
+        idf = np.log((n_docs - df + 0.5) / (df + 0.5))
+        tf64 = tf.astype(np.float64)
+        return idf * (K1 + 1.0) * tf64 / (k + tf64)
     k1 = np.float32(K1)
     b = np.float32(B)
     tf32 = tf.astype(np.float32)
@@ -72,6 +105,8 @@ class QueryEngine:
         with open(os.path.join(index_dir, "_manifest.json")) as f:
             self.config = json.load(f)["config"]
         self.bucket_count = int(self.config["bucket_count"])
+        self.last_plan_stats: dict = {}
+        self.last_local_stats: dict = {}
 
     # ------------------------------------------------------------ helpers
 
@@ -104,57 +139,273 @@ class QueryEngine:
         )
 
     def _scored_postings(
-        self, chunks: DataFrame, lex: dict[str, dict]
+        self,
+        chunks: DataFrame,
+        lex: dict[str, dict],
+        intervals: tuple[np.ndarray, np.ndarray] | None = None,
+        with_dl: bool = False,
+        dtype=np.float32,
     ) -> DataFrame:
-        """Decode chunks and emit per-posting float32 BM25 scores."""
+        """Decode chunks and emit per-posting BM25 scores.
+
+        ``intervals`` (disjoint sorted half-open doc-id ranges) masks
+        decoded postings to the kept WAND segments, so docs outside them
+        can never surface with partial disjunctive scores.
+        """
         n_docs, avgdl = self.n_docs, self.avgdl
         dfs = {t: e["df"] for t, e in lex.items()}
+        lo_arr, hi_arr = (intervals if intervals is not None else (None, None))
+        out_dtype = "double" if dtype is np.float64 else "float"
 
         def decode(batches):
             for pdf in batches:
-                terms_out, ids_out, tfs_out, scores_out = [], [], [], []
+                terms_out, ids_out, tfs_out, dls_out, scores_out = (
+                    [],
+                    [],
+                    [],
+                    [],
+                    [],
+                )
                 for term, codec_id, payload, dls in zip(
                     pdf["term"], pdf["codec"], pdf["payload"], pdf["dls"]
                 ):
                     ids, tfs = codecs.decode_chunk(payload, int(codec_id))
                     dl = codecs.decode_lengths(dls)
-                    s = bm25_scores(tfs, dl, dfs[term], n_docs, avgdl)
+                    if lo_arr is not None:
+                        keep = wand.ids_in_intervals(
+                            ids.astype(np.int64), lo_arr, hi_arr
+                        )
+                        if not keep.all():
+                            ids, tfs, dl = ids[keep], tfs[keep], dl[keep]
+                    if not len(ids):
+                        continue
+                    s = bm25_scores(tfs, dl, dfs[term], n_docs, avgdl, dtype)
                     terms_out.append(np.repeat(term, len(ids)))
                     ids_out.append(ids.astype(np.int64))
                     tfs_out.append(tfs.astype(np.int64))
+                    dls_out.append(dl.astype(np.int64))
                     scores_out.append(s)
                 if not ids_out:
                     continue
-                yield pd.DataFrame(
-                    {
-                        "term": np.concatenate(terms_out),
-                        "doc_id": np.concatenate(ids_out),
-                        "tf": np.concatenate(tfs_out),
-                        "score": np.concatenate(scores_out),
-                    }
-                )
+                cols = {
+                    "term": np.concatenate(terms_out),
+                    "doc_id": np.concatenate(ids_out),
+                    "tf": np.concatenate(tfs_out),
+                    "score": np.concatenate(scores_out),
+                }
+                if with_dl:
+                    cols["dl"] = np.concatenate(dls_out)
+                yield pd.DataFrame(cols)
 
+        schema = f"term string, doc_id long, tf long, score {out_dtype}"
+        if with_dl:
+            schema += ", dl long"
         return chunks.select("term", "codec", "payload", "dls").mapInPandas(
-            decode, "term string, doc_id long, tf long, score float"
+            decode, schema
+        )
+
+    # --------------------------------------------------- WAND planning
+
+    def _collect_meta(
+        self, present: list[str], lex: dict[str, dict]
+    ) -> dict[str, wand.TermChunks] | None:
+        """Collect chunk metadata (NO payloads) for WAND planning; None
+        when the index predates bound columns or the sweep would exceed
+        the driver cap."""
+        total_chunks = sum(lex[t]["n_chunks"] for t in present)
+        if total_chunks > METADATA_CAP:
+            return None
+        chunks = self._chunks(present)
+        if "max_ratio" not in chunks.columns:
+            return None
+        rows = chunks.select(
+            "term",
+            "salt",
+            "chunk_seq",
+            "first_doc_id",
+            "last_doc_id",
+            "n",
+            "max_ratio",
+            "min_ratio",
+        ).collect()
+        by_term: dict[str, list] = {t: [] for t in present}
+        for r in rows:
+            by_term[r["term"]].append(r)
+        metas = {}
+        for t in present:
+            rs = by_term[t]
+            if not rs:
+                continue
+            t_idf = wand.idf(lex[t]["df"], self.n_docs)
+            bound = wand.term_chunk_bounds(
+                t_idf,
+                np.array([r["max_ratio"] for r in rs]),
+                np.array([r["min_ratio"] for r in rs]),
+            )
+            metas[t] = wand.TermChunks(
+                first=[r["first_doc_id"] for r in rs],
+                last=[r["last_doc_id"] for r in rs],
+                n=[r["n"] for r in rs],
+                bound=bound,
+                rows=[(r["salt"], r["chunk_seq"]) for r in rs],
+            )
+        return metas if len(metas) == len(present) else None
+
+    def _segments_job(
+        self,
+        present: list[str],
+        lex: dict[str, dict],
+        metas: dict[str, wand.TermChunks],
+        seg_lo: np.ndarray,
+        seg_hi: np.ndarray,
+        cover: np.ndarray,
+        mode: str,
+        k: int,
+        explain: bool = False,
+        dtype=np.float32,
+    ) -> DataFrame:
+        """Exact scoring restricted to the given segments: decode only
+        their covering chunks, mask postings to the segment union."""
+        keys = set()
+        for j, t in enumerate(present):
+            m = metas[t]
+            for ci in np.unique(cover[:, j]):
+                if ci >= 0:
+                    salt, seq = m.rows[ci]
+                    keys.add((t, int(salt), int(seq)))
+        keys_df = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(keys), "term string, salt int, chunk_seq int"
+            )
+        )
+        kept = self._chunks(present).join(
+            keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
+        )
+        lo, hi = wand.merge_intervals(seg_lo, seg_hi)
+        scored = self._scored_postings(
+            kept, lex, intervals=(lo, hi), with_dl=explain, dtype=dtype
+        )
+        self.last_plan_stats["chunks_kept"] = len(keys)
+        return self._agg_topk(scored, mode, len(present), k, explain, dtype)
+
+    def _agg_topk(
+        self,
+        scored: DataFrame,
+        mode: str,
+        n_terms: int,
+        k: int,
+        explain: bool = False,
+        dtype=np.float32,
+    ) -> DataFrame:
+        score_t = "double" if dtype is np.float64 else "float"
+        aggs = [
+            F.sum("score").cast(score_t).alias("score"),
+            F.count("*").alias("_nt"),
+        ]
+        if explain:
+            aggs += [
+                F.first("dl").alias("doc_length"),
+                F.sort_array(
+                    F.collect_list(F.struct("term", "score", "tf"))
+                ).alias("terms"),
+            ]
+        agg = scored.groupBy("doc_id").agg(*aggs)
+        if mode == "conjunctive":
+            agg = agg.where(F.col("_nt") == n_terms)
+        return (
+            agg.drop("_nt")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
         )
 
     # ------------------------------------------------------------- search
 
     def search(
-        self, query: str, mode: str = "disjunctive", k: int = 10
+        self,
+        query: str,
+        mode: str = "disjunctive",
+        k: int = 10,
+        explain: bool = False,
+        dtype=np.float32,
     ) -> DataFrame:
-        """Top-k (doc_id, score) DataFrame for one query."""
+        """Top-k (doc_id, score) DataFrame for one query.
+
+        ``explain=True`` adds the reference's per-result detail
+        (QueryExecution.cpp:459-498): ``doc_length`` plus a ``terms``
+        array of (term, score, tf) per matched term.
+        """
         terms = tokenize_query(query)
         lex = self.lexicon_lookup(terms)
         present = sorted(lex)
-        empty = self.spark.createDataFrame([], "doc_id long, score float")
+        schema = "doc_id long, score " + (
+            "double" if dtype is np.float64 else "float"
+        )
+        if explain:
+            schema += (
+                ", doc_length long, terms array<struct<term:string,"
+                f"score:{'double' if dtype is np.float64 else 'float'},tf:bigint>>"
+            )
+        empty = self.spark.createDataFrame([], schema)
         if not present:
             return empty
-        chunks = self._chunks(present)
+        conj = mode == "conjunctive"
+        self.last_plan_stats = {
+            "chunks_total": sum(lex[t]["n_chunks"] for t in present),
+            "pruner": "none",
+        }
 
-        if mode == "conjunctive" and len(present) > 1:
-            # global candidate window: every result doc id lies in the
-            # intersection of all terms' [min_doc_id, max_doc_id]
+        metas = self._collect_meta(present, lex)
+        if metas is not None:
+            seg_lo, seg_hi, bound, cover = wand.sweep_segments(
+                metas, conj and len(present) > 1
+            )
+            self.last_plan_stats.update(
+                {"pruner": "block_max_wand", "segments": len(seg_lo)}
+            )
+            if len(seg_lo) == 0:
+                return empty
+            order = np.argsort(-bound, kind="stable")
+            # phase 1: enough top-bound segments to (heuristically)
+            # cover >= 4k candidate docs
+            est = np.zeros(len(seg_lo), dtype=np.int64)
+            for j, t in enumerate(present):
+                cj = cover[:, j]
+                nn = np.where(cj >= 0, metas[t].n[np.clip(cj, 0, None)], 0)
+                est = np.minimum(est, nn) if conj and j else (
+                    nn if conj else est + nn
+                )
+            cum = np.cumsum(est[order])
+            n_p1 = int(np.searchsorted(cum, 4 * k) + 1)
+            # breadth matters more than depth for theta quality: the
+            # k-th best score should come from k DIFFERENT high-bound
+            # segments, not one segment's low-scoring tail
+            n_p1 = min(max(n_p1, 16), len(order))
+            theta = None
+            if n_p1 < len(order):
+                p1 = order[:n_p1]
+                p1_rows = self._segments_job(
+                    present, lex, metas, seg_lo[p1], seg_hi[p1], cover[p1],
+                    mode, k, dtype=dtype,
+                ).collect()
+                if len(p1_rows) >= k:
+                    theta = float(p1_rows[-1]["score"])
+            if theta is not None:
+                keep = bound >= theta
+                self.last_plan_stats["theta"] = theta
+            else:
+                keep = np.ones(len(seg_lo), dtype=bool)
+            self.last_plan_stats["segments_kept"] = int(keep.sum())
+            return self._segments_job(
+                present, lex, metas,
+                seg_lo[keep], seg_hi[keep], cover[keep],
+                mode, k, explain=explain, dtype=dtype,
+            )
+
+        # fallback: no bound metadata (legacy index) or above the
+        # planning cap — doc-id interval pruning only (nextGEQ analogue)
+        chunks = self._chunks(present)
+        self.last_plan_stats["pruner"] = "intervals"
+        if conj and len(present) > 1:
             lo = max(e["min_doc_id"] for e in lex.values())
             hi = min(e["max_doc_id"] for e in lex.values())
             if lo > hi:
@@ -162,8 +413,6 @@ class QueryEngine:
             chunks = chunks.where(
                 (F.col("last_doc_id") >= lo) & (F.col("first_doc_id") <= hi)
             )
-            # rarest-term chunk intervals prune other terms' chunks
-            # (block-max / skip-pointer analogue)
             pivot = min(present, key=lambda t: lex[t]["df"])
             if lex[pivot]["n_chunks"] <= 4096:
                 ivals = (
@@ -189,18 +438,10 @@ class QueryEngine:
                 )
                 chunks = chunks.where(F.col("term") == pivot).unionByName(others)
 
-        scored = self._scored_postings(chunks, lex)
-        agg = scored.groupBy("doc_id").agg(
-            F.sum("score").cast("float").alias("score"),
-            F.count("*").alias("_nt"),
+        scored = self._scored_postings(
+            chunks, lex, with_dl=explain, dtype=dtype
         )
-        if mode == "conjunctive":
-            agg = agg.where(F.col("_nt") == len(present))
-        return (
-            agg.drop("_nt")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        return self._agg_topk(scored, mode, len(present), k, explain, dtype)
 
     def batch_search(
         self, queries: list[tuple[int, str]], mode: str = "disjunctive", k: int = 10
@@ -210,6 +451,8 @@ class QueryEngine:
         Distinct terms are decoded/scored once, then a broadcast
         (query_id, term) map fans scored postings out to queries; per-query
         top-k via a window rank. Returns (query_id, doc_id, score, rank).
+        (No WAND pruning here: chunk decode is shared across queries, so
+        per-query thresholds would prune each other's chunks.)
         """
         from pyspark.sql import Window
 
@@ -264,8 +507,10 @@ class QueryEngine:
     def search_local(
         self, query: str, mode: str = "disjunctive", k: int = 10
     ) -> list[tuple[int, float]]:
-        """Low-latency driver-side path: pyarrow predicate-pushdown scan of
-        the same index parquet, numpy scoring. No Spark job."""
+        """Low-latency driver-side path: pyarrow predicate-pushdown scan
+        of the index parquet, then the sequential block-max WAND sweep —
+        chunks are decoded lazily in descending segment-bound order and
+        skipped entirely once they cannot reach the top-k threshold."""
         import pyarrow.dataset as pads
 
         terms = tokenize_query(query)
@@ -275,31 +520,156 @@ class QueryEngine:
             f"{self.index_dir}/chunks", format="parquet", partitioning="hive"
         )
         buckets = self._buckets(terms)
+        cols = [
+            "term", "salt", "chunk_seq", "first_doc_id", "last_doc_id",
+            "n", "codec", "payload", "dls",
+        ]
+        have_bounds = "max_ratio" in ds.schema.names
+        if have_bounds:
+            cols += ["max_ratio", "min_ratio"]
         tbl = ds.to_table(
             filter=(
                 pads.field("bucket").isin(buckets)
                 & pads.field("term").isin(terms)
             ),
-            columns=["term", "salt", "chunk_seq", "codec", "payload", "dls"],
+            columns=cols,
+        )
+        data = {c: tbl.column(c).to_pylist() for c in cols}
+        n_rows = len(data["term"])
+        if n_rows == 0:
+            return []
+        if not have_bounds:
+            return self._search_local_full(data, mode, k)
+
+        by_term: dict[str, list[int]] = {}
+        for i, t in enumerate(data["term"]):
+            by_term.setdefault(t, []).append(i)
+        present = sorted(by_term)
+        metas: dict[str, wand.TermChunks] = {}
+        dfs: dict[str, int] = {}
+        for t in present:
+            idxs = np.array(by_term[t], dtype=np.int64)
+            n_arr = np.array([data["n"][i] for i in idxs])
+            dfs[t] = int(n_arr.sum())
+            t_idf = wand.idf(dfs[t], self.n_docs)
+            bound = wand.term_chunk_bounds(
+                t_idf,
+                np.array([data["max_ratio"][i] for i in idxs]),
+                np.array([data["min_ratio"][i] for i in idxs]),
+            )
+            metas[t] = wand.TermChunks(
+                first=[data["first_doc_id"][i] for i in idxs],
+                last=[data["last_doc_id"][i] for i in idxs],
+                n=n_arr,
+                bound=bound,
+                rows=idxs,
+            )
+        # terms missing from the index were already dropped by the scan
+        # filter (reference openList skip)
+        conj = mode == "conjunctive" and len(present) > 1
+        seg_lo, seg_hi, bound, cover = wand.sweep_segments(metas, conj)
+        stats = {
+            "chunks_total": n_rows,
+            "chunks_decoded": 0,
+            "segments_total": len(seg_lo),
+            "segments_processed": 0,
+        }
+        self.last_local_stats = stats
+        if len(seg_lo) == 0:
+            return []
+
+        decoded: dict[int, tuple] = {}
+
+        def get_chunk(row: int):
+            got = decoded.get(row)
+            if got is None:
+                ids, tfs = codecs.decode_chunk(
+                    data["payload"][row], data["codec"][row]
+                )
+                dls = codecs.decode_lengths(data["dls"][row])
+                got = decoded[row] = (ids.astype(np.int64), tfs, dls)
+                stats["chunks_decoded"] += 1
+            return got
+
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+        order = np.argsort(-bound, kind="stable")
+        for si in order.tolist():
+            if len(heap) == k and bound[si] < heap[0][0]:
+                break
+            stats["segments_processed"] += 1
+            lo, hi = int(seg_lo[si]), int(seg_hi[si])
+            per_term = {}
+            for j, t in enumerate(present):
+                ci = cover[si, j]
+                if ci < 0:
+                    continue
+                ids, tfs, dls = get_chunk(int(metas[t].rows[ci]))
+                l = np.searchsorted(ids, lo, side="left")
+                r = np.searchsorted(ids, hi, side="left")
+                if l < r:
+                    per_term[t] = (ids[l:r], tfs[l:r], dls[l:r])
+            if conj and len(per_term) < len(present):
+                continue
+            if not per_term:
+                continue
+            if conj:
+                cand = per_term[present[0]][0]
+                for t in present[1:]:
+                    cand = np.intersect1d(
+                        cand, per_term[t][0], assume_unique=True
+                    )
+                    if not len(cand):
+                        break
+                if not len(cand):
+                    continue
+            else:
+                cand = np.unique(
+                    np.concatenate([v[0] for v in per_term.values()])
+                )
+            total = np.zeros(len(cand), dtype=np.float32)
+            for t in present:  # canonical accumulation order
+                if t not in per_term:
+                    continue
+                ids_t, tfs_t, dls_t = per_term[t]
+                if conj:
+                    pos = np.searchsorted(ids_t, cand)
+                    s = bm25_scores(
+                        tfs_t[pos], dls_t[pos], dfs[t], self.n_docs, self.avgdl
+                    )
+                    total = (total + s).astype(np.float32)
+                else:
+                    pos = np.searchsorted(cand, ids_t)
+                    s = bm25_scores(
+                        tfs_t, dls_t, dfs[t], self.n_docs, self.avgdl
+                    )
+                    total[pos] = (total[pos] + s).astype(np.float32)
+            for d, s in zip(cand.tolist(), total.tolist()):
+                item = (s, -d)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        return [(-nd, s) for s, nd in sorted(heap, reverse=True)]
+
+    def _search_local_full(self, data: dict, mode: str, k: int):
+        """Exhaustive local scoring (legacy indexes without bound
+        columns)."""
+        rows = sorted(
+            range(len(data["term"])),
+            key=lambda i: (data["term"][i], data["salt"][i], data["chunk_seq"][i]),
         )
         per_term: dict[str, list] = {}
-        rows = tbl.to_pylist()
-        rows.sort(key=lambda r: (r["term"], r["salt"], r["chunk_seq"]))
-        for r in rows:
-            ids, tfs = codecs.decode_chunk(r["payload"], r["codec"])
-            dls = codecs.decode_lengths(r["dls"])
-            per_term.setdefault(r["term"], []).append((ids, tfs, dls))
-        if not per_term:
-            return []
+        for i in rows:
+            ids, tfs = codecs.decode_chunk(data["payload"][i], data["codec"][i])
+            dls = codecs.decode_lengths(data["dls"][i])
+            per_term.setdefault(data["term"][i], []).append((ids, tfs, dls))
         lists = {}
         for t, parts in per_term.items():
-            ids = np.concatenate([p[0] for p in parts])
-            tfs = np.concatenate([p[1] for p in parts])
-            dls = np.concatenate([p[2] for p in parts])
-            lists[t] = (ids, tfs, dls)
+            lists[t] = tuple(
+                np.concatenate([p[j] for p in parts]) for j in range(3)
+            )
         present = sorted(lists)
         dfs = {t: len(lists[t][0]) for t in present}
-
         if mode == "conjunctive":
             cand = lists[present[0]][0]
             for t in present[1:]:
@@ -326,7 +696,6 @@ class QueryEngine:
                 s = bm25_scores(tfs, dls, dfs[t], self.n_docs, self.avgdl)
                 pos = np.searchsorted(doc_ids, ids)
                 total[pos] = (total[pos] + s).astype(np.float32)
-
         order = np.lexsort((doc_ids, -total.astype(np.float64)))[:k]
         return [(int(doc_ids[i]), float(total[i])) for i in order]
 

@@ -55,6 +55,15 @@ def get_spark(
     """
     from pyspark.sql import SparkSession
 
+    # glibc munmaps large frees by default, so every numpy temp in a
+    # UDF batch re-faults its pages — pathological on VMs where
+    # first-touch faults are slow. Raising the thresholds keeps big
+    # allocations on the heap (set BEFORE the JVM forks Python workers,
+    # which inherit the env). Measured: the batched chunk encoder goes
+    # 698us -> 20us/chunk steady-state with this set.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if master is None:
         master = f"local[{cpus}]"

@@ -1,0 +1,104 @@
+"""Block-max WAND integration: pruning must actually skip chunks on a
+stop-word query (the north-star scenario: `the AND rare` should not
+decode every chunk of `the`) while staying rank-identical to the
+exhaustive path."""
+
+import shutil
+import tempfile
+
+import pytest
+
+import search_engine_spark.query as query_mod
+from search_engine_spark.build import IndexBuilder
+from search_engine_spark.query import QueryEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    """3000-doc synthetic corpus: every doc contains the stop word
+    'the'; 10 docs in a NARROW doc-id band also contain the high-idf
+    term 'rare' (the classic `the AND rare` block-skipping scenario)."""
+    index_dir = tempfile.mkdtemp(prefix="seidx_wand_")
+    rows = []
+    for i in range(3000):
+        text = f"the filler{i} pad{i % 7} common words here"
+        if 2900 <= i < 2910:
+            text += " rare rare rare rare rare"
+        rows.append((i, f"https://t/doc/{i}", text))
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    IndexBuilder(spark, index_dir, n_salts=4, bucket_count=8).build(
+        docs, resume=False
+    )
+    yield QueryEngine(spark, index_dir)
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+def test_spark_wand_prunes_and_matches_fallback(engine, mode, monkeypatch):
+    wand_rows = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in engine.search("the rare", mode=mode, k=5).collect()
+    ]
+    stats = dict(engine.last_plan_stats)
+    assert stats["pruner"] == "block_max_wand"
+    # the stop word's chunks must NOT all be decoded
+    assert stats["chunks_kept"] < stats["chunks_total"], stats
+
+    # exhaustive fallback path (force the planner cap to 0)
+    monkeypatch.setattr(query_mod, "METADATA_CAP", 0)
+    full_rows = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in engine.search("the rare", mode=mode, k=5).collect()
+    ]
+    assert engine.last_plan_stats["pruner"] in ("intervals", "none")
+    assert wand_rows == full_rows
+
+
+def test_local_wand_skips_chunk_decodes(engine):
+    res = engine.search_local("the rare", mode="disjunctive", k=5)
+    stats = engine.last_local_stats
+    assert stats["chunks_decoded"] < stats["chunks_total"], stats
+    assert stats["segments_processed"] < stats["segments_total"], stats
+    # top docs are the rare-term docs
+    assert len(res) == 5
+    assert all(2900 <= d < 2910 for d, _s in res)
+
+    # identical to the exhaustive local path
+    data_cols = [
+        "term", "salt", "chunk_seq", "first_doc_id", "last_doc_id",
+        "n", "codec", "payload", "dls",
+    ]
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(
+        f"{engine.index_dir}/chunks", format="parquet", partitioning="hive"
+    )
+    tbl = ds.to_table(
+        filter=pads.field("term").isin(["the", "rare"]), columns=data_cols
+    )
+    data = {c: tbl.column(c).to_pylist() for c in data_cols}
+    full = engine._search_local_full(data, "disjunctive", 5)
+    assert [(d, round(s, 5)) for d, s in res] == [
+        (d, round(s, 5)) for d, s in full
+    ]
+
+
+def test_conjunctive_local_prunes(engine):
+    res = engine.search_local("the rare", mode="conjunctive", k=5)
+    stats = engine.last_local_stats
+    assert stats["chunks_decoded"] < stats["chunks_total"], stats
+    assert len(res) == 5
+    assert all(2900 <= d < 2910 for d, _s in res)
+
+
+def test_explain_per_term_detail(engine):
+    rows = engine.search("the rare", mode="conjunctive", k=3, explain=True).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["doc_length"] > 0
+        terms = [t["term"] for t in r["terms"]]
+        assert terms == ["rare", "the"]
+        total = sum(t["score"] for t in r["terms"])
+        assert abs(total - r["score"]) < 1e-4
+        rare = [t for t in r["terms"] if t["term"] == "rare"][0]
+        assert rare["tf"] == 5
