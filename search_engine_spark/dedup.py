@@ -25,7 +25,8 @@ Scale notes (100 TB corpus, ~1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
 
 from .tokenizer import register_udfs
 
@@ -94,19 +95,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame,
-    n_hashes: int = N_MINHASH,
-    band_rows: int = LSH_BAND_ROWS,
-    shingle_n: int = 3,
-    max_bucket_size: int | None = None,
+def _lsh_bands(
+    docs: DataFrame, n_hashes: int, band_rows: int, shingle_n: int
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate near-duplicate pairs: docs sharing any
-    LSH band (band key = md5 of the band's minhash values in slot order).
-    """
+    """(doc_id, band, band_key): band key = md5 of the band's minhash
+    values in slot order."""
     sigs = minhash_signatures(docs, n_hashes, shingle_n)
     band = (F.col("minhash_idx") / band_rows).cast("int").alias("band")
-    bands = (
+    return (
         sigs.select("doc_id", band, "minhash_idx", "minhash")
         .groupBy("doc_id", "band")
         .agg(
@@ -123,11 +119,34 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    band_rows: int = LSH_BAND_ROWS,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-duplicate pairs: docs sharing any
+    LSH band (band key = md5 of the band's minhash values in slot order).
+
+    Buckets larger than ``max_bucket_size`` are DROPPED entirely (the
+    standard web-dedup treatment of boilerplate buckets: a bucket with B
+    members yields B² pairs, and a million-page boilerplate bucket is
+    noise, not near-duplication). Implemented as a count + semi-join —
+    no window, so a hot bucket never serializes through one task.
+    ``lsh_bucket_stats`` reports what a given cap would drop.
+    """
+    bands = _lsh_bands(docs, n_hashes, band_rows, shingle_n)
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "band_key").orderBy("doc_id")
-        bands = bands.withColumn("_rn", F.row_number().over(w)).where(
-            F.col("_rn") <= max_bucket_size
-        ).drop("_rn")
+        small = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("_bn"))
+            .where(F.col("_bn") <= max_bucket_size)
+            .select("band", "band_key")
+        )
+        bands = bands.join(small, ["band", "band_key"], "leftsemi")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -144,13 +163,50 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_bucket_stats(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    band_rows: int = LSH_BAND_ROWS,
+    shingle_n: int = 3,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Accounting for the bucket cap: one row per oversized
+    (band, band_key) bucket with its member count — exactly what
+    ``lsh_candidate_pairs`` drops at the same cap."""
+    bands = _lsh_bands(docs, n_hashes, band_rows, shingle_n)
+    return (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket_size)
+    )
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, shingle_n: int = 3, threshold: float = 0.05
+    docs: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.05,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
-    threshold. Exact (inverted-index join on shingle), so cost scales with
-    shared-shingle pairs, not all pairs."""
+    threshold. Exact (inverted-index join on shingle), so cost scales
+    with shared-shingle pairs, not all pairs.
+
+    Shingles appearing in more than ``max_df`` docs (boilerplate) are
+    removed from the universe BEFORE both the pair join and the per-doc
+    counts — one hot shingle shared by 10^6 docs would otherwise emit
+    10^12 join rows. The result is the exact Jaccard over the filtered
+    (non-boilerplate) shingle universe; with ``max_df=None`` it is the
+    exact unfiltered Jaccard.
+    """
     sh = shingles_df(tokens_df(docs), shingle_n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     counts = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -261,10 +317,12 @@ def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
     n_tables: int = 16,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
+    dims: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """(id_a, id_b, cos) near-duplicate embedding pairs (cos >= threshold).
 
@@ -273,8 +331,17 @@ def embedding_neardup_pairs(
     deterministic hyperplanes (:func:`random_planes`); candidates are
     same-bucket pairs unioned over tables, then exact cosine filters.
     Returned cosines are exact, so results ⊆ the exact all-pairs answer;
-    recall at cos>=0.9 with 16×4 tables is ≈1. ``exact=True`` compares
+    recall at cos>=0.9 with 16 tables is ≈1. ``exact=True`` compares
     all pairs (oracle mode — O(n²), small inputs only).
+
+    Scale safety: ``n_planes=None`` derives the plane count from the
+    vector COUNT (one count() job) so expected bucket size stays ~64
+    regardless of N — a fixed plane count would make buckets O(N) and
+    the self-join quadratic. Buckets still exceeding
+    ``max_bucket_size`` (dense regions) are dropped from candidate
+    generation, trading a little recall for a hard cost bound.
+    ``dims`` skips the one-row probe job when the caller knows the
+    embedding width.
     """
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     norm = F.sqrt(
@@ -287,7 +354,21 @@ def embedding_neardup_pairs(
             "id", "v", F.lit(0).alias("table"), F.lit(0).alias("bucket")
         )
     else:
-        dims = len(base.select("v").first()[0])
+        if n_planes is None:
+            n = base.count()
+            # 2^planes buckets/table, expected occupancy ~64
+            n_planes = max(4, int(np.ceil(np.log2(max(n, 1) / 64.0 + 1))))
+            n_planes = min(n_planes, 24)
+        if dims is None:
+            row = base.select(F.size("v").alias("d")).first()
+            if row is None or row["d"] is None or row["d"] <= 0:
+                # empty input (or null vectors): empty result, typed
+                return base.select(
+                    F.col("id").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    F.lit(0.0).alias("cos"),
+                ).where(F.lit(False))
+            dims = int(row["d"])
         planes = random_planes(n_tables, n_planes, dims)
         # one scan: array of per-table buckets, then posexplode
         buckets = F.array(
@@ -306,6 +387,14 @@ def embedding_neardup_pairs(
         bucketed = base.select(
             "id", "v", F.posexplode(buckets).alias("table", "bucket")
         )
+        if max_bucket_size is not None:
+            small = (
+                bucketed.groupBy("table", "bucket")
+                .agg(F.count("*").alias("_bn"))
+                .where(F.col("_bn") <= max_bucket_size)
+                .select("table", "bucket")
+            )
+            bucketed = bucketed.join(small, ["table", "bucket"], "leftsemi")
     bucketed = bucketed.withColumn("norm", norm)
     a = bucketed.alias("a")
     b = bucketed.alias("b")

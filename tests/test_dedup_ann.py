@@ -80,11 +80,16 @@ def test_lsh_bucket_cap_limits_pairs(spark):
         [(i, "same text for everyone") for i in range(10)],
         "doc_id long, text string",
     )
+    # oversized (boilerplate) buckets are dropped entirely: 10 identical
+    # docs -> every band bucket has 10 members > cap 3 -> no candidates
     capped = dedup.lsh_candidate_pairs(df, max_bucket_size=3).collect()
-    # bucket capped at 3 docs -> at most C(3,2)=3 pairs per (band,table)
-    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {
-        (0, 1), (0, 2), (1, 2)
-    }
+    assert capped == []
+    # the accounting view reports exactly what was dropped
+    stats = dedup.lsh_bucket_stats(df, max_bucket_size=3).collect()
+    assert stats and all(r["n_docs"] == 10 for r in stats)
+    # with the cap off, all C(10,2) pairs appear
+    uncapped = dedup.lsh_candidate_pairs(df, max_bucket_size=None).collect()
+    assert len(uncapped) == 45
 
 
 def test_ngram_jaccard_exact_value(spark):
