@@ -305,6 +305,12 @@ def run_scaling(replicate: int = 800, reps: int = 2) -> None:
             if n not in best or r["value"] < best[n]["value"]:
                 best[n] = r
 
+    missing = [n for n in levels if n not in best]
+    if missing:
+        sys.exit(
+            "scaling run failed: no successful build at parallelism "
+            f"level(s) {missing} (see stderr above for per-attempt errors)"
+        )
     lo, hi = levels[0], levels[-1]
     t_lo, t_hi = best[lo]["value"], best[hi]["value"]
     d_lo, d_hi = best[lo]["docs_per_sec"], best[hi]["docs_per_sec"]

@@ -89,7 +89,11 @@ def assign_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Nearest-centroid (max cosine) cell per vector: broadcast join +
-    window argmax. Returns emb columns + ``cell``."""
+    ``max_by`` hash aggregation (NOT a window — a row_number over
+    N*n_cells rows is a full sort shuffle; the hash-agg computes the
+    same argmax with map-side partial aggregation). Ties break
+    deterministically: highest cosine, then lowest cell id. Returns emb
+    columns + ``cell``."""
     cos = _dot(F.col(f"e.{vec_col}"), F.col("c.cv")) / (
         _norm(F.col(f"e.{vec_col}")) * _norm(F.col("c.cv"))
     )
@@ -98,12 +102,16 @@ def assign_cells(
         .crossJoin(F.broadcast(codebook.alias("c")))
         .select("e.*", F.col("c.cell"), cos.alias("_ccos"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("cell"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_ccos")
+    payload = [c for c in emb.columns if c != id_col] + ["cell"]
+    best = scored.groupBy(F.col(id_col)).agg(
+        F.max_by(
+            F.struct(*payload),
+            F.struct(
+                F.col("_ccos").alias("c"), (-F.col("cell")).alias("nc")
+            ),
+        ).alias("_best")
     )
+    return best.select(id_col, *[F.col(f"_best.{c}").alias(c) for c in payload])
 
 
 def ivf_topk(

@@ -411,13 +411,42 @@ class IndexBuilder:
         bucket_count: int = 16,
         store_positions: bool = False,
         materialize_postings: bool = True,
+        table_format: str = "parquet",
+        catalog: str | None = None,
+        namespace: str = "search_engine",
     ):
+        """``table_format="iceberg"`` persists every stage as an Iceberg
+        table ``<catalog>.<namespace>.<stage>`` (the north rule's target
+        layout: committed snapshots gate resume, the ``.files`` metadata
+        table supplies per-file lineage). Requires a configured
+        ``spark.sql.catalog.<catalog>`` with the Iceberg runtime jar on
+        the classpath; the default parquet layout needs nothing and is
+        byte-identical in content. (This sandbox has no Iceberg jar, so
+        the iceberg path is exercised only when one is present — see
+        tests/test_iceberg.py.)"""
         self.spark = spark
         self.index_dir = index_dir
         self.chunk_length = chunk_length
         self.n_salts = n_salts
         self.bucket_count = bucket_count
         self.store_positions = store_positions
+        self.table_format = table_format
+        self.catalog = catalog
+        self.namespace = namespace
+        if table_format not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown table_format {table_format!r}")
+        if table_format == "iceberg":
+            if not catalog:
+                raise ValueError("table_format='iceberg' needs a catalog")
+            try:
+                spark.conf.get(f"spark.sql.catalog.{catalog}")
+            except Exception as exc:  # pragma: no cover - config error
+                raise ValueError(
+                    f"spark.sql.catalog.{catalog} is not configured"
+                ) from exc
+            spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}"
+            )
         # the exploded postings checkpoint is useful for ad-hoc analysis
         # and finer-grained resume, but at full scale shuffling ~25x more
         # rows than the doc-major table dominates the build — turn off to
@@ -462,12 +491,21 @@ class IndexBuilder:
         import pyarrow.parquet as pq
         import pyarrow as pa
 
-        ds = pads.dataset(self._stage_dir(stage), format="parquet")
         files, rows, sizes = [], [], []
-        for frag in ds.get_fragments():
-            files.append(os.path.relpath(frag.path, self.index_dir))
-            rows.append(frag.metadata.num_rows)
-            sizes.append(os.path.getsize(frag.path))
+        if self.table_format == "iceberg":
+            # Iceberg's own files metadata table is the lineage source
+            for r in self.spark.table(f"{self._table_name(stage)}.files").select(
+                "file_path", "record_count", "file_size_in_bytes"
+            ).collect():
+                files.append(r["file_path"])
+                rows.append(int(r["record_count"]))
+                sizes.append(int(r["file_size_in_bytes"]))
+        else:
+            ds = pads.dataset(self._stage_dir(stage), format="parquet")
+            for frag in ds.get_fragments():
+                files.append(os.path.relpath(frag.path, self.index_dir))
+                rows.append(frag.metadata.num_rows)
+                sizes.append(os.path.getsize(frag.path))
         total_rows = int(sum(rows))
         manifest["stages"][stage] = {
             "rows": total_rows,
@@ -494,16 +532,32 @@ class IndexBuilder:
 
     # -------------------------------------------------------------- stages
 
+    def _table_name(self, stage: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}"
+
     def _write(self, df: DataFrame, stage: str, partition_by=None, sort_cols=None):
         w = df
         if sort_cols:
             w = w.sortWithinPartitions(*sort_cols)
+        if self.table_format == "iceberg":
+            writer = w.writeTo(self._table_name(stage)).using("iceberg")
+            if partition_by:
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()
+            # the stage-completion marker lives with the manifest for
+            # iceberg (snapshot commit IS the marker); touch a local
+            # sentinel so _stage_done stays uniform
+            os.makedirs(self._stage_dir(stage), exist_ok=True)
+            open(os.path.join(self._stage_dir(stage), "_SUCCESS"), "w").close()
+            return
         writer = w.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._stage_dir(stage))
 
     def _read(self, stage: str) -> DataFrame:
+        if self.table_format == "iceberg":
+            return self.spark.table(self._table_name(stage))
         return self.spark.read.parquet(self._stage_dir(stage))
 
     def build(self, docs: DataFrame, resume: bool = True) -> dict:
@@ -521,7 +575,11 @@ class IndexBuilder:
             ),
             "bucket_count": self.bucket_count,
             "store_positions": self.store_positions,
+            "table_format": self.table_format,
         }
+        if self.table_format == "iceberg":
+            manifest["config"]["catalog"] = self.catalog
+            manifest["config"]["namespace"] = self.namespace
 
         if not self._stage_done(manifest, "tokens"):
             t0 = time.time()

@@ -96,17 +96,26 @@ class QueryEngine:
         self.spark = spark
         self.index_dir = index_dir
         ensure_shipped(spark)
-        row = spark.read.parquet(f"{index_dir}/stats").collect()[0]
-        self.n_docs = int(row["n_docs"])
-        self.avgdl = float(row["avgdl"])
         import json
         import os
 
         with open(os.path.join(index_dir, "_manifest.json")) as f:
             self.config = json.load(f)["config"]
         self.bucket_count = int(self.config["bucket_count"])
+        row = self._stage_df("stats").collect()[0]
+        self.n_docs = int(row["n_docs"])
+        self.avgdl = float(row["avgdl"])
         self.last_plan_stats: dict = {}
         self.last_local_stats: dict = {}
+
+    def _stage_df(self, stage: str) -> DataFrame:
+        """Read a build stage from either persistence layout (parquet
+        path, or the Iceberg table recorded in the manifest)."""
+        if self.config.get("table_format") == "iceberg":
+            return self.spark.table(
+                f"{self.config['catalog']}.{self.config['namespace']}.{stage}"
+            )
+        return self.spark.read.parquet(f"{self.index_dir}/{stage}")
 
     # ------------------------------------------------------------ helpers
 
@@ -117,7 +126,7 @@ class QueryEngine:
         if not terms:
             return {}
         df = (
-            self.spark.read.parquet(f"{self.index_dir}/lexicon")
+            self._stage_df("lexicon")
             .where(F.col("bucket").isin(self._buckets(terms)))
             .where(F.col("term").isin(terms))
         )
@@ -133,7 +142,7 @@ class QueryEngine:
 
     def _chunks(self, terms: list[str]) -> DataFrame:
         return (
-            self.spark.read.parquet(f"{self.index_dir}/chunks")
+            self._stage_df("chunks")
             .where(F.col("bucket").isin(self._buckets(terms)))
             .where(F.col("term").isin(terms))
         )
@@ -513,6 +522,11 @@ class QueryEngine:
         skipped entirely once they cannot reach the top-k threshold."""
         import pyarrow.dataset as pads
 
+        if self.config.get("table_format") == "iceberg":
+            raise NotImplementedError(
+                "the driver-local fast path reads the parquet layout "
+                "directly; use search() against an Iceberg-persisted index"
+            )
         terms = tokenize_query(query)
         if not terms:
             return []
@@ -708,7 +722,7 @@ class QueryEngine:
         segments around term matches, merging overlaps (reference Q11
         semantics, QueryExecution.cpp:500-549)."""
         terms = tokenize_query(query)
-        doc_table = self.spark.read.parquet(f"{self.index_dir}/doc_table")
+        doc_table = self._stage_df("doc_table")
         joined = doc_table.join(F.broadcast(topk), "doc_id")
 
         from pyspark.sql.functions import pandas_udf

@@ -36,9 +36,14 @@ def reorder_by_content(docs: DataFrame, bits: int = 16) -> DataFrame:
     order. Input needs (doc_id, text [, ...]); all other columns are
     preserved; the old id is kept as ``orig_doc_id``."""
     sh = simhash(docs.select("doc_id", "text"), bits=bits)
+    # LEFT join: simhash emits no row for docs whose text tokenizes to
+    # zero terms (empty/punctuation-only); they must be KEPT, keyed by a
+    # sentinel sketch of 0 so the corpus is preserved bit-for-bit
     # Gray code: adjacent sketches differ in one bit -> adjacent sort keys
-    gray = F.expr("simhash ^ (simhash >> 1)").alias("locality_key")
-    keyed = docs.join(sh, "doc_id").select(
+    gray = F.expr(
+        "coalesce(simhash, 0L) ^ (coalesce(simhash, 0L) >> 1)"
+    ).alias("locality_key")
+    keyed = docs.join(sh, "doc_id", "left").select(
         F.col("doc_id").alias("orig_doc_id"),
         *[c for c in docs.columns if c != "doc_id"],
         gray,

@@ -14,8 +14,10 @@ micro-batch pipeline:
 
 At 100 TB this is the "keep the index fresh" path: each micro-batch
 shuffles only its own postings (small), and compaction is an idempotent
-batch job over the accumulated delta — the classic LSM shape, with
-Spark checkpointing providing exactly-once file-source progress.
+batch job over the accumulated delta — the classic LSM shape. File-source
+progress is tracked by Spark checkpointing (at-least-once foreachBatch);
+the batch_id-keyed overwrite sink makes retries idempotent, so the
+compacted index is effectively exactly-once.
 """
 
 from __future__ import annotations
@@ -109,6 +111,10 @@ class StreamingIndexer:
     # ------------------------------------------------------ micro-batch
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is AT-LEAST-ONCE: a retried micro-batch must not
+        # duplicate rows. Each batch overwrites its own batch_id-keyed
+        # subdirectory, making the write idempotent (retry = same dir
+        # rewritten); readers see hive-partitioned deltas.
         tok = register_udfs()
         tokens = batch_df.select(
             "doc_id",
@@ -119,8 +125,12 @@ class StreamingIndexer:
         tokens.persist()
         (
             tokens.select("doc_id", "url", "doc_length", "text")
-            .write.mode("append")
-            .parquet(os.path.join(self.delta_dir, "doc_table"))
+            .write.mode("overwrite")
+            .parquet(
+                os.path.join(
+                    self.delta_dir, "doc_table", f"batch_id={batch_id}"
+                )
+            )
         )
         postings = (
             tokens.select(
@@ -129,8 +139,8 @@ class StreamingIndexer:
             .groupBy("term", "doc_id", "doc_length")
             .agg(F.count("*").cast("long").alias("tf"))
         )
-        postings.write.mode("append").parquet(
-            os.path.join(self.delta_dir, "postings")
+        postings.write.mode("overwrite").parquet(
+            os.path.join(self.delta_dir, "postings", f"batch_id={batch_id}")
         )
         tokens.unpersist()
 
@@ -166,7 +176,7 @@ class StreamingIndexer:
 
         doc_table = self.spark.read.parquet(
             os.path.join(self.delta_dir, "doc_table")
-        )
+        ).drop("batch_id")
         t0 = _t.time()
         b._write(doc_table, "doc_table")
         b._record_stage(manifest, "doc_table", _t.time() - t0, ["delta/doc_table"])
@@ -184,7 +194,7 @@ class StreamingIndexer:
         t0 = _t.time()
         postings = self.spark.read.parquet(
             os.path.join(self.delta_dir, "postings")
-        )
+        ).drop("batch_id")
         b._write(postings, "postings")
         b._record_stage(manifest, "postings", _t.time() - t0, ["delta/postings"])
 

@@ -101,6 +101,32 @@ def test_postings_stage_is_map_only_and_jvm_only(spark, built):
     assert "MapInPandas" not in p and "EvalPython" not in p
 
 
+def test_assign_cells_is_windowless_hash_agg(spark):
+    """IVF cell assignment over N*n_cells rows must be a hash aggregate
+    (max_by), never a row_number window (sort shuffle of the fan-out)."""
+    from search_engine_spark.ann import assign_cells, default_codebook
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = assign_cells(emb, default_codebook(emb, 4))
+    p = plan_str(df)
+    assert "Window" not in p
+    # map-side partial max_by collapses the N*n_cells fan-out BEFORE the
+    # exchange (a window would shuffle+sort every fan-out row)
+    assert "partial_max_by" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_auto_n_salts_scales_with_corpus():
+    from search_engine_spark.build import POSTINGS_PER_SALT, auto_n_salts
+
+    assert auto_n_salts(1000, min_salts=8) == 8  # small corpora: cores
+    base = auto_n_salts(100 * POSTINGS_PER_SALT, min_salts=8)
+    assert base == 100
+    # 10x the corpus -> 10x the salts (bounded per-task memory)
+    assert auto_n_salts(1000 * POSTINGS_PER_SALT, min_salts=8) == 10 * base
+
+
 def test_wholestage_codegen_covers_relational_ops(spark, built):
     """The scoring aggregation (relational part) stays inside
     WholeStageCodegen spans — no interpreted row processing."""

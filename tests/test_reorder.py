@@ -44,6 +44,23 @@ def test_reorder_preserves_rows_and_density(spark):
     assert first == again
 
 
+def test_reorder_keeps_empty_and_punct_only_docs(spark):
+    """Docs that tokenize to zero terms must survive reordering (simhash
+    emits no row for them; the left join + sentinel keeps them)."""
+    ensure_shipped(spark)
+    rows = [
+        (0, "https://x/0", "alpha beta gamma"),
+        (1, "https://x/1", ""),            # empty
+        (2, "https://x/2", "... !!! ???"),  # punctuation-only
+        (3, "https://x/3", "alpha beta delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = reorder.reorder_by_content(docs).collect()
+    assert len(out) == 4
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3]
+    assert sorted(r["orig_doc_id"] for r in out) == [0, 1, 2, 3]
+
+
 def test_reorder_groups_similar_docs(spark):
     ensure_shipped(spark)
     docs = clustered_corpus(spark)

@@ -97,3 +97,38 @@ def test_streaming_index_matches_batch_build(spark, tmpdir):
         rs = [(r["doc_id"], r["score"]) for r in qs.search(query).collect()]
         rb = [(r["doc_id"], r["score"]) for r in qb.search(query).collect()]
         assert rs == rb and rs
+
+
+def test_batch_retry_is_idempotent(spark, tmpdir):
+    """foreachBatch is at-least-once: re-running the same micro-batch
+    (same batch_id) must not duplicate delta rows."""
+    ensure_shipped(spark)
+    index_dir = os.path.join(str(tmpdir), "retry_idx")
+    indexer = streaming.StreamingIndexer(spark, index_dir, bucket_count=4)
+    batch = spark.createDataFrame(
+        [(i, f"https://x/{i}", f"alpha beta doc{i}") for i in range(20)],
+        "doc_id long, url string, text string",
+    )
+    indexer._process_batch(batch, 0)
+    once_docs = spark.read.parquet(
+        os.path.join(indexer.delta_dir, "doc_table")
+    ).count()
+    once_post = spark.read.parquet(
+        os.path.join(indexer.delta_dir, "postings")
+    ).count()
+    indexer._process_batch(batch, 0)  # simulated retry
+    again_docs = spark.read.parquet(
+        os.path.join(indexer.delta_dir, "doc_table")
+    ).count()
+    again_post = spark.read.parquet(
+        os.path.join(indexer.delta_dir, "postings")
+    ).count()
+    assert (once_docs, once_post) == (again_docs, again_post) == (20, once_post)
+    # a distinct batch id appends
+    indexer._process_batch(batch.withColumn("doc_id", F.col("doc_id") + 20), 1)
+    assert (
+        spark.read.parquet(os.path.join(indexer.delta_dir, "doc_table")).count()
+        == 40
+    )
+    manifest = indexer.compact()
+    assert manifest["stages"]["doc_table"]["rows"] == 40
