@@ -103,7 +103,7 @@ def run_suite() -> dict:
 
         t0 = time.time()
         IndexBuilder(
-            spark, index_dir, n_salts=8, bucket_count=16,
+            spark, index_dir, bucket_count=16,
             materialize_postings=False,
         ).build(docs, resume=False)
         timings["index_build"] = time.time() - t0
@@ -222,7 +222,7 @@ def run_build_only() -> dict:
         _warm_python_workers(spark)
         t0 = time.time()
         manifest = IndexBuilder(
-            spark, index_dir, n_salts=32, bucket_count=16,
+            spark, index_dir, bucket_count=16,
             materialize_postings=False,
         ).build(docs, resume=False)
         secs = time.time() - t0

@@ -1,0 +1,125 @@
+"""CLI entry points — the ``spark-submit --py-files`` shipping path.
+
+Package the library once:
+
+    python -m search_engine_spark zip --out /tmp/search_engine_spark.zip
+
+then drive a cluster build / query with vanilla spark-submit (the
+script is this module; the zip makes the package importable inside
+executor Python workers):
+
+    spark-submit --py-files /tmp/search_engine_spark.zip \
+        /path/to/search_engine_spark/__main__.py \
+        build --docs s3://bucket/corpus --index-dir s3://bucket/index
+
+    spark-submit --py-files /tmp/search_engine_spark.zip \
+        /path/to/search_engine_spark/__main__.py \
+        query --index-dir s3://bucket/index --query "spark query" \
+        --mode conjunctive -k 10
+
+Interactive/driver-embedded use doesn't need any of this —
+``runtime.get_spark()`` ships the package programmatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    # under spark-submit the session carries the submitted conf; local
+    # runs get the tuned defaults
+    from .runtime import get_spark
+
+    return get_spark(app_name="search_engine_spark-cli")
+
+
+def cmd_zip(args) -> int:
+    import os
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    with zipfile.ZipFile(args.out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(
+                        full,
+                        os.path.join(pkg_name, os.path.relpath(full, pkg_dir)),
+                    )
+    print(args.out)
+    return 0
+
+
+def cmd_build(args) -> int:
+    from .build import IndexBuilder
+    from .corpus import load_documents
+
+    spark = _spark()
+    if args.docs.endswith(".parquet"):
+        docs = spark.read.parquet(args.docs)
+    else:
+        docs = load_documents(spark, args.docs)
+    manifest = IndexBuilder(
+        spark,
+        args.index_dir,
+        n_salts=args.n_salts,
+        bucket_count=args.bucket_count,
+        table_format=args.table_format,
+        catalog=args.catalog,
+        materialize_postings=args.materialize_postings,
+    ).build(docs, resume=not args.no_resume)
+    print(json.dumps({s: m["rows"] for s, m in manifest["stages"].items()}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .query import QueryEngine
+
+    spark = _spark()
+    qe = QueryEngine(spark, args.index_dir)
+    rows = qe.search(args.query, mode=args.mode, k=args.k).collect()
+    for r in rows:
+        print(f"{r['doc_id']}\t{r['score']:.6f}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="search_engine_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    z = sub.add_parser("zip", help="build the --py-files artifact")
+    z.add_argument("--out", default="search_engine_spark.zip")
+    z.set_defaults(fn=cmd_zip)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--docs", required=True, help="corpus parquet path or sf dir")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--n-salts", type=int, default=None, help="default: auto")
+    b.add_argument("--bucket-count", type=int, default=16)
+    b.add_argument("--table-format", default="parquet")
+    b.add_argument("--catalog", default=None)
+    b.add_argument("--materialize-postings", action="store_true")
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k query")
+    q.add_argument("--index-dir", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--mode", default="disjunctive",
+                   choices=["disjunctive", "conjunctive"])
+    q.add_argument("-k", type=int, default=10)
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
