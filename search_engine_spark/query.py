@@ -606,26 +606,10 @@ class QueryEngine:
             return got
 
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
-        order = np.argsort(-bound, kind="stable")
-        for si in order.tolist():
-            if len(heap) == k and bound[si] < heap[0][0]:
-                break
-            stats["segments_processed"] += 1
-            lo, hi = int(seg_lo[si]), int(seg_hi[si])
-            per_term = {}
-            for j, t in enumerate(present):
-                ci = cover[si, j]
-                if ci < 0:
-                    continue
-                ids, tfs, dls = get_chunk(int(metas[t].rows[ci]))
-                l = np.searchsorted(ids, lo, side="left")
-                r = np.searchsorted(ids, hi, side="left")
-                if l < r:
-                    per_term[t] = (ids[l:r], tfs[l:r], dls[l:r])
-            if conj and len(per_term) < len(present):
-                continue
-            if not per_term:
-                continue
+
+        def score_candidates(per_term: dict):
+            """(cand, total) over one candidate region, float32 sums in
+            canonical sorted-term order (rank-identity with the oracle)."""
             if conj:
                 cand = per_term[present[0]][0]
                 for t in present[1:]:
@@ -633,15 +617,13 @@ class QueryEngine:
                         cand, per_term[t][0], assume_unique=True
                     )
                     if not len(cand):
-                        break
-                if not len(cand):
-                    continue
+                        return None
             else:
                 cand = np.unique(
                     np.concatenate([v[0] for v in per_term.values()])
                 )
             total = np.zeros(len(cand), dtype=np.float32)
-            for t in present:  # canonical accumulation order
+            for t in present:
                 if t not in per_term:
                     continue
                 ids_t, tfs_t, dls_t = per_term[t]
@@ -657,12 +639,69 @@ class QueryEngine:
                         tfs_t, dls_t, dfs[t], self.n_docs, self.avgdl
                     )
                     total[pos] = (total[pos] + s).astype(np.float32)
-            for d, s in zip(cand.tolist(), total.tolist()):
-                item = (s, -d)
+            return cand, total
+
+        def push_topk(cand, total):
+            best = np.lexsort((cand, -total.astype(np.float64)))[:k]
+            for i in best.tolist():
+                item = (float(total[i]), -int(cand[i]))
                 if len(heap) < k:
                     heapq.heappush(heap, item)
                 elif item > heap[0]:
                     heapq.heapreplace(heap, item)
+
+        order = np.argsort(-bound, kind="stable")
+        # phase 1: sequential sweep of the top-bound segments — raises
+        # the threshold fast and stops as soon as bounds fall below it
+        n_p1 = min(16, len(order))
+        for si in order[:n_p1].tolist():
+            if len(heap) == k and bound[si] < heap[0][0]:
+                break
+            stats["segments_processed"] += 1
+            lo, hi = int(seg_lo[si]), int(seg_hi[si])
+            per_term = {}
+            for j, t in enumerate(present):
+                ci = cover[si, j]
+                if ci < 0:
+                    continue
+                ids, tfs, dls = get_chunk(int(metas[t].rows[ci]))
+                l = np.searchsorted(ids, lo, side="left")
+                r = np.searchsorted(ids, hi, side="left")
+                if l < r:
+                    per_term[t] = (ids[l:r], tfs[l:r], dls[l:r])
+            if not per_term or (conj and len(per_term) < len(present)):
+                continue
+            got = score_candidates(per_term)
+            if got is not None:
+                push_topk(*got)
+        theta = heap[0][0] if len(heap) == k else -np.inf
+        # phase 2: every surviving segment in ONE vectorized pass (the
+        # common no-pruning query costs the same as exhaustive scoring;
+        # segments are disjoint, so no doc is scored twice)
+        rest = order[n_p1:]
+        rest = rest[bound[rest] >= theta]
+        if len(rest):
+            stats["segments_processed"] += len(rest)
+            mlo, mhi = wand.merge_intervals(seg_lo[rest], seg_hi[rest])
+            per_term = {}
+            for j, t in enumerate(present):
+                cis = np.unique(cover[rest, j])
+                cis = cis[cis >= 0]
+                if not len(cis):
+                    continue
+                parts = [
+                    get_chunk(int(metas[t].rows[ci])) for ci in cis.tolist()
+                ]
+                ids = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts])
+                dls = np.concatenate([p[2] for p in parts])
+                keep = wand.ids_in_intervals(ids, mlo, mhi)
+                if keep.any():
+                    per_term[t] = (ids[keep], tfs[keep], dls[keep])
+            if per_term and not (conj and len(per_term) < len(present)):
+                got = score_candidates(per_term)
+                if got is not None:
+                    push_topk(*got)
         return [(-nd, s) for s, nd in sorted(heap, reverse=True)]
 
     def _search_local_full(self, data: dict, mode: str, k: int):
