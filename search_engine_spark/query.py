@@ -216,36 +216,47 @@ class QueryEngine:
     # --------------------------------------------------- WAND planning
 
     def _collect_meta(
-        self, present: list[str], lex: dict[str, dict]
-    ) -> dict[str, wand.TermChunks] | None:
-        """Collect chunk metadata (NO payloads) for WAND planning; None
-        when the index predates bound columns or the sweep would exceed
-        the driver cap."""
-        total_chunks = sum(lex[t]["n_chunks"] for t in present)
-        if total_chunks > METADATA_CAP:
-            return None
-        chunks = self._chunks(present)
+        self, terms: list[str]
+    ) -> tuple[dict[str, wand.TermChunks], dict[str, dict]] | None:
+        """One metadata-only collect (NO payloads) serves BOTH the WAND
+        planner and the lexicon stats (df = sum of chunk n, intervals =
+        chunk extremes) — a single-query search needs no separate
+        lexicon job. Returns None when the index predates bound columns
+        or the term set exceeds the planning cap (callers fall back to
+        the lexicon + interval pruner)."""
+        chunks = self._chunks(terms)
         if "max_ratio" not in chunks.columns:
             return None
-        rows = chunks.select(
-            "term",
-            "salt",
-            "chunk_seq",
-            "first_doc_id",
-            "last_doc_id",
-            "n",
-            "max_ratio",
-            "min_ratio",
-        ).collect()
-        by_term: dict[str, list] = {t: [] for t in present}
+        rows = (
+            chunks.select(
+                "term",
+                "salt",
+                "chunk_seq",
+                "first_doc_id",
+                "last_doc_id",
+                "n",
+                "max_ratio",
+                "min_ratio",
+            )
+            .limit(METADATA_CAP + 1)
+            .collect()
+        )
+        if len(rows) > METADATA_CAP:
+            return None
+        by_term: dict[str, list] = {}
         for r in rows:
-            by_term[r["term"]].append(r)
-        metas = {}
-        for t in present:
-            rs = by_term[t]
-            if not rs:
-                continue
-            t_idf = wand.idf(lex[t]["df"], self.n_docs)
+            by_term.setdefault(r["term"], []).append(r)
+        metas: dict[str, wand.TermChunks] = {}
+        lex: dict[str, dict] = {}
+        for t, rs in by_term.items():
+            df = int(sum(r["n"] for r in rs))
+            lex[t] = {
+                "df": df,
+                "n_chunks": len(rs),
+                "min_doc_id": min(r["first_doc_id"] for r in rs),
+                "max_doc_id": max(r["last_doc_id"] for r in rs),
+            }
+            t_idf = wand.idf(df, self.n_docs)
             bound = wand.term_chunk_bounds(
                 t_idf,
                 np.array([r["max_ratio"] for r in rs]),
@@ -258,7 +269,7 @@ class QueryEngine:
                 bound=bound,
                 rows=[(r["salt"], r["chunk_seq"]) for r in rs],
             )
-        return metas if len(metas) == len(present) else None
+        return metas, lex
 
     def _segments_job(
         self,
@@ -344,8 +355,6 @@ class QueryEngine:
         array of (term, score, tf) per matched term.
         """
         terms = tokenize_query(query)
-        lex = self.lexicon_lookup(terms)
-        present = sorted(lex)
         schema = "doc_id long, score " + (
             "double" if dtype is np.float64 else "float"
         )
@@ -355,15 +364,24 @@ class QueryEngine:
                 f"score:{'double' if dtype is np.float64 else 'float'},tf:bigint>>"
             )
         empty = self.spark.createDataFrame([], schema)
-        if not present:
+        if not terms:
             return empty
         conj = mode == "conjunctive"
+        # one metadata collect yields lexicon stats AND the WAND plan;
+        # the separate lexicon lookup only runs on the fallback path
+        got = self._collect_meta(terms)
+        if got is not None:
+            metas, lex = got
+        else:
+            metas, lex = None, self.lexicon_lookup(terms)
+        present = sorted(lex)
+        if not present:
+            return empty
         self.last_plan_stats = {
             "chunks_total": sum(lex[t]["n_chunks"] for t in present),
             "pruner": "none",
         }
 
-        metas = self._collect_meta(present, lex)
         if metas is not None:
             seg_lo, seg_hi, bound, cover = wand.sweep_segments(
                 metas, conj and len(present) > 1
