@@ -69,18 +69,29 @@ CHUNK_SCHEMA = (
 # inside an executor's memory at any corpus size, since n_salts grows
 # linearly with the corpus.
 POSTINGS_PER_SALT = 2_000_000
+# ...but never salt so finely that posting lists fragment into
+# micro-chunks (every salt splits every term's list; a salt holding
+# under ~16k postings buys no memory safety and taxes every query)
+MIN_POSTINGS_PER_SALT = 16_384
 
 
 def auto_n_salts(
     est_postings: int,
     min_salts: int = 8,
     postings_per_salt: int = POSTINGS_PER_SALT,
+    min_postings_per_salt: int = MIN_POSTINGS_PER_SALT,
 ) -> int:
-    """Derive the salt count from corpus size: enough salts that one
-    salt range's postings fit a worker's memory budget, never fewer
-    than ``min_salts`` (keeps small builds parallel)."""
-    need = -(-max(int(est_postings), 1) // postings_per_salt)
-    return max(int(min_salts), need)
+    """Derive the salt count from corpus size.
+
+    Three regimes: big corpora get ``est/postings_per_salt`` salts (one
+    salt range fits a worker's memory budget), mid-size corpora get
+    ``min_salts`` (parallelism), tiny corpora get only as many salts as
+    keep ``min_postings_per_salt`` postings per salt (fragmenting a
+    small index taxes every query for no benefit)."""
+    est = max(int(est_postings), 1)
+    need = -(-est // postings_per_salt)
+    frag_cap = max(1, est // min_postings_per_salt)
+    return max(min(int(min_salts), frag_cap), need)
 
 
 def _tokenize_count_batches(batches):

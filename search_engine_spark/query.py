@@ -57,6 +57,11 @@ from .wand import B, K1  # noqa: F401  (re-export: historical home)
 # would push the sweep itself into a Spark job at this point)
 METADATA_CAP = 65536
 
+# conjunctive pivot refinement: collect the rarest term's doc ids when
+# its df is at most this (the candidate list rides to executors in the
+# decode closure — ~0.5 MB at the cap)
+PIVOT_DOC_CAP = 65536
+
 
 def bm25_scores(
     tf: np.ndarray,
@@ -154,12 +159,15 @@ class QueryEngine:
         intervals: tuple[np.ndarray, np.ndarray] | None = None,
         with_dl: bool = False,
         dtype=np.float32,
+        candidates: np.ndarray | None = None,
     ) -> DataFrame:
         """Decode chunks and emit per-posting BM25 scores.
 
         ``intervals`` (disjoint sorted half-open doc-id ranges) masks
         decoded postings to the kept WAND segments, so docs outside them
         can never surface with partial disjunctive scores.
+        ``candidates`` (sorted doc ids, broadcast via closure) masks to
+        an explicit candidate set — the conjunctive pivot refinement.
         """
         n_docs, avgdl = self.n_docs, self.avgdl
         dfs = {t: e["df"] for t, e in lex.items()}
@@ -184,6 +192,13 @@ class QueryEngine:
                         keep = wand.ids_in_intervals(
                             ids.astype(np.int64), lo_arr, hi_arr
                         )
+                        if not keep.all():
+                            ids, tfs, dl = ids[keep], tfs[keep], dl[keep]
+                    if candidates is not None and len(ids):
+                        ids64 = ids.astype(np.int64)
+                        pos = np.searchsorted(candidates, ids64)
+                        pos_safe = np.clip(pos, 0, len(candidates) - 1)
+                        keep = candidates[pos_safe] == ids64
                         if not keep.all():
                             ids, tfs, dl = ids[keep], tfs[keep], dl[keep]
                     if not len(ids):
@@ -308,6 +323,66 @@ class QueryEngine:
         self.last_plan_stats["chunks_kept"] = len(keys)
         return self._agg_topk(scored, mode, len(present), k, explain, dtype)
 
+    def _spark_conjunctive_pivot(
+        self,
+        present: list[str],
+        lex: dict[str, dict],
+        metas: dict[str, wand.TermChunks],
+        pivot: str,
+        k: int,
+        explain: bool,
+        dtype,
+        empty: DataFrame,
+    ) -> DataFrame:
+        """Conjunctive nextGEQ at posting granularity: job 1 decodes the
+        (rare) pivot term's chunks and collects its doc ids; the driver
+        picks, per other term, exactly the chunks containing a candidate;
+        job 2 decodes that chunk set with the candidate mask and runs the
+        exact conjunctive aggregation."""
+        pivot_ids = (
+            self._scored_postings(self._chunks([pivot]), lex)
+            .select("doc_id")
+            .collect()
+        )
+        if not pivot_ids:
+            return empty
+        cand = np.array(sorted(r["doc_id"] for r in pivot_ids), dtype=np.int64)
+        keys = {
+            (pivot, int(s), int(q)) for s, q in metas[pivot].rows.tolist()
+        }
+        for t in present:
+            if t == pivot:
+                continue
+            m = metas[t]
+            idx = np.searchsorted(m.first, cand, side="right") - 1
+            safe = np.clip(idx, 0, None)
+            hit = (idx >= 0) & (m.last[safe] >= cand)
+            for ci in np.unique(idx[hit]).tolist():
+                salt, seq = m.rows[ci]
+                keys.add((t, int(salt), int(seq)))
+        keys_df = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(keys), "term string, salt int, chunk_seq int"
+            )
+        )
+        kept = self._chunks(present).join(
+            keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
+        )
+        self.last_plan_stats.update(
+            {
+                "pruner": "pivot_nextgeq",
+                "pivot": pivot,
+                "chunks_kept": len(keys),
+                "candidates": len(cand),
+            }
+        )
+        scored = self._scored_postings(
+            kept, lex, with_dl=explain, dtype=dtype, candidates=cand
+        )
+        return self._agg_topk(
+            scored, "conjunctive", len(present), k, explain, dtype
+        )
+
     def _agg_topk(
         self,
         scored: DataFrame,
@@ -381,6 +456,17 @@ class QueryEngine:
             "chunks_total": sum(lex[t]["n_chunks"] for t in present),
             "pruner": "none",
         }
+
+        if metas is not None and conj and len(present) > 1:
+            # posting-level nextGEQ refinement: with a rare pivot term,
+            # collecting its doc ids (bounded) lets the final job decode
+            # only chunks that CONTAIN a candidate — finer than any
+            # score-bound or interval granularity
+            pivot = min(present, key=lambda t: (lex[t]["df"], t))
+            if lex[pivot]["df"] <= PIVOT_DOC_CAP:
+                return self._spark_conjunctive_pivot(
+                    present, lex, metas, pivot, k, explain, dtype, empty
+                )
 
         if metas is not None:
             seg_lo, seg_hi, bound, cover = wand.sweep_segments(
@@ -599,16 +685,13 @@ class QueryEngine:
         # terms missing from the index were already dropped by the scan
         # filter (reference openList skip)
         conj = mode == "conjunctive" and len(present) > 1
-        seg_lo, seg_hi, bound, cover = wand.sweep_segments(metas, conj)
         stats = {
             "chunks_total": n_rows,
             "chunks_decoded": 0,
-            "segments_total": len(seg_lo),
+            "segments_total": 0,
             "segments_processed": 0,
         }
         self.last_local_stats = stats
-        if len(seg_lo) == 0:
-            return []
 
         decoded: dict[int, tuple] = {}
 
@@ -622,6 +705,20 @@ class QueryEngine:
                 got = decoded[row] = (ids.astype(np.int64), tfs, dls)
                 stats["chunks_decoded"] += 1
             return got
+
+        if conj:
+            # posting-level nextGEQ (reference DAAT semantics): decode
+            # the rarest term fully, then for every other term decode
+            # ONLY the chunks that contain a surviving candidate —
+            # score-bound segments cannot express this granularity
+            return self._local_conjunctive(
+                metas, dfs, present, k, get_chunk, stats
+            )
+
+        seg_lo, seg_hi, bound, cover = wand.sweep_segments(metas, conj)
+        stats["segments_total"] = len(seg_lo)
+        if len(seg_lo) == 0:
+            return []
 
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
 
@@ -721,6 +818,58 @@ class QueryEngine:
                 if got is not None:
                     push_topk(*got)
         return [(-nd, s) for s, nd in sorted(heap, reverse=True)]
+
+    def _local_conjunctive(
+        self,
+        metas: dict[str, wand.TermChunks],
+        dfs: dict[str, int],
+        present: list[str],
+        k: int,
+        get_chunk,
+        stats: dict,
+    ) -> list[tuple[int, float]]:
+        """Pivot-driven conjunctive DAAT: candidates = the rarest term's
+        postings; every other term (rarest first) decodes only chunks
+        containing a surviving candidate, shrinking the candidate set as
+        it goes. Exact evaluation — no threshold needed."""
+        by_df = sorted(present, key=lambda t: (dfs[t], t))
+        pivot = by_df[0]
+        m = metas[pivot]
+        parts = [get_chunk(int(r)) for r in m.rows.tolist()]
+        cand = np.concatenate([p[0] for p in parts])
+        lists: dict[str, tuple] = {
+            pivot: (
+                cand,
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+            )
+        }
+        for t in by_df[1:]:
+            m = metas[t]
+            idx = np.searchsorted(m.first, cand, side="right") - 1
+            safe = np.clip(idx, 0, None)
+            hit = (idx >= 0) & (m.last[safe] >= cand)
+            need = np.unique(idx[hit])
+            if not len(need):
+                return []
+            parts = [get_chunk(int(m.rows[ci])) for ci in need.tolist()]
+            ids_t = np.concatenate([p[0] for p in parts])
+            tfs_t = np.concatenate([p[1] for p in parts])
+            dls_t = np.concatenate([p[2] for p in parts])
+            lists[t] = (ids_t, tfs_t, dls_t)
+            cand = np.intersect1d(cand, ids_t, assume_unique=True)
+            if not len(cand):
+                return []
+        total = np.zeros(len(cand), dtype=np.float32)
+        for t in present:  # canonical accumulation order
+            ids_t, tfs_t, dls_t = lists[t]
+            pos = np.searchsorted(ids_t, cand)
+            s = bm25_scores(
+                tfs_t[pos], dls_t[pos], dfs[t], self.n_docs, self.avgdl
+            )
+            total = (total + s).astype(np.float32)
+        order = np.lexsort((cand, -total.astype(np.float64)))[:k]
+        return [(int(cand[i]), float(total[i])) for i in order]
 
     def _search_local_full(self, data: dict, mode: str, k: int):
         """Exhaustive local scoring (legacy indexes without bound

@@ -24,6 +24,8 @@ def engine(spark):
         text = f"the filler{i} pad{i % 7} common words here"
         if 2900 <= i < 2910:
             text += " rare rare rare rare rare"
+        if i % 280 == 3:  # UNIFORMLY SPREAD sparse term (worst case for
+            text += " sparse sparse"  # interval/bound granularity)
         rows.append((i, f"https://t/doc/{i}", text))
     docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
     IndexBuilder(spark, index_dir, n_salts=4, bucket_count=8).build(
@@ -40,7 +42,10 @@ def test_spark_wand_prunes_and_matches_fallback(engine, mode, monkeypatch):
         for r in engine.search("the rare", mode=mode, k=5).collect()
     ]
     stats = dict(engine.last_plan_stats)
-    assert stats["pruner"] == "block_max_wand"
+    # disjunctive: score-bound sweep; conjunctive with a rare pivot:
+    # posting-level nextGEQ refinement
+    expected = "pivot_nextgeq" if mode == "conjunctive" else "block_max_wand"
+    assert stats["pruner"] == expected, stats
     # the stop word's chunks must NOT all be decoded
     assert stats["chunks_kept"] < stats["chunks_total"], stats
 
@@ -89,6 +94,39 @@ def test_conjunctive_local_prunes(engine):
     assert stats["chunks_decoded"] < stats["chunks_total"], stats
     assert len(res) == 5
     assert all(2900 <= d < 2910 for d, _s in res)
+
+
+def test_pivot_nextgeq_beats_interval_granularity(engine, monkeypatch):
+    """`the AND sparse` with sparse docs SPREAD across the whole id
+    range: one sparse chunk spans everything, so interval/score-bound
+    pruning is blind — only posting-level candidates prune the stop
+    word's chunks."""
+    rows = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in engine.search("the sparse", mode="conjunctive", k=5).collect()
+    ]
+    stats = dict(engine.last_plan_stats)
+    assert stats["pruner"] == "pivot_nextgeq"
+    assert stats["candidates"] == 11  # docs 3, 283, ..., 2803
+    # kept chunk count tracks the candidate count, not the stop word's
+    # chunk count (pivot's own chunks + <=1 containing chunk/candidate)
+    assert stats["chunks_kept"] <= stats["candidates"] + 5, stats
+    assert stats["chunks_kept"] < stats["chunks_total"], stats
+    assert len(rows) == 5 and all(d % 280 == 3 for d, _s in rows)
+
+    monkeypatch.setattr(query_mod, "METADATA_CAP", 0)
+    full = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in engine.search("the sparse", mode="conjunctive", k=5).collect()
+    ]
+    assert rows == full
+
+    # local path: same refinement (pivot chunks + <=1 chunk/candidate)
+    res = engine.search_local("the sparse", mode="conjunctive", k=5)
+    s = engine.last_local_stats
+    assert s["chunks_decoded"] <= stats["candidates"] + 5, s
+    assert s["chunks_decoded"] < s["chunks_total"], s
+    assert [(d, round(v, 4)) for d, v in res] == rows
 
 
 def test_explain_per_term_detail(engine):
