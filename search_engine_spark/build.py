@@ -71,8 +71,8 @@ CHUNK_SCHEMA = (
 POSTINGS_PER_SALT = 2_000_000
 # ...but never salt so finely that posting lists fragment into
 # micro-chunks (every salt splits every term's list; a salt holding
-# under ~16k postings buys no memory safety and taxes every query)
-MIN_POSTINGS_PER_SALT = 16_384
+# under ~32k postings buys no memory safety and taxes every query)
+MIN_POSTINGS_PER_SALT = 32_768
 
 
 def auto_n_salts(

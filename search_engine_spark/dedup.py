@@ -137,28 +137,37 @@ def lsh_candidate_pairs(
     noise, not near-duplication). Implemented as a count + semi-join —
     no window, so a hot bucket never serializes through one task.
     ``lsh_bucket_stats`` reports what a given cap would drop.
+
+    Physical shape: one aggregation collapses each bucket to its member
+    list, the size filter applies the cap, and the pair expansion is a
+    higher-order-function cross of the (bounded) list with itself — a
+    SINGLE lineage with no self-join, so the expensive minhash pipeline
+    is computed exactly once and no bucket ever shuffles twice.
     """
     bands = _lsh_bands(docs, n_hashes, band_rows, shingle_n)
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.collect_list("doc_id").alias("_ds")
+    )
+    buckets = buckets.where(F.size("_ds") >= 2)
     if max_bucket_size is not None:
-        small = (
-            bands.groupBy("band", "band_key")
-            .agg(F.count("*").alias("_bn"))
-            .where(F.col("_bn") <= max_bucket_size)
-            .select("band", "band_key")
-        )
-        bands = bands.join(small, ["band", "band_key"], "leftsemi")
-    a = bands.alias("a")
-    b = bands.alias("b")
+        buckets = buckets.where(F.size("_ds") <= max_bucket_size)
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "_ds",
+                lambda x: F.transform(
+                    "_ds",
+                    lambda y: F.struct(
+                        x.alias("doc_a"), y.alias("doc_b")
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -122,8 +122,8 @@ def test_auto_n_salts_scales_with_corpus():
 
     # tiny corpora don't fragment (1 salt == reference global chunking)
     assert auto_n_salts(1000, min_salts=8) == 1
-    # mid-size: parallelism floor wins
-    assert auto_n_salts(1_000_000, min_salts=32) == 32
+    # mid-size: parallelism floor wins (clipped by fragmentation cap)
+    assert auto_n_salts(2_000_000, min_salts=32) == 32
     base = auto_n_salts(100 * POSTINGS_PER_SALT, min_salts=8)
     assert base == 100
     # 10x the corpus -> 10x the salts (bounded per-task memory)
