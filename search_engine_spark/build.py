@@ -412,6 +412,32 @@ def chunk_tokens_docmajor(
     return salted.mapInPandas(encode_partition, CHUNK_SCHEMA)
 
 
+# partitionBy writes of an EMPTY DataFrame emit no data files (only
+# _SUCCESS), so schema inference fails on read-back; these stages fall
+# back to their declared schemas (an empty corpus is a valid index)
+_PARTITIONED_STAGE_SCHEMAS = {
+    "chunks": CHUNK_SCHEMA + ", bucket int",
+    "lexicon": (
+        "term string, df long, n_chunks int, min_doc_id long, "
+        "max_doc_id long, max_ratio double, min_ratio double, bucket int"
+    ),
+}
+
+
+def read_stage_parquet(spark, path: str, stage: str) -> DataFrame:
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        schema = _PARTITIONED_STAGE_SCHEMAS.get(stage)
+        if schema is not None and os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            return spark.createDataFrame([], schema)
+        raise
+
+
 class IndexBuilder:
     def __init__(
         self,
@@ -569,7 +595,9 @@ class IndexBuilder:
     def _read(self, stage: str) -> DataFrame:
         if self.table_format == "iceberg":
             return self.spark.table(self._table_name(stage))
-        return self.spark.read.parquet(self._stage_dir(stage))
+        return read_stage_parquet(
+            self.spark, self._stage_dir(stage), stage
+        )
 
     def build(self, docs: DataFrame, resume: bool = True) -> dict:
         """Run all stages; skip completed ones when ``resume``."""

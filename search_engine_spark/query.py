@@ -52,10 +52,15 @@ from .runtime import ensure_shipped
 from .tokenizer import tokenize_query
 from .wand import B, K1  # noqa: F401  (re-export: historical home)
 
-# max chunk-metadata rows the driver will collect for WAND planning;
-# above this we fall back to interval-only pruning (a real deployment
-# would push the sweep itself into a Spark job at this point)
-METADATA_CAP = 65536
+# max chunk-metadata rows the driver will collect for WAND planning
+# (~60 B/row -> ~16 MB at the cap). Above it — e.g. a multi-stop-word
+# query over 10^12 docs, where one term alone owns ~10^8 chunks — we
+# fall back to interval-only pruning. The at-scale refinement (NOT yet
+# implemented, by design): run the same elementary-segment sweep as a
+# Spark job over the metadata rows, binning chunk intervals into fixed
+# doc-id bands so the per-term interval overlap becomes an equi-join on
+# the band key; only the surviving chunk KEYS come back to the driver.
+METADATA_CAP = 262144
 
 # conjunctive pivot refinement: collect the rarest term's doc ids when
 # its df is at most this (the candidate list rides to executors in the
@@ -109,7 +114,8 @@ class QueryEngine:
         self.bucket_count = int(self.config["bucket_count"])
         row = self._stage_df("stats").collect()[0]
         self.n_docs = int(row["n_docs"])
-        self.avgdl = float(row["avgdl"])
+        # avgdl is NULL for an empty corpus (a valid, if degenerate, index)
+        self.avgdl = float(row["avgdl"] or 1.0)
         self.last_plan_stats: dict = {}
         self.last_local_stats: dict = {}
 
@@ -120,7 +126,11 @@ class QueryEngine:
             return self.spark.table(
                 f"{self.config['catalog']}.{self.config['namespace']}.{stage}"
             )
-        return self.spark.read.parquet(f"{self.index_dir}/{stage}")
+        from .build import read_stage_parquet
+
+        return read_stage_parquet(
+            self.spark, f"{self.index_dir}/{stage}", stage
+        )
 
     # ------------------------------------------------------------ helpers
 
@@ -637,6 +647,8 @@ class QueryEngine:
         ds = pads.dataset(
             f"{self.index_dir}/chunks", format="parquet", partitioning="hive"
         )
+        if "term" not in ds.schema.names:  # empty index: no data files
+            return []
         buckets = self._buckets(terms)
         cols = [
             "term", "salt", "chunk_seq", "first_doc_id", "last_doc_id",
