@@ -8,7 +8,8 @@ Two paths, both pure DataFrame-API:
   the correctness baseline, and actually the right plan when Q is small.
 * :func:`ivf_topk` — IVF (inverted-file) scale path: a deterministic
   codebook (by default the vectors with the k smallest ids — engine-
-  reproducible; swap in KMeans centroids for production), each vector
+  reproducible; :func:`kmeans_codebook` trains a spherical-k-means
+  codebook for production recall), each vector
   assigned to its nearest centroid cell, queries probe the ``nprobe``
   nearest cells; exact cosine within probed cells. Cost O(Q·N·nprobe/
   n_cells) after the one-off O(N·n_cells) assignment, which is itself a
@@ -79,6 +80,67 @@ def default_codebook(
     (Reproducible in any engine; production would use KMeans.fit here.)"""
     return emb.where(F.col(id_col) < n_cells).select(
         F.col(id_col).cast("int").alias("cell"), F.col(vec_col).alias("cv")
+    )
+
+
+def kmeans_codebook(
+    emb: DataFrame,
+    n_cells: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means codebook via Lloyd iterations, DataFrame-native.
+
+    Seeds from :func:`default_codebook` (deterministic), then repeats:
+    assign every vector to its max-cosine centroid (broadcast join +
+    ``max_by`` hash agg — no window sort), recompute each centroid as
+    the element-wise mean of its members (``posexplode`` +
+    ``groupBy(cell, pos).avg`` — map-side partial agg, so the shuffle
+    carries n_cells*dims rows, not N*dims). Centroids are collected to
+    the driver each iteration (n_cells*dims floats — tiny) and
+    re-broadcast, keeping the lineage flat; this is the same structure
+    MLlib's KMeans uses. Cells that lose all members keep their previous
+    centroid. Returns (cell:int, cv:array<double>).
+
+    The driver-contract IVF query stays on the deterministic seed
+    codebook (oracle-reproducible); this trainer is the production
+    quality path — recall payoff measured in tests/test_dedup_ann.py.
+    """
+    spark = emb.sparkSession
+    dims_row = emb.select(F.size(vec_col).alias("d")).first()
+    if dims_row is None or dims_row["d"] is None:
+        return default_codebook(emb, n_cells, id_col, vec_col)
+    dims = int(dims_row["d"])
+    seed = default_codebook(emb, n_cells, id_col, vec_col)
+    cents = {int(r["cell"]): [float(x) for x in r["cv"]] for r in seed.collect()}
+    base = emb.select(id_col, vec_col)
+    for _ in range(max(0, n_iter)):
+        cb = spark.createDataFrame(
+            [(c, v) for c, v in sorted(cents.items())], "cell int, cv array<double>"
+        )
+        assigned = assign_cells(base, cb, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.col("pm.m").alias("mv"))
+        )
+        moved = False
+        for r in means.collect():
+            v = [float(x) for x in r["mv"]]
+            nrm = sum(x * x for x in v) ** 0.5
+            if nrm > 0 and len(v) == dims:
+                v = [x / nrm for x in v]
+                if v != cents.get(int(r["cell"])):
+                    moved = True
+                cents[int(r["cell"])] = v
+        if not moved:
+            break
+    return spark.createDataFrame(
+        [(c, v) for c, v in sorted(cents.items())], "cell int, cv array<double>"
     )
 
 

@@ -402,6 +402,64 @@ def sql_events_hourly(engine: str) -> str:
 
 
 EMB_NEARDUP_THRESHOLD = 0.4
+# Pinned LSH geometry for the driver query: fixed (tables, planes, dims)
+# makes the SRP-LSH path fully deterministic, so DuckDB can regenerate
+# the identical md5-derived hyperplanes and hash-match the result
+# (the library default derives n_planes from COUNT, which an oracle
+# built at SQL-construction time cannot see).
+EMB_LSH_TABLES, EMB_LSH_PLANES, EMB_DIMS, EMB_LSH_BUCKET_CAP = 8, 6, 64, 1000
+
+
+def sql_embedding_neardup_lsh() -> str:
+    """DuckDB oracle for the SRP-LSH near-dup path (hash-checked, not
+    rows-only): regenerates the SAME md5-derived hyperplanes as
+    :func:`dedup.random_planes` — `int(md5(f"{t}|{p}|{d}")[:8], 16)
+    / 0xFFFFFFFF * 2 - 1`, engine-independent by construction — then
+    replicates sign-bit bucketing per table, the bucket-size cap, the
+    same-bucket pair join with DISTINCT, and the exact-cosine filter.
+    Every arithmetic step is the same double-precision op sequence as
+    the Spark plan, so values agree bit-for-bit at round(,4)."""
+    t, p, dims, cap = EMB_LSH_TABLES, EMB_LSH_PLANES, EMB_DIMS, EMB_LSH_BUCKET_CAP
+    pair_dot = (
+        f"list_sum(list_transform(range(1, {dims} + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    cos = f"{pair_dot} / (a.nm * b.nm)"
+    return (
+        "WITH planes AS ("
+        f"  SELECT t, p, list_transform(range(0, {dims}), d -> "
+        "    CAST(concat('0x', substr(md5(concat(t, '|', p, '|', d)), 1, 8)) "
+        "      AS UBIGINT) / 4294967295.0 * 2.0 - 1.0) AS plane "
+        f"  FROM range(0, {t}) r1(t), range(0, {p}) r2(p)), "
+        "sigs AS ("
+        "  SELECT e.vec_id AS id, pl.t AS tbl, "
+        f"    CASE WHEN list_sum(list_transform(range(1, {dims} + 1), "
+        "      i -> CAST(e.embedding[i] AS DOUBLE) * pl.plane[i])) > 0 "
+        "    THEN (1 << pl.p) ELSE 0 END AS bit "
+        "  FROM embeddings e CROSS JOIN planes pl), "
+        "buckets AS ("
+        "  SELECT id, tbl, CAST(sum(bit) AS BIGINT) AS bucket "
+        "  FROM sigs GROUP BY id, tbl), "
+        "ok AS ("
+        "  SELECT tbl, bucket FROM buckets GROUP BY tbl, bucket "
+        f"  HAVING count(*) <= {cap}), "
+        "cand AS ("
+        "  SELECT DISTINCT a.id AS id_a, b.id AS id_b "
+        "  FROM buckets a "
+        "  JOIN ok ON ok.tbl = a.tbl AND ok.bucket = a.bucket "
+        "  JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket "
+        "    AND a.id < b.id), "
+        "nrm AS ("
+        "  SELECT vec_id, embedding, "
+        "    sqrt(list_sum(list_transform(embedding, "
+        "      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm "
+        "  FROM embeddings) "
+        f"SELECT c.id_a, c.id_b, round({cos}, 4) AS cos "
+        "FROM cand c "
+        "JOIN nrm a ON a.vec_id = c.id_a "
+        "JOIN nrm b ON b.vec_id = c.id_b "
+        f"WHERE round({cos}, 4) >= {EMB_NEARDUP_THRESHOLD}"
+    )
 
 
 def sql_embedding_neardup(engine: str) -> str:
@@ -717,7 +775,12 @@ def spark_embedding_neardup_lsh(spark, sf_dir: str) -> DataFrame:
     from .dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _emb(spark, sf_dir), threshold=EMB_NEARDUP_THRESHOLD
+        _emb(spark, sf_dir),
+        threshold=EMB_NEARDUP_THRESHOLD,
+        n_tables=EMB_LSH_TABLES,
+        n_planes=EMB_LSH_PLANES,
+        dims=EMB_DIMS,
+        max_bucket_size=EMB_LSH_BUCKET_CAP,
     )
 
 
@@ -855,12 +918,12 @@ def _registry() -> dict:
         "spark": spark_winnow,
         "sql": sql_winnow_duckdb(),
     }
-    # rows-only (approximate LSH recall is not SQL-expressible; its exact
-    # twin embedding_neardup_exact IS hash-checked, and pytest asserts
-    # the LSH result is a subset of the exact pairs)
+    # hash-checked since round 2: the md5-derived planes are engine-
+    # independent, so DuckDB regenerates the identical LSH geometry
+    # (pytest additionally asserts LSH ⊆ exact pairs)
     q["embedding_neardup_lsh"] = {
         "spark": spark_embedding_neardup_lsh,
-        "sql": None,
+        "sql": sql_embedding_neardup_lsh(),
     }
     return q
 

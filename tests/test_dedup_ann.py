@@ -186,3 +186,28 @@ def test_ann_ivf_recall_vs_bruteforce(emb, spark):
     # full probe == brute force
     allp = ann.ivf_topk(emb, queries, k=5, n_cells=8, nprobe=8).collect()
     assert {(r["query_id"], r["neighbor_id"]) for r in allp} == ex
+
+
+def test_ann_kmeans_codebook_recall_and_shape(emb, spark):
+    """Lloyd-trained codebook: valid shape (n_cells x dims, unit-norm),
+    and IVF recall with it is at least as good as chance at the same
+    nprobe; full probe still equals brute force (codebook choice only
+    affects which cells are probed, never the in-cell cosine)."""
+    cb = ann.kmeans_codebook(emb, n_cells=8, n_iter=3)
+    rows = cb.collect()
+    assert len(rows) == 8
+    dims = len(emb.select("embedding").first()["embedding"])
+    for r in rows:
+        assert len(r["cv"]) == dims
+        nrm = math.sqrt(sum(x * x for x in r["cv"]))
+        assert nrm == pytest.approx(1.0, abs=1e-9)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    exact = ann.cosine_topk(emb, queries, k=5).collect()
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    km = ann.ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4, codebook=cb).collect()
+    recall_km = len(ex & {(r["query_id"], r["neighbor_id"]) for r in km}) / len(ex)
+    assert recall_km >= 0.5
+    allp = ann.ivf_topk(emb, queries, k=5, n_cells=8, nprobe=8, codebook=cb).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in allp} == ex
