@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from . import codecs, wand
 from .runtime import ensure_shipped
-from .tokenizer import register_udfs
+from .tokenizer import register_udfs, tokenize_col, unique_tf_cols
 
 STAGES = ("tokens", "doc_table", "stats", "postings", "chunks", "lexicon")
 
@@ -623,25 +623,40 @@ class IndexBuilder:
         if not self._stage_done(manifest, "tokens"):
             t0 = time.time()
             if self.store_positions:
-                tokenize_udf = register_udfs()
                 tokens = docs.select(
                     "doc_id",
                     "url",
                     "text",
-                    tokenize_udf("text").alias("terms"),
+                    tokenize_col(F.col("text")).alias("terms"),
                 ).withColumn("doc_length", F.size("terms").cast("long"))
             else:
-                # tokenize AND tf-count in one Arrow pass: emitting
-                # (unique terms, tf counts) instead of the raw token
-                # stream shrinks both the checkpoint and every later
-                # JVM<->Python transfer ~3x, and makes the postings
-                # stage pure JVM (arrays_zip + explode)
-                tokens = docs.select(
-                    "doc_id", "url", "text"
-                ).mapInPandas(
-                    _tokenize_count_batches,
-                    "doc_id long, url string, text string, "
-                    "doc_length long, uterms array<string>, utfs array<int>",
+                # tokenize AND tf-count, all JVM (split + sorted-array
+                # boundary diff — no Python worker, no Arrow channel):
+                # emitting (unique terms, tf counts) instead of the raw
+                # token stream shrinks the checkpoint ~3x, and makes the
+                # postings stage pure JVM (arrays_zip + explode). The
+                # Arrow twin `_tokenize_count_batches` remains for
+                # environments where pandas string kernels beat JVM
+                # regex (measured equivalent here; JVM wins on worker-
+                # free robustness and codegen adjacency).
+                uterms, utfs = unique_tf_cols(F.col("_srt"))
+                tokens = (
+                    docs.select(
+                        "doc_id",
+                        "url",
+                        "text",
+                        F.array_sort(
+                            tokenize_col(F.col("text"))
+                        ).alias("_srt"),
+                    )
+                    .select(
+                        "doc_id",
+                        "url",
+                        "text",
+                        F.size("_srt").cast("long").alias("doc_length"),
+                        uterms.alias("uterms"),
+                        utfs.alias("utfs"),
+                    )
                 )
             self._write(tokens, "tokens")
             self._record_stage(manifest, "tokens", time.time() - t0, ["documents"])

@@ -67,7 +67,16 @@ def _sql_query(spark_sql: str):
 
 def _toks_cte(engine: str) -> str:
     if engine == "spark":
-        return "toks AS (SELECT doc_id, se_tokenize(text) AS ts FROM documents)"
+        # JVM-side tokenize (split + filter): whole-stage codegen, no
+        # Python worker — same semantics as tokenizer.tokenize_col
+        from .tokenizer import JAVA_INDEX_CLASS
+
+        rx = JAVA_INDEX_CLASS.replace("\\", "\\\\").replace("'", "\\'")
+        return (
+            "toks AS (SELECT doc_id, "
+            f"filter(split(coalesce(text, ''), '{rx}', -1), t -> t != '') "
+            "AS ts FROM documents)"
+        )
     return (
         "toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
         f"'{_RX_SQL}'), t -> t <> '') AS ts FROM documents)"

@@ -28,16 +28,18 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from .tokenizer import register_udfs
+from .tokenizer import tokenize_col  # noqa: F401  (JVM tokenizer)
 
 N_MINHASH = 16
 LSH_BAND_ROWS = 4
 
 
 def tokens_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) -> (doc_id, ts:array<string>) with engine tokenizer."""
-    tok = register_udfs()
-    return docs.select("doc_id", tok("text").alias("ts"))
+    """(doc_id, text) -> (doc_id, ts:array<string>) with engine tokenizer
+    (JVM split+filter — document order preserved, no Python worker)."""
+    from .tokenizer import tokenize_col
+
+    return docs.select("doc_id", tokenize_col(F.col("text")).alias("ts"))
 
 
 def shingles_df(toks: DataFrame, n: int = 3) -> DataFrame:

@@ -27,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from .build import IndexBuilder
-from .tokenizer import register_udfs
+from .tokenizer import tokenize_col  # noqa: F401  (JVM tokenizer)
 
 
 def windowed_event_counts(
@@ -115,12 +115,13 @@ class StreamingIndexer:
         # duplicate rows. Each batch overwrites its own batch_id-keyed
         # subdirectory, making the write idempotent (retry = same dir
         # rewritten); readers see hive-partitioned deltas.
-        tok = register_udfs()
+        from .tokenizer import tokenize_col
+
         tokens = batch_df.select(
             "doc_id",
             "url",
             "text",
-            tok("text").alias("terms"),
+            tokenize_col(F.col("text")).alias("terms"),
         ).withColumn("doc_length", F.size("terms").cast("long"))
         tokens.persist()
         (

@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .tokenizer import register_udfs
+from .tokenizer import tokenize_col  # noqa: F401  (JVM tokenizer)
 
 # GPT-2-ish coarse token classes: letter runs, single digits,
 # non-alnum-non-space runs (portable subset: no lookarounds).
@@ -53,8 +53,11 @@ def language_id(docs: DataFrame, ascii_threshold: float = 0.9) -> DataFrame:
 def quality_score(docs: DataFrame, stopwords=STOPWORDS) -> DataFrame:
     """Per-doc curation signals: token count, mean token length,
     stop-word ratio (reference tokenizer semantics)."""
-    tok = register_udfs()
-    t = docs.select("doc_id", F.explode(tok("text")).alias("term"))
+    from .tokenizer import tokenize_col
+
+    t = docs.select(
+        "doc_id", F.explode(tokenize_col(F.col("text"))).alias("term")
+    )
     is_stop = F.when(F.col("term").isin(*stopwords), 1).otherwise(0)
     return t.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_tokens"),

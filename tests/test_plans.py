@@ -139,3 +139,26 @@ def test_wholestage_codegen_covers_relational_ops(spark, built):
     p = plan_str(df)
     # '*(n)' prefixes mark WholeStageCodegen stages in the final plan
     assert "*(" in p and "HashAggregate" in p
+
+
+def test_tokens_stage_is_jvm_only(spark):
+    """The build's tokens stage (tokenize + per-doc tf) must contain no
+    Python evaluation: split/filter/array_sort/boundary-diff are all
+    Catalyst expressions, so the hottest stage of the build never
+    crosses the JVM<->Python Arrow channel."""
+    from search_engine_spark.tokenizer import tokenize_col, unique_tf_cols
+
+    docs = load_documents(spark, SF_DIR)
+    ut, tf = unique_tf_cols(F.col("_srt"))
+    tokens = docs.select(
+        "doc_id", "url", "text",
+        F.array_sort(tokenize_col(F.col("text"))).alias("_srt"),
+    ).select(
+        "doc_id", "url", "text",
+        F.size("_srt").cast("long").alias("doc_length"),
+        ut.alias("uterms"), tf.alias("utfs"),
+    )
+    p = plan_str(tokens)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in p, marker
+    assert "Exchange" not in p  # map-only: no shuffle before checkpoint

@@ -3,6 +3,7 @@
 QueryExecution.cpp:36-37,264-281)."""
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from search_engine_spark.tokenizer import (
     tokenize_query,
@@ -82,3 +83,47 @@ def test_spark_udf(spark):
         for r in df.select("doc_id", tokenize_udf("text").alias("toks")).collect()
     }
     assert rows == {1: ["a", "b", "b"], 2: [], 3: []}
+
+
+def test_jvm_tokenize_col_matches_python(spark):
+    """tokenize_col (JVM split+filter) must be token-identical to the
+    Python/pandas tokenizers, including the '$'-not-a-delimiter quirk,
+    unicode delimiters, empty/None/all-delimiter docs."""
+    from search_engine_spark.tokenizer import tokenize_col
+
+    texts = [
+        "a,b.c", "", None, " ,.;", "你好，世界", "price$42 x", "a@b!c",
+        "multi  space\n\nnewline", ",.lead", "trail;,", "「quoted」term",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r.toks
+        for r in df.select(
+            "doc_id", tokenize_col(F.col("text")).alias("toks")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert rows[i] == tokenize_text(t or ""), repr(t)
+
+
+def test_jvm_unique_tf_cols_matches_counter(spark):
+    from collections import Counter
+
+    from search_engine_spark.tokenizer import tokenize_col, unique_tf_cols
+
+    texts = ["b a b a b c", "", None, "x", ",.;", "z z z z"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    srt = F.array_sort(tokenize_col(F.col("text")))
+    ut, tf = unique_tf_cols(F.col("_srt"))
+    got = {
+        r.doc_id: dict(zip(r.u, r.f))
+        for r in df.select("doc_id", srt.alias("_srt"))
+        .select("doc_id", ut.alias("u"), tf.alias("f"))
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == dict(Counter(tokenize_text(t or ""))), repr(t)
