@@ -247,43 +247,50 @@ def ngram_jaccard_pairs(
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash): tf-weighted sign aggregation over md5(term)
-    bits (bit b of the hex digest, little-endian within nibbles)."""
-    toks = tokens_df(docs)
-    tf = (
-        toks.select("doc_id", F.explode("ts").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-        .withColumn("h", F.md5("term"))
+    bits (bit b of the hex digest, little-endian within nibbles).
+
+    MAP-ONLY: per-doc (term, tf) pairs come from the sorted-token-array
+    boundary diff (no groupBy), each term's md5 is hashed once, and the
+    per-bit weighted sums are ``aggregate`` higher-order expressions
+    over that array — zero shuffles, zero Python. The previous shape
+    (explode -> groupBy(doc, term) -> 16x crossJoin -> two more
+    aggregations) shuffled every posting twice with a 16x fan-out; at
+    web scale the sketch is now free at scan time. Docs with zero
+    tokens emit no row (same as the aggregation shape and the SQL
+    oracle; reorder_by_content left-joins + coalesces for them).
+    """
+    from .tokenizer import tokenize_col, unique_tf_cols
+
+    uterms, utfs = unique_tf_cols(F.col("_srt"))
+    pairs = F.arrays_zip(
+        F.transform(uterms, F.md5).alias("h"), utfs.alias("tf")
     )
-    # bit b of the hex digest (little-endian within each nibble); the
-    # shift amounts are columns, so SQL expressions (the Python
-    # shiftright/shiftleft helpers only take literal shift counts)
-    bit = F.expr(
-        "shiftright(instr('0123456789abcdef', "
-        "substr(h, 1 + cast(b / 4 as int), 1)) - 1, "
-        "cast(b % 4 as int)) & 1"
-    )
-    sums = (
-        tf.crossJoin(
-            F.broadcast(
-                tf.sparkSession.range(bits).select(
-                    F.col("id").cast("int").alias("b")
-                )
-            )
+    d = (
+        docs.select(
+            "doc_id", F.array_sort(tokenize_col(F.col("text"))).alias("_srt")
         )
-        .withColumn(
-            "contrib", F.col("tf") * F.when(bit == 1, 1).otherwise(-1)
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
+        .where(F.size("_srt") > 0)
+        .select("doc_id", pairs.alias("_ps"))
     )
-    return sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(0)
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+
+    def contrib(b: int):
+        nibble, shift = b // 4 + 1, b % 4
+
+        def step(acc, p):
+            hv = F.conv(F.substring(p["h"], nibble, 1), 16, 10).cast("int")
+            bit = F.shiftright(hv, shift).bitwiseAND(F.lit(1))
+            return acc + p["tf"].cast("long") * F.when(
+                bit == F.lit(1), F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return step
+
+    sig = None
+    for b in range(bits):
+        s_b = F.aggregate("_ps", F.lit(0).cast("long"), contrib(b))
+        term = F.when(s_b > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return d.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 def random_planes(n_tables: int, n_planes: int, dims: int) -> list[list[list[float]]]:

@@ -162,3 +162,16 @@ def test_tokens_stage_is_jvm_only(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in p, marker
     assert "Exchange" not in p  # map-only: no shuffle before checkpoint
+
+
+def test_simhash_is_map_only(spark):
+    """The SimHash sketch must be computable at scan time: no Exchange
+    (shuffle), no Python eval — per-doc tf pairs + 16 aggregate()
+    expressions are all map-side Catalyst."""
+    from search_engine_spark.dedup import simhash
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+    p = plan_str(simhash(docs))
+    assert "Exchange" not in p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in p, marker
