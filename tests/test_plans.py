@@ -175,3 +175,29 @@ def test_simhash_is_map_only(spark):
     assert "Exchange" not in p
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in p, marker
+
+
+def test_shingles_dedup_is_map_side(spark):
+    """Per-doc shingle dedup must not shuffle: array_distinct + explode
+    replaces the old explode + distinct() (a full shuffle of the
+    shingle stream)."""
+    from search_engine_spark.dedup import shingles_df, tokens_df
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+    p = plan_str(shingles_df(tokens_df(docs)))
+    assert "Exchange" not in p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in p, marker
+
+
+def test_minhash_single_shuffle_jvm_only(spark):
+    """MinHash signatures: exactly one shuffle (the slot groupBy, whose
+    partial agg collapses each partition to <=16 rows/doc pre-move);
+    md5 stays in codegen projections, no Python."""
+    from search_engine_spark.dedup import minhash_signatures
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+    p = plan_str(minhash_signatures(docs))
+    assert p.count("Exchange") == 1, p.count("Exchange")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in p, marker
