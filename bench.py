@@ -278,6 +278,9 @@ def run_scaling(replicate: int = 800, reps: int = 2) -> None:
                 SPARK_GRAFT_SF_DIR=SF_DIR,
                 SPARK_GRAFT_CORPUS_DIR=corpus_dir,
             )
+            # batch builds prefer the throughput collector (see
+            # runtime.get_spark GC note); still overridable by the caller
+            env.setdefault("SPARK_GRAFT_GC", "parallel")
             r = None
             for attempt in range(2):
                 out = subprocess.run(

@@ -94,13 +94,14 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
     )
-    # GC: this is a batch/throughput engine — the parallel (throughput)
-    # collector beats G1's pause-time orientation on the allocation-
-    # heavy JVM tokenize/agg stages at multi-core (measured on a 4M-doc
-    # corpus, min of reps: tokens stage local[4] 113.6s G1 -> 96.0s
-    # ParallelGC, local[1] parity 234.8 vs 228.8s). Pause times are
-    # irrelevant to an offline index build. SPARK_GRAFT_GC=g1 reverts.
-    if os.environ.get("SPARK_GRAFT_GC", "parallel") == "parallel":
+    # GC: workload-dependent. The parallel (throughput) collector wins
+    # on the long allocation-heavy batch build (4M-doc corpus, min of
+    # reps: tokens stage local[4] 113.6s G1 -> 96.0s ParallelGC), but
+    # its full-GC pauses are catastrophic for many-small-jobs query
+    # workloads (sf0.1 headline suite, same host: 42.2s G1 vs 132.0s
+    # ParallelGC — every query slower, worst 6x). Default is G1; the
+    # scaling/batch-build harness opts into SPARK_GRAFT_GC=parallel.
+    if os.environ.get("SPARK_GRAFT_GC", "g1") == "parallel":
         b = b.config(
             "spark.driver.extraJavaOptions", "-XX:+UseParallelGC"
         ).config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
