@@ -143,6 +143,11 @@ def run_suite() -> dict:
             20 / timings["local_path_20q"], 1
         )
 
+        # Each contract query runs TWICE and reports the MIN: single-shot
+        # cold timings on this shared VM swing up to 4x rep-to-rep
+        # (measured r2: same query/code 58.2s vs 15.6s), so the min is
+        # the interference-free estimate and makes round-over-round
+        # comparisons meaningful.
         for name in [
             "bm25_disjunctive",
             "bm25_conjunctive",
@@ -155,9 +160,13 @@ def run_suite() -> dict:
             "events_hourly",
         ]:
             fn = contract.queries()[name]
-            t0 = time.time()
-            fn(spark, SF_DIR).collect()
-            timings[name] = time.time() - t0
+            best = float("inf")
+            for _rep in range(2):
+                t0 = time.time()
+                fn(spark, SF_DIR).collect()
+                best = min(best, time.time() - t0)
+            timings[name] = best
+        extras["timing_method"] = "min_of_2"
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
         spark.stop()

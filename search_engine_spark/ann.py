@@ -92,7 +92,11 @@ def kmeans_codebook(
 ) -> DataFrame:
     """Spherical k-means codebook via Lloyd iterations, DataFrame-native.
 
-    Seeds from :func:`default_codebook` (deterministic), then repeats:
+    Seeds from the ``n_cells`` SMALLEST ids (TakeOrdered — works for
+    sparse or non-zero-based id spaces, unlike the contract's
+    ``default_codebook`` whose ``id < n_cells`` predicate assumes dense
+    ids; raises when the input has fewer than ``n_cells`` vectors),
+    then repeats:
     assign every vector to its max-cosine centroid (broadcast join +
     ``max_by`` hash agg — no window sort), recompute each centroid as
     the element-wise mean of its members (``posexplode`` +
@@ -112,8 +116,20 @@ def kmeans_codebook(
     if dims_row is None or dims_row["d"] is None:
         return default_codebook(emb, n_cells, id_col, vec_col)
     dims = int(dims_row["d"])
-    seed = default_codebook(emb, n_cells, id_col, vec_col)
-    cents = {int(r["cell"]): [float(x) for x in r["cv"]] for r in seed.collect()}
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    if len(seed_rows) < n_cells:
+        raise ValueError(
+            f"kmeans_codebook: need >= n_cells={n_cells} vectors to "
+            f"seed, got {len(seed_rows)}"
+        )
+    cents = {
+        i: [float(x) for x in r[vec_col]] for i, r in enumerate(seed_rows)
+    }
     base = emb.select(id_col, vec_col)
     for _ in range(max(0, n_iter)):
         cb = spark.createDataFrame(

@@ -781,10 +781,23 @@ def spark_embedding_neardup_exact(spark, sf_dir: str) -> DataFrame:
 
 
 def spark_embedding_neardup_lsh(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from .dedup import embedding_neardup_pairs
 
+    emb = _emb(spark, sf_dir)
+    # EMB_DIMS is pinned so the oracle can regenerate the hyperplanes;
+    # if the table width ever drifts, zip_with would silently truncate
+    # the Spark dot product while the oracle NULLs out-of-range indexes
+    # — fail loudly instead (one cheap first() probe).
+    probe = emb.select(F.size("embedding").alias("d")).first()
+    if probe is not None and probe["d"] != EMB_DIMS:
+        raise ValueError(
+            f"embeddings width {probe['d']} != pinned EMB_DIMS "
+            f"{EMB_DIMS}; LSH oracle geometry would silently diverge"
+        )
     return embedding_neardup_pairs(
-        _emb(spark, sf_dir),
+        emb,
         threshold=EMB_NEARDUP_THRESHOLD,
         n_tables=EMB_LSH_TABLES,
         n_planes=EMB_LSH_PLANES,

@@ -117,5 +117,22 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
+    # getOrCreate silently ignores builder configs when a session
+    # already exists in the process — if the caller asked for the
+    # parallel collector but the live JVM runs another GC, say so
+    # (JVM flags cannot change post-launch; a fresh process is needed).
+    if os.environ.get("SPARK_GRAFT_GC", "g1") == "parallel":
+        live = spark.conf.get("spark.executor.extraJavaOptions", "") or ""
+        if "-XX:+UseParallelGC" not in live:
+            import warnings
+
+            warnings.warn(
+                "SPARK_GRAFT_GC=parallel requested but the existing "
+                "SparkSession was launched without -XX:+UseParallelGC; "
+                "the batch build will run under the first session's GC "
+                "(start a fresh process to apply the flag)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     ensure_shipped(spark)
     return spark
