@@ -54,13 +54,24 @@ from .wand import B, K1  # noqa: F401  (re-export: historical home)
 
 # max chunk-metadata rows the driver will collect for WAND planning
 # (~60 B/row -> ~16 MB at the cap). Above it — e.g. a multi-stop-word
-# query over 10^12 docs, where one term alone owns ~10^8 chunks — we
-# fall back to interval-only pruning. The at-scale refinement (NOT yet
-# implemented, by design): run the same elementary-segment sweep as a
-# Spark job over the metadata rows, binning chunk intervals into fixed
-# doc-id bands so the per-term interval overlap becomes an equi-join on
-# the band key; only the surviving chunk KEYS come back to the driver.
+# query over 10^12 docs, where one term alone owns ~10^8 chunks — the
+# planner runs DISTRIBUTED (see _spark_banded): chunk intervals are
+# binned into fixed doc-id bands, the same elementary-segment sweep
+# runs per band as an applyInPandas job, and only bounded aggregates
+# (top-bound segments, surviving-key COUNT) ever reach the driver; the
+# surviving chunk keys stay in a DataFrame and prune the decode via a
+# leftsemi join. Score-bounded skipping therefore never turns off,
+# matching nextGEQ semantics (QueryExecution.cpp:122-147) at any scale.
 METADATA_CAP = 262144
+
+# distributed planner: escape hatch (False restores the r2 interval-only
+# fallback above the cap; used by tests to compare paths)
+BANDED_PLANNER = True
+# band sizing: ~this many chunk rows per band task; band count clamped
+BAND_TARGET_CHUNKS = 256
+N_BANDS_MIN, N_BANDS_MAX = 32, 65536
+# broadcast the surviving-keys side of the decode join below this count
+KEYS_BROADCAST_CAP = 100_000
 
 # conjunctive pivot refinement: collect the rarest term's doc ids when
 # its df is at most this (the candidate list rides to executors in the
@@ -318,19 +329,36 @@ class QueryEngine:
                 if ci >= 0:
                     salt, seq = m.rows[ci]
                     keys.add((t, int(salt), int(seq)))
+        lo, hi = wand.merge_intervals(seg_lo, seg_hi)
+        self.last_plan_stats["chunks_kept"] = len(keys)
+        return self._keys_job(
+            present, lex, sorted(keys), (lo, hi), mode, k, explain, dtype
+        )
+
+    def _keys_job(
+        self,
+        present: list[str],
+        lex: dict[str, dict],
+        keys: list[tuple],
+        intervals: tuple[np.ndarray, np.ndarray] | None,
+        mode: str,
+        k: int,
+        explain: bool = False,
+        dtype=np.float32,
+    ) -> DataFrame:
+        """Decode+score exactly the given (term, salt, chunk_seq) chunk
+        keys, optionally masking postings to doc-id intervals."""
         keys_df = F.broadcast(
             self.spark.createDataFrame(
-                sorted(keys), "term string, salt int, chunk_seq int"
+                keys, "term string, salt int, chunk_seq int"
             )
         )
         kept = self._chunks(present).join(
             keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
         )
-        lo, hi = wand.merge_intervals(seg_lo, seg_hi)
         scored = self._scored_postings(
-            kept, lex, intervals=(lo, hi), with_dl=explain, dtype=dtype
+            kept, lex, intervals=intervals, with_dl=explain, dtype=dtype
         )
-        self.last_plan_stats["chunks_kept"] = len(keys)
         return self._agg_topk(scored, mode, len(present), k, explain, dtype)
 
     def _spark_conjunctive_pivot(
@@ -392,6 +420,233 @@ class QueryEngine:
         return self._agg_topk(
             scored, "conjunctive", len(present), k, explain, dtype
         )
+
+    # ------------------------------------- distributed (banded) planner
+
+    def _banded_segments(
+        self, present: list[str], lex: dict[str, dict], conj: bool
+    ) -> DataFrame:
+        """The elementary-segment sweep as a SPARK JOB (used above
+        METADATA_CAP, where chunk metadata must not be collected).
+
+        Chunk intervals are binned into fixed-width doc-id bands
+        (``explode(sequence(first_band, last_band))`` — a term's
+        intervals are globally disjoint even when salted, because salts
+        are contiguous doc-id ranges, so per term each band sees a
+        disjoint clipped interval set and the per-band sweep is exact).
+        Each band group runs the SAME numpy sweep as the driver path
+        (wand.sweep_segments) over its clipped intervals via
+        applyInPandas; bands partition the doc-id space, so segments
+        are globally disjoint and their bounds identical to a global
+        sweep (band edges only split segments, never change coverage).
+
+        Returns one row per (segment, covering chunk):
+        (seg_lo, seg_hi, bound, est, term, salt, chunk_seq).
+        """
+        n_terms = len(present)
+        gmin = min(lex[t]["min_doc_id"] for t in present)
+        gmax = max(lex[t]["max_doc_id"] for t in present)
+        total_chunks = sum(lex[t]["n_chunks"] for t in present)
+        n_bands = min(
+            max(total_chunks // BAND_TARGET_CHUNKS, N_BANDS_MIN), N_BANDS_MAX
+        )
+        width = max(1, -(-(gmax - gmin + 1) // n_bands))
+
+        # per-term bound scale, driver-side (idf from the lexicon job);
+        # negative idf uses min_ratio (least-negative contribution)
+        bexpr = None
+        for t in present:
+            t_idf = wand.idf(lex[t]["df"], self.n_docs)
+            scale = t_idf * (wand.K1 + 1.0)
+            ratio = F.col("max_ratio") if t_idf >= 0 else F.col("min_ratio")
+            e = F.lit(scale) * ratio
+            bexpr = e if bexpr is None else F.when(
+                F.col("term") == t, e
+            ).otherwise(bexpr)
+
+        meta = self._chunks(present).select(
+            "term",
+            "salt",
+            "chunk_seq",
+            "first_doc_id",
+            "last_doc_id",
+            "n",
+            bexpr.alias("bound"),
+        )
+        band = F.explode(
+            F.sequence(
+                F.floor((F.col("first_doc_id") - gmin) / width),
+                F.floor((F.col("last_doc_id") - gmin) / width),
+            )
+        ).alias("band")
+        banded = meta.select("*", band)
+
+        def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "seg_lo": pd.Series(dtype="int64"),
+                    "seg_hi": pd.Series(dtype="int64"),
+                    "bound": pd.Series(dtype="float64"),
+                    "est": pd.Series(dtype="int64"),
+                    "term": pd.Series(dtype="object"),
+                    "salt": pd.Series(dtype="int32"),
+                    "chunk_seq": pd.Series(dtype="int32"),
+                }
+            )
+            b = int(pdf["band"].iloc[0])
+            blo = gmin + b * width
+            bhi = blo + width  # exclusive
+            metas: dict[str, wand.TermChunks] = {}
+            for t, g in pdf.groupby("term"):
+                metas[t] = wand.TermChunks(
+                    first=np.maximum(g["first_doc_id"].to_numpy(), blo),
+                    last=np.minimum(g["last_doc_id"].to_numpy(), bhi - 1),
+                    n=g["n"].to_numpy(),
+                    bound=g["bound"].to_numpy(),
+                    rows=np.stack(
+                        [g["salt"].to_numpy(), g["chunk_seq"].to_numpy()],
+                        axis=1,
+                    ),
+                )
+            if conj and len(metas) < n_terms:
+                return empty
+            terms_sorted = sorted(metas)
+            seg_lo, seg_hi, bound, cover = wand.sweep_segments(metas, conj)
+            if len(seg_lo) == 0:
+                return empty
+            est = np.zeros(len(seg_lo), dtype=np.int64)
+            for j, t in enumerate(terms_sorted):
+                cj = cover[:, j]
+                nn = np.where(cj >= 0, metas[t].n[np.clip(cj, 0, None)], 0)
+                est = (
+                    np.minimum(est, nn)
+                    if conj and j
+                    else (nn if conj else est + nn)
+                )
+            outs = []
+            for j, t in enumerate(terms_sorted):
+                cj = cover[:, j]
+                sel = cj >= 0
+                if not sel.any():
+                    continue
+                rows = metas[t].rows[cj[sel]]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "seg_lo": seg_lo[sel],
+                            "seg_hi": seg_hi[sel],
+                            "bound": bound[sel],
+                            "est": est[sel],
+                            "term": t,
+                            "salt": rows[:, 0].astype(np.int32),
+                            "chunk_seq": rows[:, 1].astype(np.int32),
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True) if outs else empty
+
+        schema = (
+            "seg_lo long, seg_hi long, bound double, est long, "
+            "term string, salt int, chunk_seq int"
+        )
+        return banded.groupBy("band").applyInPandas(sweep, schema)
+
+    def _spark_banded(
+        self,
+        present: list[str],
+        lex: dict[str, dict],
+        mode: str,
+        k: int,
+        explain: bool,
+        dtype,
+        empty: DataFrame,
+    ) -> DataFrame:
+        """Block-max WAND above METADATA_CAP, fully distributed.
+
+        Phase 1 (theta): collect the top-bound segments only (bounded:
+        <= 64 rows), decode their covering chunks with the segment-union
+        interval MASK (exact scores for docs inside; masking matters
+        here because theta must be a true lower bound of the k-th best
+        score). Phase 2: keep segments with bound >= theta; their
+        (term, salt, chunk_seq) keys stay DISTRIBUTED (localCheckpoint
+        truncates the sweep lineage) and prune the decode via a
+        leftsemi join — broadcast when the surviving count is small.
+
+        Phase 2 needs NO interval mask: a doc in a pruned segment can
+        only aggregate a PARTIAL score, and every per-term partial
+        contribution is <= that term's (clamped) chunk bound, so
+        partial <= segment bound < theta <= k-th best — phase 1 proved
+        k docs with exact scores >= theta exist, and those docs live in
+        kept segments (their bounds >= their scores), so no
+        partial-scored doc can enter the top k, even on ties (strict
+        inequality via the margin-inflated bound).
+        """
+        conj = mode == "conjunctive" and len(present) > 1
+        segs = self._banded_segments(present, lex, conj).persist()
+        try:
+            top = (
+                segs.select("seg_lo", "seg_hi", "bound", "est")
+                .dropDuplicates(["seg_lo"])
+                .orderBy(F.desc("bound"), F.asc("seg_lo"))
+                .limit(64)
+                .collect()
+            )
+            if not top:
+                return empty
+            self.last_plan_stats.update(
+                {"pruner": "banded_wand", "bands": True}
+            )
+            est = np.array([r["est"] for r in top], dtype=np.int64)
+            cum = np.cumsum(est)
+            n_p1 = int(np.searchsorted(cum, 4 * k) + 1)
+            n_p1 = min(max(n_p1, 16), len(top))
+            theta = None
+            # len(top) == 64 means more segments likely exist beyond the
+            # collected prefix — phase 1 is then always worthwhile; with
+            # fewer, phase 1 only pays if it covers a strict subset
+            if n_p1 < len(top) or len(top) == 64:
+                chosen = top[:n_p1]
+                lo, hi = wand.merge_intervals(
+                    np.array([r["seg_lo"] for r in chosen], dtype=np.int64),
+                    np.array([r["seg_hi"] for r in chosen], dtype=np.int64),
+                )
+                chosen_los = [int(r["seg_lo"]) for r in chosen]
+                p1_keys = [
+                    (r["term"], int(r["salt"]), int(r["chunk_seq"]))
+                    for r in segs.where(F.col("seg_lo").isin(chosen_los))
+                    .select("term", "salt", "chunk_seq")
+                    .distinct()
+                    .collect()
+                ]
+                p1_rows = self._keys_job(
+                    present, lex, p1_keys, (lo, hi), mode, k, dtype=dtype
+                ).collect()
+                if len(p1_rows) >= k:
+                    theta = float(p1_rows[-1]["score"])
+            kept = segs
+            if theta is not None:
+                kept = segs.where(F.col("bound") >= theta)
+                self.last_plan_stats["theta"] = theta
+            keys_df = (
+                kept.select("term", "salt", "chunk_seq")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_keys = keys_df.count()
+            self.last_plan_stats["chunks_kept"] = n_keys
+            if n_keys == 0:
+                return empty
+            if n_keys <= KEYS_BROADCAST_CAP:
+                keys_df = F.broadcast(keys_df)
+            kept_chunks = self._chunks(present).join(
+                keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
+            )
+            scored = self._scored_postings(
+                kept_chunks, lex, with_dl=explain, dtype=dtype
+            )
+            return self._agg_topk(scored, mode, len(present), k, explain, dtype)
+        finally:
+            segs.unpersist()
 
     def _agg_topk(
         self,
@@ -524,8 +779,21 @@ class QueryEngine:
                 mode, k, explain=explain, dtype=dtype,
             )
 
-        # fallback: no bound metadata (legacy index) or above the
-        # planning cap — doc-id interval pruning only (nextGEQ analogue)
+        # above the planning cap with bound metadata present: run the
+        # sweep distributed — score-bounded skipping must not turn off
+        # for exactly the queries that need it most (a stop word at
+        # 10^12 docs owns ~10^8 chunks)
+        if (
+            metas is None
+            and BANDED_PLANNER
+            and "max_ratio" in self._stage_df("chunks").columns
+        ):
+            return self._spark_banded(
+                present, lex, mode, k, explain, dtype, empty
+            )
+
+        # fallback: no bound metadata (legacy index) — doc-id interval
+        # pruning only (nextGEQ analogue)
         chunks = self._chunks(present)
         self.last_plan_stats["pruner"] = "intervals"
         if conj and len(present) > 1:

@@ -49,14 +49,46 @@ def test_spark_wand_prunes_and_matches_fallback(engine, mode, monkeypatch):
     # the stop word's chunks must NOT all be decoded
     assert stats["chunks_kept"] < stats["chunks_total"], stats
 
-    # exhaustive fallback path (force the planner cap to 0)
+    # exhaustive fallback path (force the planner cap to 0 AND disable
+    # the distributed banded planner that now takes over above the cap)
     monkeypatch.setattr(query_mod, "METADATA_CAP", 0)
+    monkeypatch.setattr(query_mod, "BANDED_PLANNER", False)
     full_rows = [
         (r["doc_id"], round(r["score"], 4))
         for r in engine.search("the rare", mode=mode, k=5).collect()
     ]
     assert engine.last_plan_stats["pruner"] in ("intervals", "none")
     assert wand_rows == full_rows
+
+
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+def test_banded_planner_prunes_above_metadata_cap(engine, mode, monkeypatch):
+    """Force METADATA_CAP below the stop word's chunk count: the
+    DISTRIBUTED banded planner must take over (pruner != 'intervals'),
+    still skip chunks by score bound, and stay rank-identical to the
+    driver-side WAND path."""
+    under_cap = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in engine.search("the rare", mode=mode, k=5).collect()
+    ]
+
+    monkeypatch.setattr(query_mod, "METADATA_CAP", 4)
+    rows = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in engine.search("the rare", mode=mode, k=5).collect()
+    ]
+    stats = dict(engine.last_plan_stats)
+    assert stats["pruner"] == "banded_wand", stats
+    assert stats["chunks_kept"] < stats["chunks_total"], stats
+    if mode == "disjunctive":
+        # disjunctive over a stop word has many segments -> phase 1
+        # must run and produce a score threshold; conjunctive can prune
+        # to a handful of chunks by segment overlap alone, where the
+        # phase-1 decode job would cost more than it saves
+        assert "theta" in stats, stats
+    assert rows == under_cap
+    assert len(rows) == 5
+    assert all(2900 <= d < 2910 for d, _s in rows)
 
 
 def test_local_wand_skips_chunk_decodes(engine):
