@@ -73,6 +73,9 @@ N_BANDS_MIN, N_BANDS_MAX = 32, 65536
 # broadcast the surviving-keys side of the decode join below this count
 KEYS_BROADCAST_CAP = 100_000
 
+# sentinel: a batch plan proved every query returns no rows
+EMPTY_BATCH = object()
+
 # conjunctive pivot refinement: collect the rarest term's doc ids when
 # its df is at most this (the candidate list rides to executors in the
 # decode closure — ~0.5 MB at the cap)
@@ -835,15 +838,26 @@ class QueryEngine:
         return self._agg_topk(scored, mode, len(present), k, explain, dtype)
 
     def batch_search(
-        self, queries: list[tuple[int, str]], mode: str = "disjunctive", k: int = 10
+        self,
+        queries: list[tuple[int, str]],
+        mode: str = "disjunctive",
+        k: int = 10,
+        prune: bool = True,
     ) -> DataFrame:
         """Score MANY queries in one Spark job.
 
         Distinct terms are decoded/scored once, then a broadcast
         (query_id, term) map fans scored postings out to queries; per-query
         top-k via a window rank. Returns (query_id, doc_id, score, rank).
-        (No WAND pruning here: chunk decode is shared across queries, so
-        per-query thresholds would prune each other's chunks.)
+
+        WAND pruning composes with the shared decode: per-query segment
+        sweeps run driver-side on one metadata collect, ONE shared
+        phase-1 job yields every query's score threshold, and the UNION
+        of surviving chunk keys leftsemi-prunes the decode (a chunk is
+        decoded iff at least one query still needs it — per-query
+        thresholds therefore never prune another query's chunks, they
+        only stop paying for chunks NO query needs). Safe by the same
+        partial-score argument as ``_spark_banded`` phase 2.
         """
         from pyspark.sql import Window
 
@@ -852,11 +866,15 @@ class QueryEngine:
             for t in tokenize_query(text):
                 qterms.append((qid, t))
         all_terms = sorted({t for _, t in qterms})
-        lex = self.lexicon_lookup(all_terms)
-        present = sorted(lex)
         empty = self.spark.createDataFrame(
             [], "query_id int, doc_id long, score float, rank int"
         )
+        got = self._collect_meta(all_terms) if prune else None
+        if got is not None:
+            metas, lex = got
+        else:
+            metas, lex = None, self.lexicon_lookup(all_terms)
+        present = sorted(lex)
         if not present:
             return empty
         qt = [(qid, t) for qid, t in qterms if t in lex]
@@ -871,7 +889,21 @@ class QueryEngine:
                 list(nq.items()), "query_id int, n_terms int"
             )
         )
-        scored = self._scored_postings(self._chunks(present), lex)
+        self.last_plan_stats = {
+            "chunks_total": sum(lex[t]["n_chunks"] for t in present),
+            "pruner": "none",
+        }
+        chunks = self._chunks(present)
+        conj = mode == "conjunctive"
+        if metas is not None:
+            keys_df = self._batch_plan(qt, metas, lex, conj, k, qt_df, nq_df)
+            if keys_df is EMPTY_BATCH:
+                return empty
+            if keys_df is not None:
+                chunks = chunks.join(
+                    keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
+                )
+        scored = self._scored_postings(chunks, lex)
         per_q = (
             scored.join(qt_df, "term")
             .groupBy("query_id", "doc_id")
@@ -891,6 +923,172 @@ class QueryEngine:
             per_q.drop("_nt")
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
+        )
+
+    @staticmethod
+    def _cover_keys(
+        tq: list[str], sub: dict[str, wand.TermChunks], cover: np.ndarray
+    ) -> set[tuple]:
+        """(term, salt, chunk_seq) keys of every chunk covering any of
+        the given segment rows (``cover`` in sorted-term column order)."""
+        keys: set[tuple] = set()
+        for j, t in enumerate(tq):
+            m = sub[t]
+            for ci in np.unique(cover[:, j]):
+                if ci >= 0:
+                    salt, seq = m.rows[ci]
+                    keys.add((t, int(salt), int(seq)))
+        return keys
+
+    def _batch_plan(
+        self,
+        qt: list[tuple[int, str]],
+        metas: dict[str, wand.TermChunks],
+        lex: dict[str, dict],
+        conj: bool,
+        k: int,
+        qt_df: DataFrame,
+        nq_df: DataFrame,
+    ) -> DataFrame | None:
+        """Per-query block-max WAND plans over the shared decode.
+
+        Driver-side (numpy, on the already-collected metadata): one
+        segment sweep per query. Queries whose sweep is large enough to
+        bound get a phase-1 probe; ALL probes share ONE decode job —
+        union of top-bound-segment chunk keys, scored once, masked per
+        query to its own segment intervals (mask => exact scores, so
+        each k-th-best is a true theta lower bound even with
+        negative-idf terms). Kept chunks per query = segments with
+        bound >= theta_q; returns the broadcast union of kept keys.
+
+        Safety of the final (unmasked) job mirrors _spark_banded phase
+        2: a doc in a segment pruned for query q aggregates, for q, a
+        partial sum bounded by the segment's (margin-inflated) bound
+        < theta_q — it can never displace the k docs phase 1 proved.
+        Conjunctive: a doc passing the n_terms filter has every term
+        decoded, hence an EXACT score (per-term postings of one doc
+        live in exactly one chunk), so kept-segment docs are scored
+        exactly and pruned-segment survivors stay below theta.
+        """
+        from pyspark.sql import Window
+
+        by_q: dict[int, list[str]] = {}
+        for qid, t in qt:
+            by_q.setdefault(qid, []).append(t)
+
+        plans: dict[int, tuple] = {}  # qid -> (tq, sub, bound, cover)
+        kept_keys: set[tuple] = set()
+        p1_keys: set[tuple] = set()
+        p1_ivals: list[tuple[int, int, int]] = []
+        for qid, terms_q in by_q.items():
+            tq = sorted(set(terms_q))
+            conj_q = conj and len(tq) > 1
+            sub = {t: metas[t] for t in tq}
+            seg_lo, seg_hi, bound, cover = wand.sweep_segments(sub, conj_q)
+            if len(seg_lo) == 0:
+                continue  # provably no (conjunctive) results
+            order = np.argsort(-bound, kind="stable")
+            est = np.zeros(len(seg_lo), dtype=np.int64)
+            for j, t in enumerate(tq):
+                cj = cover[:, j]
+                nn = np.where(cj >= 0, sub[t].n[np.clip(cj, 0, None)], 0)
+                est = (
+                    np.minimum(est, nn)
+                    if conj_q and j
+                    else (nn if conj_q else est + nn)
+                )
+            cum = np.cumsum(est[order])
+            n_p1 = int(np.searchsorted(cum, 4 * k) + 1)
+            n_p1 = min(max(n_p1, 16), len(order))
+            if n_p1 >= len(order):
+                # too few segments for a threshold to pay — keep all
+                # (for conjunctive, coverage pruning already applied)
+                kept_keys |= self._cover_keys(tq, sub, cover)
+                continue
+            p1 = order[:n_p1]
+            plans[qid] = (tq, sub, bound, cover)
+            p1_keys |= self._cover_keys(tq, sub, cover[p1])
+            lo, hi = wand.merge_intervals(seg_lo[p1], seg_hi[p1])
+            p1_ivals += [
+                (qid, int(a), int(b)) for a, b in zip(lo.tolist(), hi.tolist())
+            ]
+
+        total = self.last_plan_stats["chunks_total"]
+        if not plans:
+            if not kept_keys:
+                return EMPTY_BATCH
+            if len(kept_keys) >= total:
+                return None
+            self.last_plan_stats.update(
+                {"pruner": "batch_wand", "chunks_kept": len(kept_keys)}
+            )
+            return F.broadcast(
+                self.spark.createDataFrame(
+                    sorted(kept_keys), "term string, salt int, chunk_seq int"
+                )
+            )
+
+        # ONE shared phase-1 decode for every thresholdable query
+        keys1 = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(p1_keys), "term string, salt int, chunk_seq int"
+            )
+        )
+        iv = F.broadcast(
+            self.spark.createDataFrame(
+                p1_ivals, "query_id int, lo long, hi long"
+            )
+        ).alias("v")
+        scored1 = self._scored_postings(
+            self._chunks(sorted({t for t, _s, _c in p1_keys})).join(
+                keys1, ["term", "salt", "chunk_seq"], "leftsemi"
+            ),
+            lex,
+        )
+        s = scored1.join(qt_df, "term").alias("s")
+        masked = s.join(
+            iv,
+            (F.col("s.query_id") == F.col("v.query_id"))
+            & (F.col("s.doc_id") >= F.col("v.lo"))
+            & (F.col("s.doc_id") < F.col("v.hi")),
+            "leftsemi",
+        )
+        agg1 = masked.groupBy("query_id", "doc_id").agg(
+            F.sum("score").alias("score"), F.count("*").alias("_nt")
+        )
+        if conj:
+            agg1 = agg1.join(nq_df, "query_id").where(
+                F.col("_nt") == F.col("n_terms")
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        kth = (
+            agg1.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") == k)
+            .select("query_id", "score")
+            .collect()
+        )
+        thetas = {r["query_id"]: float(r["score"]) for r in kth}
+        for qid, (tq, sub, bound, cover) in plans.items():
+            th = thetas.get(qid)
+            rows = cover if th is None else cover[bound >= th]
+            kept_keys |= self._cover_keys(tq, sub, rows)
+        self.last_plan_stats.update(
+            {
+                "pruner": "batch_wand",
+                "chunks_kept": len(kept_keys),
+                "thetas": len(thetas),
+            }
+        )
+        if not kept_keys:
+            return EMPTY_BATCH
+        if len(kept_keys) >= total:
+            return None
+        return F.broadcast(
+            self.spark.createDataFrame(
+                sorted(kept_keys), "term string, salt int, chunk_seq int"
+            )
         )
 
     # ------------------------------------------------- driver-local path

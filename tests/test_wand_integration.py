@@ -91,6 +91,64 @@ def test_banded_planner_prunes_above_metadata_cap(engine, mode, monkeypatch):
     assert all(2900 <= d < 2910 for d, _s in rows)
 
 
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+def test_batch_search_prunes_shared_decode(engine, mode):
+    """batch_search must WAND-prune the shared decode: on a stop-word
+    query batch the union of per-query kept chunks is smaller than the
+    full chunk set, while every query stays rank-identical to its
+    single-query result."""
+    from tests.test_query import assert_rank_identical
+
+    # NOTE: no "sparse" here — its single chunk spans the whole doc-id
+    # space (uniform spread), which keeps every segment's bound above
+    # theta; a batch containing it keeps all chunks (correctly — same
+    # as single-query WAND at chunk granularity), checked separately.
+    queries = [(0, "the rare"), (1, "rare pad3"), (2, "rare")]
+    singles = {
+        qid: [
+            (r["doc_id"], r["score"])
+            for r in engine.search(q, mode=mode, k=5).collect()
+        ]
+        for qid, q in queries
+    }
+    rows = engine.batch_search(queries, mode=mode, k=5).collect()
+    stats = dict(engine.last_plan_stats)
+    assert stats["pruner"] == "batch_wand", stats
+    assert stats["chunks_kept"] < stats["chunks_total"], stats
+    if mode == "disjunctive":
+        # conjunctive prunes by segment coverage alone here (few
+        # segments -> no threshold probe); disjunctive needs theta
+        assert stats.get("thetas", 0) >= 1, stats
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid, want in singles.items():
+        got = [(d, s) for _, d, s in sorted(by_q.get(qid, []))]
+        assert_rank_identical(got, want)
+
+    # escape hatch reproduces the unpruned plan
+    engine.batch_search(queries, mode=mode, k=5, prune=False)
+    assert engine.last_plan_stats["pruner"] == "none"
+
+    # a wide-interval rare term ("sparse" covers the whole doc space)
+    # legitimately defeats chunk-granularity pruning; correctness must
+    # still hold when it shares the batch
+    want = [
+        (r["doc_id"], r["score"])
+        for r in engine.search("the sparse", mode=mode, k=5).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in sorted(
+            engine.batch_search([(7, "the sparse")], mode=mode, k=5).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert_rank_identical(got, want)
+
+
 def test_local_wand_skips_chunk_decodes(engine):
     res = engine.search_local("the rare", mode="disjunctive", k=5)
     stats = engine.last_local_stats
