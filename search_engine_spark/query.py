@@ -364,6 +364,36 @@ class QueryEngine:
         )
         return self._agg_topk(scored, mode, len(present), k, explain, dtype)
 
+    def _meta_theta(
+        self, present: list[str], metas: dict[str, wand.TermChunks], k: int
+    ) -> float | None:
+        """Score threshold from chunk metadata ALONE (no decode job).
+
+        A chunk's bound is ATTAINED: ``max_ratio`` is the exact maximum
+        tf/(K+tf) over its postings, so some doc scores exactly
+        idf*(K1+1)*max_ratio on that term. Chunks of one term hold
+        disjoint doc ranges, so that term's k highest chunk bounds are
+        attained by k DISTINCT docs; when every query term has
+        nonnegative idf, each doc's total score >= its attained bound
+        (other terms only add). Hence max over terms of the k-th
+        highest chunk bound is a true lower bound of the k-th best
+        total score. Invalid for conjunctive (the attaining doc need
+        not contain the other terms) and with negative idf anywhere
+        (another term could subtract) — callers gate on both.
+        """
+        theta0 = None
+        for t in present:
+            b = metas[t].bound
+            if len(b) >= k:
+                cand = float(np.partition(b, -k)[-k])
+                if theta0 is None or cand > theta0:
+                    theta0 = cand
+        if theta0 is None or theta0 <= 0:
+            return None
+        # scoring runs in float32; deflate so the attained scores
+        # still clear the threshold after rounding
+        return theta0 * (1.0 - wand.BOUND_MARGIN)
+
     def _spark_conjunctive_pivot(
         self,
         present: list[str],
@@ -762,7 +792,26 @@ class QueryEngine:
             # segments, not one segment's low-scoring tail
             n_p1 = min(max(n_p1, 16), len(order))
             theta = None
-            if n_p1 < len(order):
+            # metadata-only threshold (gated: disjunctive semantics,
+            # all-nonnegative idf — see _meta_theta); when its bound
+            # distribution separates cleanly, the phase-1 DECODE JOB is
+            # skipped entirely: search() = 1 metadata collect + 1 job
+            theta0 = None
+            if (not conj or len(present) == 1) and all(
+                wand.idf(lex[t]["df"], self.n_docs) >= 0 for t in present
+            ):
+                theta0 = self._meta_theta(present, metas, k)
+            run_p1 = n_p1 < len(order)
+            if theta0 is not None:
+                self.last_plan_stats["theta0"] = theta0
+                keep0 = int((bound >= theta0).sum())
+                # "separates cleanly": the metadata threshold already
+                # keeps no more segments than phase 1 would decode
+                # anyway — a decode probe cannot pay for itself
+                if keep0 <= max(n_p1, 16):
+                    run_p1 = False
+                    theta = theta0
+            if run_p1:
                 p1 = order[:n_p1]
                 p1_rows = self._segments_job(
                     present, lex, metas, seg_lo[p1], seg_hi[p1], cover[p1],
@@ -770,6 +819,9 @@ class QueryEngine:
                 ).collect()
                 if len(p1_rows) >= k:
                     theta = float(p1_rows[-1]["score"])
+                if theta0 is not None:
+                    theta = theta0 if theta is None else max(theta, theta0)
+            self.last_plan_stats["driver_jobs"] = 3 if run_p1 else 2
             if theta is not None:
                 keep = bound >= theta
                 self.last_plan_stats["theta"] = theta
@@ -1400,11 +1452,22 @@ class QueryEngine:
     # ----------------------------------------------------------- snippets
 
     def snippets(
-        self, query: str, topk: DataFrame, window: int = 100, max_segments: int = 5
+        self,
+        query: str,
+        topk: DataFrame,
+        window: int = 100,
+        max_segments: int = 5,
+        parity: bool = False,
     ) -> DataFrame:
         """Join top-k docs back to the doc table and extract ±window-char
         segments around term matches, merging overlaps (reference Q11
-        semantics, QueryExecution.cpp:500-549)."""
+        semantics, QueryExecution.cpp:500-549).
+
+        ``parity=True`` reproduces the reference's print-ALL quirk
+        (QueryExecution.cpp:544-548): every merged segment, in document
+        order, ignoring ``max_segments``. The default — top
+        ``max_segments`` by per-segment match count — is a deliberate,
+        documented deviation (bounded output per doc)."""
         terms = tokenize_query(query)
         doc_table = self._stage_df("doc_table")
         joined = doc_table.join(F.broadcast(topk), "doc_id")
@@ -1434,8 +1497,13 @@ class QueryEngine:
                         merged[-1][2] += 1
                     else:
                         merged.append([lo, hi, 1])
-                merged.sort(key=lambda m: -m[2])
-                out.append([text[lo:hi] for lo, hi, _ in merged[:max_segments]])
+                if parity:
+                    out.append([text[lo:hi] for lo, hi, _ in merged])
+                else:
+                    merged.sort(key=lambda m: -m[2])
+                    out.append(
+                        [text[lo:hi] for lo, hi, _ in merged[:max_segments]]
+                    )
             return pd.Series(out)
 
         return joined.select(

@@ -35,6 +35,87 @@ def test_iceberg_config_validation(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_iceberg_dispatch_without_runtime(spark, monkeypatch, tmp_path):
+    """Test double for the Iceberg path (runtime jar absent in this
+    sandbox): a fake catalog conf plus recorded writeTo/table/sql calls
+    assert the full dispatch surface — _write drives
+    writeTo(<cat>.<ns>.<stage>).using('iceberg').partitionedBy(...)
+    .createOrReplace() and leaves the _SUCCESS sentinel, _read resolves
+    spark.table(<cat>.<ns>.<stage>), and _record_stage harvests lineage
+    from the <table>.files metadata table into the manifest + lineage
+    parquet."""
+    from search_engine_spark.build import IndexBuilder
+
+    calls = {"sql": [], "read": [], "write": None, "chain": []}
+
+    class FakeWriter:
+        def using(self, fmt):
+            calls["chain"].append(("using", fmt))
+            return self
+
+        def partitionedBy(self, *cols):
+            calls["chain"].append(("partitionedBy", len(cols)))
+            return self
+
+        def createOrReplace(self):
+            calls["chain"].append(("createOrReplace",))
+
+    def fake_write_to(self, name):
+        calls["write"] = name
+        return FakeWriter()
+
+    monkeypatch.setattr(spark, "sql", lambda q, **kw: calls["sql"].append(q))
+    probe = spark.range(1)
+    monkeypatch.setattr(type(probe), "writeTo", fake_write_to)
+    spark.conf.set("spark.sql.catalog.icefake", "fake.Catalog")
+    try:
+        idx = str(tmp_path / "idx")
+        b = IndexBuilder(
+            spark, idx, table_format="iceberg", catalog="icefake"
+        )
+        assert any("CREATE NAMESPACE" in q for q in calls["sql"])
+        assert b._table_name("lexicon") == "icefake.search_engine.lexicon"
+
+        df = spark.range(4).selectExpr("id as doc_id", "id % 2 as bucket")
+        b._write(df, "lexicon", partition_by=["bucket"], sort_cols=["doc_id"])
+        assert calls["write"] == "icefake.search_engine.lexicon"
+        assert calls["chain"] == [
+            ("using", "iceberg"),
+            ("partitionedBy", 1),
+            ("createOrReplace",),
+        ]
+        assert os.path.exists(os.path.join(idx, "lexicon", "_SUCCESS"))
+
+        files_meta = spark.createDataFrame(
+            [("f1.parquet", 3, 120), ("f2.parquet", 1, 40)],
+            "file_path string, record_count long, file_size_in_bytes long",
+        )
+
+        def fake_table(name):
+            calls["read"].append(name)
+            return files_meta if name.endswith(".files") else df
+
+        monkeypatch.setattr(spark, "table", fake_table)
+        assert b._read("lexicon") is df
+        assert calls["read"][-1] == "icefake.search_engine.lexicon"
+
+        manifest = {"stages": {}, "config": {}}
+        b._record_stage(manifest, "lexicon", 1.5, inputs=["chunks"])
+        assert calls["read"][-1] == "icefake.search_engine.lexicon.files"
+        entry = manifest["stages"]["lexicon"]
+        assert entry["rows"] == 4 and entry["files"] == 2
+        assert entry["bytes"] == 160 and entry["inputs"] == ["chunks"]
+        lineage = os.path.join(idx, "lineage", "lexicon.parquet")
+        assert os.path.exists(lineage)
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(lineage)
+        assert t.num_rows == 2
+        assert set(t.column_names) == {"stage", "file", "rows", "bytes"}
+    finally:
+        spark.conf.unset("spark.sql.catalog.icefake")
+
+
 @pytest.mark.skipif(
     not _iceberg_jar_available(),
     reason="iceberg-spark-runtime jar not on the classpath in this sandbox",

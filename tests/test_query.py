@@ -3,6 +3,7 @@ real sf0.001 corpus, for both the Spark DataFrame path and the
 driver-local fast path, conjunctive and disjunctive."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from search_engine_spark.corpus import load_documents
 from search_engine_spark.build import IndexBuilder
@@ -114,3 +115,48 @@ def test_snippets(engine):
         for r in snips
         for s in r["snippets"]
     )
+
+
+def test_snippets_parity_prints_all_segments_in_doc_order(engine):
+    """Reference quirk (QueryExecution.cpp:544-548): ALL merged
+    segments are emitted, in document order — parity=True reproduces
+    it even when max_segments would truncate, and segment order follows
+    text position (default mode re-sorts by match count)."""
+    qe, _ = engine
+    # pick docs whose text holds >= 3 occurrences of the term, so the
+    # print-all quirk actually diverges from the truncating default
+    doc_rows = qe._stage_df("doc_table").select("doc_id", "text").collect()
+    multi = [
+        r["doc_id"]
+        for r in doc_rows
+        if (r["text"] or "").count("spark") >= 3
+    ][:3]
+    assert multi, "corpus has no doc with 3+ 'spark' occurrences"
+    top = qe.spark.createDataFrame(
+        [(d, 1.0) for d in multi], "doc_id long, score double"
+    )
+    # tiny window => many non-mergeable segments per doc
+    dflt = {
+        r["doc_id"]: r["snippets"]
+        for r in qe.snippets("spark", top, window=3, max_segments=1).collect()
+    }
+    par = {
+        r["doc_id"]: r["snippets"]
+        for r in qe.snippets(
+            "spark", top, window=3, max_segments=1, parity=True
+        ).collect()
+    }
+    assert set(dflt) == set(par)
+    assert all(len(v) <= 1 for v in dflt.values())
+    assert any(len(par[d]) > len(dflt[d]) for d in par), (par, dflt)
+    # parity segments appear in document order: each one is found
+    # strictly after the previous within the source text
+    for d, segs in par.items():
+        doc_text = (
+            qe._stage_df("doc_table").where(F.col("doc_id") == d).collect()
+        )[0]["text"]
+        pos = -1
+        for s in segs:
+            i = doc_text.find(s, pos + 1)
+            assert i > pos, (d, segs)
+            pos = i

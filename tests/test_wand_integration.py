@@ -149,6 +149,59 @@ def test_batch_search_prunes_shared_decode(engine, mode):
     assert_rank_identical(got, want)
 
 
+@pytest.fixture(scope="module")
+def skewed_engine(spark):
+    """2000 docs; 'hot' in docs 0-799 (df<N/2 -> positive idf), with
+    tf=10 in docs 0-639 and tf=1 in 640-799: the first five 128-posting
+    chunks carry a much higher attained bound than the last two, so the
+    k-th highest CHUNK bound alone already separates the top-k."""
+    index_dir = tempfile.mkdtemp(prefix="seidx_meta_theta_")
+    rows = []
+    for i in range(2000):
+        text = f"doc{i} misc words"
+        if i < 800:
+            text += " hot" * (10 if i < 640 else 1)
+        if 400 <= i < 1200:
+            text += " warm"
+        rows.append((i, f"https://t/doc/{i}", text))
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    IndexBuilder(spark, index_dir, n_salts=2, bucket_count=8).build(
+        docs, resume=False
+    )
+    yield QueryEngine(spark, index_dir)
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+
+@pytest.mark.parametrize("q", ["hot", "hot warm"])
+def test_meta_theta_skips_phase1_decode(skewed_engine, q, monkeypatch):
+    """When the chunk-bound distribution separates cleanly, the k-th
+    highest chunk bound is a valid theta WITHOUT any decode probe:
+    search() must run exactly 2 driver round-trips (metadata collect +
+    final job), still prune, and stay rank-identical to the exhaustive
+    path."""
+    eng = skewed_engine
+    rows = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in eng.search(q, mode="disjunctive", k=5).collect()
+    ]
+    stats = dict(eng.last_plan_stats)
+    assert stats["pruner"] == "block_max_wand", stats
+    assert "theta0" in stats, stats
+    assert stats["driver_jobs"] == 2, stats
+    assert stats["chunks_kept"] < stats["chunks_total"], stats
+    assert len(rows) == 5
+    assert all(d < 640 for d, _s in rows), rows  # the tf=10 docs win
+
+    # exhaustive fallback must agree
+    monkeypatch.setattr(query_mod, "METADATA_CAP", 0)
+    monkeypatch.setattr(query_mod, "BANDED_PLANNER", False)
+    full = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in eng.search(q, mode="disjunctive", k=5).collect()
+    ]
+    assert rows == full
+
+
 def test_local_wand_skips_chunk_decodes(engine):
     res = engine.search_local("the rare", mode="disjunctive", k=5)
     stats = engine.last_local_stats
