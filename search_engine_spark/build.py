@@ -46,6 +46,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 
 import numpy as np
@@ -424,9 +425,27 @@ _PARTITIONED_STAGE_SCHEMAS = {
 }
 
 
+# marker file naming the source stage a virtual stage reads through
+# (e.g. doc_table as a column-pruned view of tokens — writing the text
+# column twice would double the corpus IO at any scale)
+VIEW_MARKER = "_VIEW_OF"
+
+# column projections applied when a stage resolves through a view
+_VIEW_COLUMNS = {"doc_table": ["doc_id", "url", "doc_length", "text"]}
+
+
 def read_stage_parquet(spark, path: str, stage: str) -> DataFrame:
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    marker = os.path.join(path, VIEW_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            src = f.read().strip()
+        base = spark.read.parquet(
+            os.path.join(os.path.dirname(path.rstrip("/")), src)
+        )
+        cols = _VIEW_COLUMNS.get(stage)
+        return base.select(*cols) if cols else base
     try:
         return spark.read.parquet(path)
     except AnalysisException:
@@ -663,11 +682,46 @@ class IndexBuilder:
 
         if not self._stage_done(manifest, "doc_table"):
             t0 = time.time()
-            self._write(
-                self._read("tokens").select("doc_id", "url", "doc_length", "text"),
-                "doc_table",
-            )
-            self._record_stage(manifest, "doc_table", time.time() - t0, ["tokens"])
+            if self.table_format == "iceberg":
+                self._write(
+                    self._read("tokens").select(
+                        "doc_id", "url", "doc_length", "text"
+                    ),
+                    "doc_table",
+                )
+                self._record_stage(
+                    manifest, "doc_table", time.time() - t0, ["tokens"]
+                )
+            else:
+                # ZERO-COPY: url/text already live in the tokens
+                # parquet; rewriting them doubles the corpus IO at any
+                # scale (and measurably anti-scales: the rewrite is
+                # commit-protocol-bound, not CPU-bound). doc_table is a
+                # column-pruned VIEW of tokens — parquet readers only
+                # touch the requested columns, so doc_table consumers
+                # pay nothing for the uterms/utfs arrays.
+                ddir = self._stage_dir("doc_table")
+                if os.path.isdir(ddir):
+                    # drop any stale physical doc_table (e.g. from a
+                    # streaming compaction or an older layout) so the
+                    # view marker is the single source of truth
+                    shutil.rmtree(ddir)
+                os.makedirs(ddir, exist_ok=True)
+                with open(os.path.join(ddir, VIEW_MARKER), "w") as f:
+                    f.write("tokens")
+                open(os.path.join(ddir, "_SUCCESS"), "w").close()
+                manifest["stages"]["doc_table"] = {
+                    "rows": manifest["stages"]["tokens"]["rows"],
+                    "files": 0,
+                    "bytes": 0,
+                    "seconds": round(time.time() - t0, 3),
+                    "inputs": ["tokens"],
+                    "view_of": "tokens",
+                    "completed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                }
+                self._save_manifest(manifest)
 
         if not self._stage_done(manifest, "stats"):
             t0 = time.time()

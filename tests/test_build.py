@@ -44,12 +44,18 @@ def built(spark, tmp_path_factory):
 
 
 def test_doc_table_and_stats(spark, built):
+    import os
+
+    from search_engine_spark.build import VIEW_MARKER, read_stage_parquet
+
     docs, index_dir, _ = built
+    # doc_table is a zero-copy VIEW of the tokens stage (text/url are
+    # never written twice); the marker records the source stage
+    assert os.path.exists(f"{index_dir}/doc_table/{VIEW_MARKER}")
+    doc_table = read_stage_parquet(spark, f"{index_dir}/doc_table", "doc_table")
+    assert doc_table.columns == ["doc_id", "url", "doc_length", "text"]
     oracle = OracleIndex(docs)
-    dt = {
-        r["doc_id"]: r["doc_length"]
-        for r in spark.read.parquet(f"{index_dir}/doc_table").collect()
-    }
+    dt = {r["doc_id"]: r["doc_length"] for r in doc_table.collect()}
     assert dt == oracle.doc_lengths  # token counts incl. zero-term docs
     stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
     assert stats["n_docs"] == oracle.n_docs
