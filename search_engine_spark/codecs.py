@@ -515,3 +515,141 @@ def encode_lengths(doc_lengths: np.ndarray) -> bytes:
 def decode_lengths(payload: bytes | memoryview) -> np.ndarray:
     vals, _ = bit_packing_decode(payload, 0)
     return vals
+
+
+# --------------------------------------------------- block headers (C7)
+# Reference-identical BINARY header layouts (BlockEncoder.cpp:22-122,
+# studied not copied — compositions of the C1-C5 primitives above).
+# Spark-side persistence keeps chunk metadata as parquet COLUMNS (the
+# documented deviation: Catalyst prunes on them); these twins exist so
+# an index can be exported to / imported from the reference's on-disk
+# block format, and so the byte-layout contract stays test-covered.
+# The reference's BlockPlainEncoder debug twin is intentionally absent:
+# parquet is already human-inspectable.
+
+
+def _put_string(s: str, out: bytearray) -> None:
+    """BitStream::put_string (BitStream.cpp:38-44): u32 LE length +
+    raw bytes."""
+    b = s.encode("utf-8")
+    out += len(b).to_bytes(4, "little")
+    out += b
+
+
+def _get_string(buf: bytes | memoryview, pos: int) -> tuple[str, int]:
+    n = int.from_bytes(bytes(buf[pos : pos + 4]), "little")
+    pos += 4
+    return bytes(buf[pos : pos + n]).decode("utf-8"), pos + n
+
+
+def encode_block_header(
+    block_size: int,
+    last_chunk_length: int,
+    chunk_offsets: np.ndarray,
+    last_doc_ids: np.ndarray,
+    out: bytearray,
+) -> None:
+    """Final-index block header (BlockEncoder.cpp:46-56):
+    varbyte(block_size, chunk_count, last_chunk_length) +
+    delta_v2(chunk_offsets) + varbyte(last_doc_id) per chunk — the
+    ``last_doc_ids`` skip table is the reference's nextGEQ substrate."""
+    offsets = np.asarray(chunk_offsets, dtype=np.uint64)
+    lasts = np.asarray(last_doc_ids, dtype=np.uint64)
+    if len(offsets) != len(lasts):
+        raise ValueError("chunk_offsets and last_doc_ids must align")
+    var_byte_encode(int(block_size), out)
+    var_byte_encode(len(offsets), out)
+    var_byte_encode(int(last_chunk_length), out)
+    delta_encode_v2(offsets, out)
+    var_byte_encode_array(lasts, out)
+
+
+def decode_block_header(
+    buf: bytes | memoryview, pos: int = 0
+) -> tuple[dict, int]:
+    block_size, pos = var_byte_decode(buf, pos)
+    chunk_count, pos = var_byte_decode(buf, pos)
+    last_chunk_length, pos = var_byte_decode(buf, pos)
+    offsets, pos = delta_decode_v2(buf, pos)
+    lasts, pos = var_byte_decode_array(buf, pos, chunk_count)
+    return {
+        "block_size": block_size,
+        "chunk_count": chunk_count,
+        "last_chunk_length": last_chunk_length,
+        "chunk_offsets": offsets,
+        "last_doc_ids": lasts,
+    }, pos
+
+
+def encode_inter_header(
+    block_size: int, chunk_offsets: np.ndarray, out: bytearray
+) -> None:
+    """Intermediate-run block header (BlockEncoder.cpp:58-63):
+    varbyte(block_size, chunk_count) + delta_v1(chunk_offsets)."""
+    offsets = np.asarray(chunk_offsets, dtype=np.uint64)
+    var_byte_encode(int(block_size), out)
+    var_byte_encode(len(offsets), out)
+    delta_encode(offsets, out)
+
+
+def decode_inter_header(
+    buf: bytes | memoryview, pos: int = 0
+) -> tuple[dict, int]:
+    block_size, pos = var_byte_decode(buf, pos)
+    chunk_count, pos = var_byte_decode(buf, pos)
+    offsets, pos = delta_decode(buf, pos)
+    return {
+        "block_size": block_size,
+        "chunk_count": chunk_count,
+        "chunk_offsets": offsets,
+    }, pos
+
+
+def encode_inter_posting(
+    term: str, doc_ids: np.ndarray, freqs: np.ndarray, out: bytearray
+) -> None:
+    """Intermediate-run posting list (BlockEncoder.cpp:72-79):
+    length-prefixed term + delta_v1(doc_ids) + bit_packing(freqs)."""
+    _put_string(term, out)
+    delta_encode(np.asarray(doc_ids, dtype=np.uint64), out)
+    bit_packing(np.asarray(freqs, dtype=np.uint64), out)
+
+
+def decode_inter_posting(
+    buf: bytes | memoryview, pos: int = 0
+) -> tuple[str, np.ndarray, np.ndarray, int]:
+    term, pos = _get_string(buf, pos)
+    doc_ids, pos = delta_decode(buf, pos)
+    freqs, pos = bit_packing_decode(buf, pos)
+    return term, doc_ids, freqs, pos
+
+
+def encode_inter_block(
+    postings: list[tuple[str, np.ndarray, np.ndarray]],
+) -> tuple[bytes, bytes]:
+    """One intermediate-run block (BlockEncoder.cpp:22-44): returns
+    (header_bytes, body_bytes). Empty posting lists are skipped, and
+    chunk_offsets record the CUMULATIVE body length after each list,
+    exactly like the reference's running ``body_s.get_length()``."""
+    body = bytearray()
+    offsets: list[int] = []
+    for term, doc_ids, freqs in postings:
+        if len(doc_ids) == 0:
+            continue
+        encode_inter_posting(term, doc_ids, freqs, body)
+        offsets.append(len(body))
+    header = bytearray()
+    encode_inter_header(len(body), np.asarray(offsets, dtype=np.uint64), header)
+    return bytes(header), bytes(body)
+
+
+def decode_inter_block(
+    header: bytes | memoryview, body: bytes | memoryview
+) -> list[tuple[str, np.ndarray, np.ndarray]]:
+    meta, _ = decode_inter_header(header, 0)
+    out = []
+    pos = 0
+    for _ in range(int(meta["chunk_count"])):
+        term, doc_ids, freqs, pos = decode_inter_posting(body, pos)
+        out.append((term, doc_ids, freqs))
+    return out

@@ -185,3 +185,116 @@ def test_chunk_reference_layout():
 def test_lengths_roundtrip():
     dls = np.array([5, 1000, 7, 42], dtype=np.uint64)
     assert C.decode_lengths(C.encode_lengths(dls)).tolist() == dls.tolist()
+
+
+# --------------------------------------------------- block headers (C7)
+
+
+def test_block_header_roundtrip_and_layout():
+    """Final-index header == varbyte(bs) varbyte(cc) varbyte(lcl) ||
+    delta_v2(offsets) || varbyte(last_doc_id)* (BlockEncoder.cpp:46-56)."""
+    offsets = np.array([120, 250, 400], dtype=np.uint64)
+    lasts = np.array([999, 2047, 5000], dtype=np.uint64)
+    buf = bytearray()
+    C.encode_block_header(4096, 77, offsets, lasts, buf)
+    # layout: concatenation of the primitives, nothing else
+    ref = bytearray()
+    C.var_byte_encode(4096, ref)
+    C.var_byte_encode(3, ref)
+    C.var_byte_encode(77, ref)
+    C.delta_encode_v2(offsets, ref)
+    C.var_byte_encode_array(lasts, ref)
+    assert bytes(buf) == bytes(ref)
+    hdr, pos = C.decode_block_header(bytes(buf))
+    assert pos == len(buf)
+    assert hdr["block_size"] == 4096
+    assert hdr["chunk_count"] == 3
+    assert hdr["last_chunk_length"] == 77
+    assert hdr["chunk_offsets"].tolist() == offsets.tolist()
+    assert hdr["last_doc_ids"].tolist() == lasts.tolist()
+
+
+def test_block_header_alignment_check():
+    with pytest.raises(ValueError, match="align"):
+        C.encode_block_header(
+            1,
+            1,
+            np.array([1], dtype=np.uint64),
+            np.array([1, 2], dtype=np.uint64),
+            bytearray(),
+        )
+
+
+def test_inter_header_roundtrip():
+    offsets = np.array([64, 128, 300], dtype=np.uint64)
+    buf = bytearray()
+    C.encode_inter_header(300, offsets, buf)
+    hdr, pos = C.decode_inter_header(bytes(buf))
+    assert pos == len(buf)
+    assert hdr["block_size"] == 300
+    assert hdr["chunk_count"] == 3
+    assert hdr["chunk_offsets"].tolist() == offsets.tolist()
+
+
+def test_inter_posting_string_layout():
+    """Term prefix is BitStream::put_string: u32 LE length + raw bytes."""
+    buf = bytearray()
+    C.encode_inter_posting(
+        "spark",
+        np.array([3, 9], dtype=np.uint64),
+        np.array([1, 2], dtype=np.uint64),
+        buf,
+    )
+    assert bytes(buf[:4]) == (5).to_bytes(4, "little")
+    assert bytes(buf[4:9]) == b"spark"
+    term, ids, tfs, pos = C.decode_inter_posting(bytes(buf))
+    assert (term, ids.tolist(), tfs.tolist()) == ("spark", [3, 9], [1, 2])
+    assert pos == len(buf)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+                min_size=1,
+                max_size=12,
+            ),
+            st.lists(
+                st.integers(min_value=0, max_value=2**28 - 1),
+                min_size=1,
+                max_size=40,
+                unique=True,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(deadline=None, max_examples=50)
+def test_inter_block_roundtrip(lists):
+    postings = []
+    for term, ids in lists:
+        ids = np.sort(np.array(ids, dtype=np.uint64))
+        tfs = (ids % 7 + 1).astype(np.uint64)
+        postings.append((term, ids, tfs))
+    header, body = C.encode_inter_block(postings)
+    meta, _ = C.decode_inter_header(header)
+    assert meta["block_size"] == len(body)
+    assert meta["chunk_count"] == len(postings)
+    out = C.decode_inter_block(header, body)
+    for (t0, i0, f0), (t1, i1, f1) in zip(postings, out):
+        assert t0 == t1
+        assert i0.tolist() == i1.tolist()
+        assert f0.tolist() == f1.tolist()
+
+
+def test_inter_block_skips_empty_lists():
+    postings = [
+        ("a", np.array([1, 2], dtype=np.uint64), np.array([1, 1], dtype=np.uint64)),
+        ("b", np.array([], dtype=np.uint64), np.array([], dtype=np.uint64)),
+        ("c", np.array([5], dtype=np.uint64), np.array([2], dtype=np.uint64)),
+    ]
+    header, body = C.encode_inter_block(postings)
+    out = C.decode_inter_block(header, body)
+    assert [t for t, _i, _f in out] == ["a", "c"]
