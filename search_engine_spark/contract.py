@@ -752,6 +752,36 @@ def spark_winnow(spark, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def spark_reorder_permutation(spark, sf_dir: str) -> DataFrame:
+    """Permutation invariants of the Blandford–Blelloch-faithful
+    bisection reorder (``reorder.reorder_bisect``): the new ids must be
+    a dense zero-based permutation of the corpus. The locality
+    objective itself (cluster adjacency, measured compression payoff)
+    is pytest-gated in tests/test_reorder.py — iterative 2-means is not
+    SQL-expressible, so the oracle checks the permutation contract."""
+    from .reorder import reorder_bisect
+
+    out = reorder_bisect(_docs(spark, sf_dir), depth=3, iters=2)
+    return out.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        F.countDistinct("doc_id").cast("long").alias("n_distinct"),
+        F.countDistinct("orig_doc_id").cast("long").alias("n_orig"),
+    )
+
+
+def sql_reorder_permutation() -> str:
+    return """
+    SELECT count(*)::BIGINT AS n_docs,
+           0::BIGINT AS min_id,
+           (count(*) - 1)::BIGINT AS max_id,
+           count(*)::BIGINT AS n_distinct,
+           count(*)::BIGINT AS n_orig
+    FROM documents
+    """
+
+
 def spark_ann_bruteforce(spark, sf_dir: str) -> DataFrame:
     from .ann import cosine_topk
 
@@ -946,6 +976,12 @@ def _registry() -> dict:
     q["embedding_neardup_lsh"] = {
         "spark": spark_embedding_neardup_lsh,
         "sql": sql_embedding_neardup_lsh(),
+    }
+    # faithful BB bisection reorder: oracle checks the dense-permutation
+    # contract; the locality objective is pytest-gated (see docstring)
+    q["reorder_permutation"] = {
+        "spark": spark_reorder_permutation,
+        "sql": sql_reorder_permutation(),
     }
     return q
 

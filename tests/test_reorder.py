@@ -88,3 +88,54 @@ def test_reorder_improves_compression(spark, tmp_path_factory):
     before = reorder.compression_stats(spark, d1)
     after = reorder.compression_stats(spark, d2)
     assert after["payload_bytes"] < before["payload_bytes"]
+
+
+def test_bisect_preserves_rows_density_and_determinism(spark):
+    ensure_shipped(spark)
+    rows = [
+        (0, "https://x/0", "alpha beta gamma"),
+        (1, "https://x/1", ""),             # empty
+        (2, "https://x/2", "... !!! ???"),  # punctuation-only
+        (3, "https://x/3", "alpha beta delta"),
+        (4, "https://x/4", "red green blue"),
+        (5, "https://x/5", "red blue cyan"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = reorder.reorder_bisect(docs, depth=2, iters=2).cache()
+    got = out.collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(6))
+    assert sorted(r["orig_doc_id"] for r in got) == list(range(6))
+    assert set(out.columns) == {"doc_id", "orig_doc_id", "url", "text"}
+    again = {
+        r["orig_doc_id"]: r["doc_id"]
+        for r in reorder.reorder_bisect(docs, depth=2, iters=2).collect()
+    }
+    assert {r["orig_doc_id"]: r["doc_id"] for r in got} == again
+
+
+def test_bisect_groups_similar_docs(spark):
+    ensure_shipped(spark)
+    docs = clustered_corpus(spark)
+    out = reorder.reorder_bisect(docs, depth=3, iters=2)
+    rows = out.select("doc_id", "orig_doc_id").collect()
+    group_of = {r["doc_id"]: r["orig_doc_id"] % 6 for r in rows}
+    same = sum(
+        1 for i in range(len(rows) - 1) if group_of[i] == group_of[i + 1]
+    )
+    # 6 pure clusters -> at most 5 boundaries; bisection + Gray leaf
+    # order must reconstruct near-perfect adjacency
+    assert same / (len(rows) - 1) > 0.9
+
+
+def test_bisect_improves_compression(spark, tmp_path_factory):
+    ensure_shipped(spark)
+    docs = clustered_corpus(spark)
+    d1 = str(tmp_path_factory.mktemp("idx_orig_b"))
+    d2 = str(tmp_path_factory.mktemp("idx_bisect"))
+    IndexBuilder(spark, d1, n_salts=1, bucket_count=4).build(docs)
+    IndexBuilder(spark, d2, n_salts=1, bucket_count=4).build(
+        reorder.reorder_bisect(docs).select("doc_id", "url", "text")
+    )
+    before = reorder.compression_stats(spark, d1)
+    after = reorder.compression_stats(spark, d2)
+    assert after["payload_bytes"] < before["payload_bytes"]
