@@ -618,8 +618,61 @@ class IndexBuilder:
             self.spark, self._stage_dir(stage), stage
         )
 
+    def _balance_scan_splits(self, docs: DataFrame) -> str | None:
+        """Shrink ``spark.sql.files.maxPartitionBytes`` for this build
+        when the input is small relative to the cluster, so the corpus
+        scan runs >= ~4 task waves per core instead of one ragged wave.
+
+        The default 128 MB split is right at data >> cluster scale (a
+        100 TB corpus yields ~10^6 splits regardless), but below
+        ``128MB x 4 x cores`` of input the scan degenerates to a
+        handful of tasks and the tokens stage's tail idles most cores
+        (measured here: a 458 MB corpus planned 5 splits at local[4] —
+        1.25 waves, ~60%% utilization). Local files only; any remote
+        scheme keeps cluster defaults. Returns the previous setting
+        (caller restores), or None if untouched."""
+        from urllib.parse import urlparse
+
+        try:
+            files = docs.inputFiles()
+        except Exception:
+            return None
+        if not files:
+            return None
+        total = 0
+        for uri in files:
+            u = urlparse(uri)
+            if u.scheme not in ("file", ""):
+                return None
+            try:
+                total += os.path.getsize(u.path)
+            except OSError:
+                return None
+        cores = self.spark.sparkContext.defaultParallelism
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.files.maxPartitionBytes")
+        prev_bytes = int(str(prev).rstrip("b"))
+        target_waves = 4
+        if total >= prev_bytes * target_waves * cores:
+            return None
+        split = max(total // (target_waves * cores), 4 * 1024 * 1024)
+        if split >= prev_bytes:
+            return None
+        conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        return str(prev)
+
     def build(self, docs: DataFrame, resume: bool = True) -> dict:
         """Run all stages; skip completed ones when ``resume``."""
+        prev_split = self._balance_scan_splits(docs)
+        try:
+            return self._build_stages(docs, resume)
+        finally:
+            if prev_split is not None:
+                self.spark.conf.set(
+                    "spark.sql.files.maxPartitionBytes", prev_split
+                )
+
+    def _build_stages(self, docs: DataFrame, resume: bool) -> dict:
         manifest = self._load_manifest() if resume else {"stages": {}, "config": {}}
         prior = manifest.get("config", {})
         manifest["config"] = {

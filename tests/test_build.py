@@ -260,3 +260,37 @@ def test_chunk_tokens_docmajor_equivalent(spark, built):
     a = rows(chunk_postings(postings, 301, n_salts=4))
     b = rows(chunk_tokens_docmajor(tokens, 301, n_salts=4))
     assert a == b and len(a) > 0
+
+
+def test_balance_scan_splits_widens_small_scans(spark, tmp_path):
+    """A corpus far smaller than 128MB x 4 waves x cores must be split
+    finer so the tokens scan fills every core for >=4 waves; the conf
+    is restored after build() (query sessions keep the 128MB default
+    that is right at data >> cluster scale)."""
+    docs = spark.range(2000).selectExpr(
+        "id as doc_id",
+        "concat('doc://', id) as url",
+        "concat('alpha beta gamma doc ', id) as text",
+    )
+    src = str(tmp_path / "corpus.parquet")
+    docs.repartition(8).write.parquet(src)
+    loaded = spark.read.parquet(src)
+
+    from search_engine_spark.build import IndexBuilder
+
+    b = IndexBuilder(spark, str(tmp_path / "idx"), n_salts=1, bucket_count=4)
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev = b._balance_scan_splits(loaded)
+    try:
+        assert prev == before  # returned for restore
+        new = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        assert new < int(str(before).rstrip("b"))
+        assert new >= 4 * 1024 * 1024
+        fresh = spark.read.parquet(src)
+        assert fresh.rdd.getNumPartitions() == 8  # one split per file
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+
+    # full build restores the conf even though it shrank it internally
+    b.build(loaded, resume=False)
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before
