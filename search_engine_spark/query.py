@@ -76,6 +76,13 @@ KEYS_BROADCAST_CAP = 100_000
 # sentinel: a batch plan proved every query returns no rows
 EMPTY_BATCH = object()
 
+# batch_search: skip the phase-1 threshold job when the batch's terms
+# own fewer total chunks than this — decoding ~4k chunks (~0.5M
+# postings) costs less than one extra Spark job round-trip, so the
+# probe only pays above it (it's noise at web scale, where a single
+# stop word owns orders of magnitude more chunks)
+BATCH_PRUNE_FLOOR = 4096
+
 # conjunctive pivot refinement: collect the rarest term's doc ids when
 # its df is at most this (the candidate list rides to executors in the
 # decode closure — ~0.5 MB at the cap)
@@ -895,6 +902,7 @@ class QueryEngine:
         mode: str = "disjunctive",
         k: int = 10,
         prune: bool = True,
+        prune_floor: int | None = None,
     ) -> DataFrame:
         """Score MANY queries in one Spark job.
 
@@ -910,6 +918,12 @@ class QueryEngine:
         thresholds therefore never prune another query's chunks, they
         only stop paying for chunks NO query needs). Safe by the same
         partial-score argument as ``_spark_banded`` phase 2.
+
+        The phase-1 threshold probe is one extra Spark job (fixed
+        seconds); below ``prune_floor`` total chunks (default
+        ``BATCH_PRUNE_FLOOR``) decoding everything is cheaper than
+        probing, so only the free driver-side pruning (conjunctive
+        segment coverage) applies. At web scale the floor is noise.
         """
         from pyspark.sql import Window
 
@@ -948,7 +962,10 @@ class QueryEngine:
         chunks = self._chunks(present)
         conj = mode == "conjunctive"
         if metas is not None:
-            keys_df = self._batch_plan(qt, metas, lex, conj, k, qt_df, nq_df)
+            floor = BATCH_PRUNE_FLOOR if prune_floor is None else prune_floor
+            keys_df = self._batch_plan(
+                qt, metas, lex, conj, k, qt_df, nq_df, floor
+            )
             if keys_df is EMPTY_BATCH:
                 return empty
             if keys_df is not None:
@@ -1001,6 +1018,7 @@ class QueryEngine:
         k: int,
         qt_df: DataFrame,
         nq_df: DataFrame,
+        floor: int = 0,
     ) -> DataFrame | None:
         """Per-query block-max WAND plans over the shared decode.
 
@@ -1027,6 +1045,7 @@ class QueryEngine:
         by_q: dict[int, list[str]] = {}
         for qid, t in qt:
             by_q.setdefault(qid, []).append(t)
+        thresholdable = self.last_plan_stats["chunks_total"] >= floor
 
         plans: dict[int, tuple] = {}  # qid -> (tq, sub, bound, cover)
         kept_keys: set[tuple] = set()
@@ -1052,7 +1071,7 @@ class QueryEngine:
             cum = np.cumsum(est[order])
             n_p1 = int(np.searchsorted(cum, 4 * k) + 1)
             n_p1 = min(max(n_p1, 16), len(order))
-            if n_p1 >= len(order):
+            if not thresholdable or n_p1 >= len(order):
                 # too few segments for a threshold to pay — keep all
                 # (for conjunctive, coverage pruning already applied)
                 kept_keys |= self._cover_keys(tq, sub, cover)

@@ -111,7 +111,11 @@ def test_batch_search_prunes_shared_decode(engine, mode):
         ]
         for qid, q in queries
     }
-    rows = engine.batch_search(queries, mode=mode, k=5).collect()
+    # prune_floor=0: this corpus is far below BATCH_PRUNE_FLOOR, and the
+    # test exercises the threshold probe itself
+    rows = engine.batch_search(
+        queries, mode=mode, k=5, prune_floor=0
+    ).collect()
     stats = dict(engine.last_plan_stats)
     assert stats["pruner"] == "batch_wand", stats
     assert stats["chunks_kept"] < stats["chunks_total"], stats
@@ -142,7 +146,9 @@ def test_batch_search_prunes_shared_decode(engine, mode):
     got = [
         (r["doc_id"], r["score"])
         for r in sorted(
-            engine.batch_search([(7, "the sparse")], mode=mode, k=5).collect(),
+            engine.batch_search(
+                [(7, "the sparse")], mode=mode, k=5, prune_floor=0
+            ).collect(),
             key=lambda r: r["rank"],
         )
     ]
@@ -283,3 +289,26 @@ def test_explain_per_term_detail(engine):
         assert abs(total - r["score"]) < 1e-4
         rare = [t for t in r["terms"] if t["term"] == "rare"][0]
         assert rare["tf"] == 5
+
+
+def test_batch_prune_floor_skips_probe_on_small_batches(engine):
+    """Below BATCH_PRUNE_FLOOR total chunks, the phase-1 threshold job
+    must not run (one extra Spark job costs more than decoding the
+    whole sub-4k-chunk set); results must match the probed plan."""
+    queries = [(0, "the rare"), (1, "rare pad3")]
+    probed = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in engine.batch_search(
+            queries, mode="disjunctive", k=5, prune_floor=0
+        ).collect()
+    )
+    assert engine.last_plan_stats.get("thetas", 0) >= 1
+
+    floored = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in engine.batch_search(
+            queries, mode="disjunctive", k=5  # default floor >> corpus
+        ).collect()
+    )
+    assert "thetas" not in engine.last_plan_stats
+    assert floored == probed
