@@ -139,3 +139,17 @@ def test_bisect_improves_compression(spark, tmp_path_factory):
     before = reorder.compression_stats(spark, d1)
     after = reorder.compression_stats(spark, d2)
     assert after["payload_bytes"] < before["payload_bytes"]
+
+
+def test_bisect_all_identical_docs(spark):
+    """Degenerate corpus: every doc identical -> every cosine ties, the
+    two seeds are content-equal, and no level ever splits. Must still
+    return a dense permutation (order falls back to orig ids)."""
+    ensure_shipped(spark)
+    rows = [(i, f"https://x/{i}", "same words every time") for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = reorder.reorder_bisect(docs, depth=2, iters=1).collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(9))
+    assert {r["orig_doc_id"]: r["doc_id"] for r in got} == {
+        i: i for i in range(9)
+    }
