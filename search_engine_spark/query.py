@@ -463,6 +463,22 @@ class QueryEngine:
 
     # ------------------------------------- distributed (banded) planner
 
+    def _bound_expr(self, present: list[str], lex: dict[str, dict]):
+        """Column: a chunk row's block-max score bound for its term.
+
+        idf comes from the lexicon stats (driver-side); negative idf
+        uses min_ratio (the least-negative contribution)."""
+        bexpr = None
+        for t in present:
+            t_idf = wand.idf(lex[t]["df"], self.n_docs)
+            scale = t_idf * (wand.K1 + 1.0)
+            ratio = F.col("max_ratio") if t_idf >= 0 else F.col("min_ratio")
+            e = F.lit(scale) * ratio
+            bexpr = e if bexpr is None else F.when(
+                F.col("term") == t, e
+            ).otherwise(bexpr)
+        return bexpr
+
     def _banded_segments(
         self, present: list[str], lex: dict[str, dict], conj: bool
     ) -> DataFrame:
@@ -491,18 +507,7 @@ class QueryEngine:
             max(total_chunks // BAND_TARGET_CHUNKS, N_BANDS_MIN), N_BANDS_MAX
         )
         width = max(1, -(-(gmax - gmin + 1) // n_bands))
-
-        # per-term bound scale, driver-side (idf from the lexicon job);
-        # negative idf uses min_ratio (least-negative contribution)
-        bexpr = None
-        for t in present:
-            t_idf = wand.idf(lex[t]["df"], self.n_docs)
-            scale = t_idf * (wand.K1 + 1.0)
-            ratio = F.col("max_ratio") if t_idf >= 0 else F.col("min_ratio")
-            e = F.lit(scale) * ratio
-            bexpr = e if bexpr is None else F.when(
-                F.col("term") == t, e
-            ).otherwise(bexpr)
+        bexpr = self._bound_expr(present, lex)
 
         meta = self._chunks(present).select(
             "term",
@@ -961,17 +966,23 @@ class QueryEngine:
         }
         chunks = self._chunks(present)
         conj = mode == "conjunctive"
+        keys_df = None
         if metas is not None:
             floor = BATCH_PRUNE_FLOOR if prune_floor is None else prune_floor
             keys_df = self._batch_plan(
                 qt, metas, lex, conj, k, qt_df, nq_df, floor
             )
-            if keys_df is EMPTY_BATCH:
-                return empty
-            if keys_df is not None:
-                chunks = chunks.join(
-                    keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
-                )
+        elif prune and BANDED_PLANNER and "max_ratio" in chunks.columns:
+            # above METADATA_CAP: the distributed banded batch planner —
+            # score-bounded skipping must not silently turn off for
+            # exactly the batches that need it most
+            keys_df = self._batch_banded(qt, lex, conj, k, qt_df, nq_df, nq)
+        if keys_df is EMPTY_BATCH:
+            return empty
+        if keys_df is not None:
+            chunks = chunks.join(
+                keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
+            )
         scored = self._scored_postings(chunks, lex)
         per_q = (
             scored.join(qt_df, "term")
@@ -1100,9 +1111,50 @@ class QueryEngine:
             )
 
         # ONE shared phase-1 decode for every thresholdable query
+        thetas = self._batch_theta(
+            sorted(p1_keys), p1_ivals, lex, conj, k, qt_df, nq_df
+        )
+        for qid, (tq, sub, bound, cover) in plans.items():
+            th = thetas.get(qid)
+            rows = cover if th is None else cover[bound >= th]
+            kept_keys |= self._cover_keys(tq, sub, rows)
+        self.last_plan_stats.update(
+            {
+                "pruner": "batch_wand",
+                "chunks_kept": len(kept_keys),
+                "thetas": len(thetas),
+            }
+        )
+        if not kept_keys:
+            return EMPTY_BATCH
+        if len(kept_keys) >= total:
+            return None
+        return F.broadcast(
+            self.spark.createDataFrame(
+                sorted(kept_keys), "term string, salt int, chunk_seq int"
+            )
+        )
+
+    def _batch_theta(
+        self,
+        p1_keys: list[tuple],
+        p1_ivals: list[tuple[int, int, int]],
+        lex: dict[str, dict],
+        conj: bool,
+        k: int,
+        qt_df: DataFrame,
+        nq_df: DataFrame,
+    ) -> dict[int, float]:
+        """The shared phase-1 threshold job: decode exactly ``p1_keys``,
+        mask each query's postings to its own probe intervals (mask =>
+        exact scores, so each k-th best is a true theta lower bound),
+        and return {query_id: k-th best score} for every query that
+        produced >= k masked results."""
+        from pyspark.sql import Window
+
         keys1 = F.broadcast(
             self.spark.createDataFrame(
-                sorted(p1_keys), "term string, salt int, chunk_seq int"
+                p1_keys, "term string, salt int, chunk_seq int"
             )
         )
         iv = F.broadcast(
@@ -1140,27 +1192,232 @@ class QueryEngine:
             .select("query_id", "score")
             .collect()
         )
-        thetas = {r["query_id"]: float(r["score"]) for r in kth}
-        for qid, (tq, sub, bound, cover) in plans.items():
-            th = thetas.get(qid)
-            rows = cover if th is None else cover[bound >= th]
-            kept_keys |= self._cover_keys(tq, sub, rows)
-        self.last_plan_stats.update(
-            {
-                "pruner": "batch_wand",
-                "chunks_kept": len(kept_keys),
-                "thetas": len(thetas),
-            }
+        return {r["query_id"]: float(r["score"]) for r in kth}
+
+    def _batch_banded(
+        self,
+        qt: list[tuple[int, str]],
+        lex: dict[str, dict],
+        conj: bool,
+        k: int,
+        qt_df: DataFrame,
+        nq_df: DataFrame,
+        nq: dict[int, int],
+    ) -> DataFrame | None:
+        """Distributed WAND planning for batches ABOVE ``METADATA_CAP``
+        — the batch twin of ``_banded_segments``/``_spark_banded``.
+
+        Without this, a web-scale batch (whose terms own more chunk
+        rows than the driver may collect) would silently decode every
+        chunk. Instead: chunk metadata joins the broadcast (query_id,
+        term) map, doc-id bands bin the intervals, and ONE
+        applyInPandas job runs the per-(query, band) segment sweep —
+        segments stay distributed. Per query, the top-bound segments
+        (bounded collect: <= 64 x |batch| rows) drive the same shared
+        phase-1 theta job as the under-cap batch planner
+        (``_batch_theta``); segments with bound >= their query's theta
+        survive, and the DISTINCT union of surviving chunk keys
+        leftsemi-prunes the shared decode. Safety per query mirrors
+        ``_spark_banded`` phase 2 / ``_batch_plan``.
+        """
+        from pyspark.sql import Window
+
+        present = sorted(lex)
+        gmin = min(lex[t]["min_doc_id"] for t in present)
+        gmax = max(lex[t]["max_doc_id"] for t in present)
+        total_chunks = self.last_plan_stats["chunks_total"]
+        n_bands = min(
+            max(total_chunks // BAND_TARGET_CHUNKS, N_BANDS_MIN), N_BANDS_MAX
         )
-        if not kept_keys:
-            return EMPTY_BATCH
-        if len(kept_keys) >= total:
-            return None
-        return F.broadcast(
-            self.spark.createDataFrame(
-                sorted(kept_keys), "term string, salt int, chunk_seq int"
+        width = max(1, -(-(gmax - gmin + 1) // n_bands))
+        meta = self._chunks(present).select(
+            "term",
+            "salt",
+            "chunk_seq",
+            "first_doc_id",
+            "last_doc_id",
+            "n",
+            self._bound_expr(present, lex).alias("bound"),
+        )
+        band = F.explode(
+            F.sequence(
+                F.floor((F.col("first_doc_id") - gmin) / width),
+                F.floor((F.col("last_doc_id") - gmin) / width),
             )
+        ).alias("band")
+        banded = meta.join(qt_df, "term").select("*", band)
+        nq_map = dict(nq)
+        conj_flag = conj
+
+        def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int32"),
+                    "seg_lo": pd.Series(dtype="int64"),
+                    "seg_hi": pd.Series(dtype="int64"),
+                    "bound": pd.Series(dtype="float64"),
+                    "est": pd.Series(dtype="int64"),
+                    "term": pd.Series(dtype="object"),
+                    "salt": pd.Series(dtype="int32"),
+                    "chunk_seq": pd.Series(dtype="int32"),
+                }
+            )
+            qid = int(pdf["query_id"].iloc[0])
+            b = int(pdf["band"].iloc[0])
+            blo = gmin + b * width
+            bhi = blo + width  # exclusive
+            metas: dict[str, wand.TermChunks] = {}
+            for t, g in pdf.groupby("term"):
+                metas[t] = wand.TermChunks(
+                    first=np.maximum(g["first_doc_id"].to_numpy(), blo),
+                    last=np.minimum(g["last_doc_id"].to_numpy(), bhi - 1),
+                    n=g["n"].to_numpy(),
+                    bound=g["bound"].to_numpy(),
+                    rows=np.stack(
+                        [g["salt"].to_numpy(), g["chunk_seq"].to_numpy()],
+                        axis=1,
+                    ),
+                )
+            conj_q = conj_flag and nq_map.get(qid, 1) > 1
+            if conj_q and len(metas) < nq_map[qid]:
+                return empty
+            terms_sorted = sorted(metas)
+            seg_lo, seg_hi, bound, cover = wand.sweep_segments(metas, conj_q)
+            if len(seg_lo) == 0:
+                return empty
+            est = np.zeros(len(seg_lo), dtype=np.int64)
+            for j, t in enumerate(terms_sorted):
+                cj = cover[:, j]
+                nn = np.where(cj >= 0, metas[t].n[np.clip(cj, 0, None)], 0)
+                est = (
+                    np.minimum(est, nn)
+                    if conj_q and j
+                    else (nn if conj_q else est + nn)
+                )
+            outs = []
+            for j, t in enumerate(terms_sorted):
+                cj = cover[:, j]
+                sel = cj >= 0
+                if not sel.any():
+                    continue
+                rows = metas[t].rows[cj[sel]]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "seg_lo": seg_lo[sel],
+                            "seg_hi": seg_hi[sel],
+                            "bound": bound[sel],
+                            "est": est[sel],
+                            "term": t,
+                            "salt": rows[:, 0].astype(np.int32),
+                            "chunk_seq": rows[:, 1].astype(np.int32),
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True) if outs else empty
+
+        schema = (
+            "query_id int, seg_lo long, seg_hi long, bound double, "
+            "est long, term string, salt int, chunk_seq int"
         )
+        segs = (
+            banded.groupBy("query_id", "band")
+            .applyInPandas(sweep, schema)
+            .persist()
+        )
+        try:
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("bound"), F.asc("seg_lo")
+            )
+            top_rows = (
+                segs.select("query_id", "seg_lo", "seg_hi", "bound", "est")
+                .dropDuplicates(["query_id", "seg_lo"])
+                .withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") <= 64)
+                .collect()
+            )
+            if not top_rows:
+                return EMPTY_BATCH
+            self.last_plan_stats.update(
+                {"pruner": "batch_banded_wand", "bands": True}
+            )
+            by_qid: dict[int, list] = {}
+            for r in top_rows:
+                by_qid.setdefault(r["query_id"], []).append(r)
+            p1: dict[int, list] = {}
+            for qid, rows in by_qid.items():
+                rows.sort(key=lambda r: r["_r"])
+                est = np.array([r["est"] for r in rows], dtype=np.int64)
+                cum = np.cumsum(est)
+                n_p1 = int(np.searchsorted(cum, 4 * k) + 1)
+                n_p1 = min(max(n_p1, 16), len(rows))
+                # same pay-off rule as _spark_banded: 64 collected means
+                # more segments likely exist beyond the prefix
+                if n_p1 < len(rows) or len(rows) == 64:
+                    p1[qid] = rows[:n_p1]
+            thetas: dict[int, float] = {}
+            if p1:
+                chosen_df = F.broadcast(
+                    self.spark.createDataFrame(
+                        [
+                            (qid, int(r["seg_lo"]))
+                            for qid, rows in p1.items()
+                            for r in rows
+                        ],
+                        "query_id int, seg_lo long",
+                    )
+                )
+                p1_keys = sorted(
+                    (r["term"], int(r["salt"]), int(r["chunk_seq"]))
+                    for r in segs.join(
+                        chosen_df, ["query_id", "seg_lo"], "leftsemi"
+                    )
+                    .select("term", "salt", "chunk_seq")
+                    .distinct()
+                    .collect()
+                )
+                p1_ivals: list[tuple[int, int, int]] = []
+                for qid, rows in p1.items():
+                    lo, hi = wand.merge_intervals(
+                        np.array([r["seg_lo"] for r in rows], dtype=np.int64),
+                        np.array([r["seg_hi"] for r in rows], dtype=np.int64),
+                    )
+                    p1_ivals += [
+                        (qid, int(a), int(b))
+                        for a, b in zip(lo.tolist(), hi.tolist())
+                    ]
+                thetas = self._batch_theta(
+                    p1_keys, p1_ivals, lex, conj, k, qt_df, nq_df
+                )
+            kept = segs
+            if thetas:
+                th_df = F.broadcast(
+                    self.spark.createDataFrame(
+                        list(thetas.items()), "query_id int, theta double"
+                    )
+                )
+                kept = segs.join(th_df, "query_id", "left").where(
+                    F.col("theta").isNull()
+                    | (F.col("bound") >= F.col("theta"))
+                )
+                self.last_plan_stats["thetas"] = len(thetas)
+            keys_df = (
+                kept.select("term", "salt", "chunk_seq")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_keys = keys_df.count()
+            self.last_plan_stats["chunks_kept"] = n_keys
+            if n_keys == 0:
+                return EMPTY_BATCH
+            if n_keys >= total_chunks:
+                return None
+            if n_keys <= KEYS_BROADCAST_CAP:
+                keys_df = F.broadcast(keys_df)
+            return keys_df
+        finally:
+            segs.unpersist()
 
     # ------------------------------------------------- driver-local path
 

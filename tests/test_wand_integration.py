@@ -312,3 +312,32 @@ def test_batch_prune_floor_skips_probe_on_small_batches(engine):
     )
     assert "thetas" not in engine.last_plan_stats
     assert floored == probed
+
+
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+def test_batch_banded_planner_above_metadata_cap(engine, mode, monkeypatch):
+    """Above METADATA_CAP batch_search must not silently decode
+    everything: the distributed banded batch planner runs the
+    per-(query, band) segment sweep as a Spark job, prunes by per-query
+    theta, and every query stays rank-identical to its under-cap batch
+    result."""
+    queries = [(0, "the rare"), (1, "rare pad3"), (2, "rare")]
+    under = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 4))
+        for r in engine.batch_search(
+            queries, mode=mode, k=5, prune_floor=0
+        ).collect()
+    }
+
+    monkeypatch.setattr(query_mod, "METADATA_CAP", 4)
+    rows = engine.batch_search(queries, mode=mode, k=5).collect()
+    stats = dict(engine.last_plan_stats)
+    assert stats["pruner"] == "batch_banded_wand", stats
+    assert stats["chunks_kept"] < stats["chunks_total"], stats
+    if mode == "disjunctive":
+        assert stats.get("thetas", 0) >= 1, stats
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 4))
+        for r in rows
+    }
+    assert got == under
