@@ -904,6 +904,72 @@ def spark_index_e2e_topk(spark, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def spark_batch_e2e_topk(spark, sf_dir: str) -> DataFrame:
+    """batch_search through the REAL chunked engine, HARD-ORACLED: two
+    disjunctive queries share one decode (plus the WAND batch planner
+    when it pays); float64 scoring so (query_id, doc_id, score, rank)
+    hash-matches the relational DuckDB BM25 oracle. Gates the batch
+    fan-out path the same way index_e2e_topk gates single search."""
+    import tempfile
+
+    import numpy as np
+
+    from .build import IndexBuilder
+    from .corpus import load_documents
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    index_dir = _E2E_CACHE.get(sf_dir)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="se_e2e_idx_")
+        IndexBuilder(spark, index_dir, n_salts=4, bucket_count=8).build(
+            load_documents(spark, sf_dir)
+        )
+        _E2E_CACHE[sf_dir] = index_dir
+    qe = QueryEngine(spark, index_dir)
+    res = qe.batch_search(
+        [
+            (0, " ".join(BM25_DISJ_TERMS)),
+            (1, " ".join(BM25_CONJ_TERMS)),
+        ],
+        mode="disjunctive",
+        k=10,
+        dtype=np.float64,
+    )
+    return res.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def sql_batch_e2e_topk() -> str:
+    """DuckDB twin of spark_batch_e2e_topk: per query the BM25 top-10,
+    ranked on the UNROUNDED sum (matching the engine's ordering) and
+    rounded only at output."""
+    parts, unions = [], []
+    for qid, terms in ((0, BM25_DISJ_TERMS), (1, BM25_CONJ_TERMS)):
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        parts.append(
+            f"q{qid} AS (SELECT {qid} AS query_id, doc_id, "
+            f"sum(score) AS s FROM scored WHERE term IN ({in_list}) "
+            "GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 10)"
+        )
+        unions.append(
+            f"SELECT query_id, doc_id, round(s, 4) AS score, "
+            "CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) "
+            f'AS "rank" FROM q{qid}'
+        )
+    return (
+        _bm25_base("duckdb")
+        + "), "  # close the scored CTE unfiltered
+        + ", ".join(parts)
+        + " "
+        + " UNION ALL ".join(unions)
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -965,6 +1031,11 @@ def _registry() -> dict:
     q["index_e2e_topk"] = {
         "spark": spark_index_e2e_topk,
         "sql": sql_bm25("duckdb", BM25_DISJ_TERMS, False),
+    }
+    # batch fan-out through the same real index (shared _E2E_CACHE)
+    q["batch_e2e_topk"] = {
+        "spark": spark_batch_e2e_topk,
+        "sql": sql_batch_e2e_topk(),
     }
     q["winnow_fingerprints"] = {
         "spark": spark_winnow,

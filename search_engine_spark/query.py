@@ -908,6 +908,7 @@ class QueryEngine:
         k: int = 10,
         prune: bool = True,
         prune_floor: int | None = None,
+        dtype=np.float32,
     ) -> DataFrame:
         """Score MANY queries in one Spark job.
 
@@ -970,25 +971,29 @@ class QueryEngine:
         if metas is not None:
             floor = BATCH_PRUNE_FLOOR if prune_floor is None else prune_floor
             keys_df = self._batch_plan(
-                qt, metas, lex, conj, k, qt_df, nq_df, floor
+                qt, metas, lex, conj, k, qt_df, nq_df, floor, dtype
             )
         elif prune and BANDED_PLANNER and "max_ratio" in chunks.columns:
             # above METADATA_CAP: the distributed banded batch planner —
             # score-bounded skipping must not silently turn off for
             # exactly the batches that need it most
-            keys_df = self._batch_banded(qt, lex, conj, k, qt_df, nq_df, nq)
+            keys_df = self._batch_banded(
+                qt, lex, conj, k, qt_df, nq_df, nq, dtype
+            )
         if keys_df is EMPTY_BATCH:
             return empty
         if keys_df is not None:
             chunks = chunks.join(
                 keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
             )
-        scored = self._scored_postings(chunks, lex)
+        scored = self._scored_postings(chunks, lex, dtype=dtype)
         per_q = (
             scored.join(qt_df, "term")
             .groupBy("query_id", "doc_id")
             .agg(
-                F.sum("score").cast("float").alias("score"),
+                F.sum("score")
+                .cast("float" if dtype == np.float32 else "double")
+                .alias("score"),
                 F.count("*").alias("_nt"),
             )
         )
@@ -1030,6 +1035,7 @@ class QueryEngine:
         qt_df: DataFrame,
         nq_df: DataFrame,
         floor: int = 0,
+        dtype=np.float32,
     ) -> DataFrame | None:
         """Per-query block-max WAND plans over the shared decode.
 
@@ -1112,7 +1118,7 @@ class QueryEngine:
 
         # ONE shared phase-1 decode for every thresholdable query
         thetas = self._batch_theta(
-            sorted(p1_keys), p1_ivals, lex, conj, k, qt_df, nq_df
+            sorted(p1_keys), p1_ivals, lex, conj, k, qt_df, nq_df, dtype
         )
         for qid, (tq, sub, bound, cover) in plans.items():
             th = thetas.get(qid)
@@ -1144,6 +1150,7 @@ class QueryEngine:
         k: int,
         qt_df: DataFrame,
         nq_df: DataFrame,
+        dtype=np.float32,
     ) -> dict[int, float]:
         """The shared phase-1 threshold job: decode exactly ``p1_keys``,
         mask each query's postings to its own probe intervals (mask =>
@@ -1167,6 +1174,7 @@ class QueryEngine:
                 keys1, ["term", "salt", "chunk_seq"], "leftsemi"
             ),
             lex,
+            dtype=dtype,
         )
         s = scored1.join(qt_df, "term").alias("s")
         masked = s.join(
@@ -1203,6 +1211,7 @@ class QueryEngine:
         qt_df: DataFrame,
         nq_df: DataFrame,
         nq: dict[int, int],
+        dtype=np.float32,
     ) -> DataFrame | None:
         """Distributed WAND planning for batches ABOVE ``METADATA_CAP``
         — the batch twin of ``_banded_segments``/``_spark_banded``.
@@ -1388,7 +1397,7 @@ class QueryEngine:
                         for a, b in zip(lo.tolist(), hi.tolist())
                     ]
                 thetas = self._batch_theta(
-                    p1_keys, p1_ivals, lex, conj, k, qt_df, nq_df
+                    p1_keys, p1_ivals, lex, conj, k, qt_df, nq_df, dtype
                 )
             kept = segs
             if thetas:
