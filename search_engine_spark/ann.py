@@ -95,8 +95,8 @@ def kmeans_codebook(
     Seeds from the ``n_cells`` SMALLEST ids (TakeOrdered — works for
     sparse or non-zero-based id spaces, unlike the contract's
     ``default_codebook`` whose ``id < n_cells`` predicate assumes dense
-    ids; raises when the input has fewer than ``n_cells`` vectors),
-    then repeats:
+    ids; clamps ``n_cells`` to the vector count when the input is
+    smaller), then repeats:
     assign every vector to its max-cosine centroid (broadcast join +
     ``max_by`` hash agg — no window sort), recompute each centroid as
     the element-wise mean of its members (``posexplode`` +
@@ -123,10 +123,12 @@ def kmeans_codebook(
         .collect()
     )
     if len(seed_rows) < n_cells:
-        raise ValueError(
-            f"kmeans_codebook: need >= n_cells={n_cells} vectors to "
-            f"seed, got {len(seed_rows)}"
-        )
+        # Degrade gracefully (consistent with the empty/dim-less
+        # fallback above): clamp the codebook to the vector count —
+        # a k-means with k > N has at most N distinct centroids anyway.
+        if not seed_rows:
+            return default_codebook(emb, n_cells, id_col, vec_col)
+        n_cells = len(seed_rows)
     cents = {
         i: [float(x) for x in r[vec_col]] for i, r in enumerate(seed_rows)
     }

@@ -59,6 +59,30 @@ from .tokenizer import register_udfs, tokenize_col, unique_tf_cols
 
 STAGES = ("tokens", "doc_table", "stats", "postings", "chunks", "lexicon")
 
+_BYTE_SUFFIXES = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_byte_size(value: str) -> int | None:
+    """Parse a Spark byte-size config string ("134217728b", "128MB",
+    "64m", "1g") into bytes; None when unparseable. Mirrors the JVM's
+    ``JavaUtils.byteStringAsBytes`` suffix set for the sizes Spark
+    actually emits — we only need this driver-side because
+    ``spark.conf.get`` returns the raw user string."""
+    s = str(value).strip().lower()
+    i = len(s)
+    while i > 0 and not s[:i].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:].strip()
+    if not num or suffix not in _BYTE_SUFFIXES:
+        return None
+    return int(num) * _BYTE_SUFFIXES[suffix]
+
 CHUNK_SCHEMA = (
     "term string, salt int, chunk_seq int, first_doc_id long, "
     "last_doc_id long, n int, codec int, payload binary, dls binary, "
@@ -651,7 +675,12 @@ class IndexBuilder:
         cores = self.spark.sparkContext.defaultParallelism
         conf = self.spark.conf
         prev = conf.get("spark.sql.files.maxPartitionBytes")
-        prev_bytes = int(str(prev).rstrip("b"))
+        prev_bytes = _parse_byte_size(str(prev))
+        if prev_bytes is None:
+            # a human-readable value we can't parse ("128MB", "1g", ...)
+            # that _parse_byte_size doesn't know: skip balancing rather
+            # than crash the build before any stage runs
+            return None
         target_waves = 4
         if total >= prev_bytes * target_waves * cores:
             return None

@@ -26,6 +26,7 @@ Scale notes (100 TB corpus, ~1000 executors):
 from __future__ import annotations
 
 import numpy as np
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from .tokenizer import tokenize_col
@@ -75,8 +76,16 @@ def shingles_df(toks: DataFrame, n: int = 3) -> DataFrame:
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """(doc_id, text_hash, is_dup): a doc is a duplicate iff an earlier
-    (smaller doc_id) doc has byte-identical text."""
-    hashed = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    (smaller doc_id) doc has byte-identical text.
+
+    ``hashed`` feeds both the canonical-id aggregation and the join
+    probe; persisting it makes the corpus scan + md5 run once instead
+    of twice (MEMORY_AND_DISK — ~40 B/doc, spills cleanly at scale).
+    min-per-group + join, no window: a hash duplicated 10^9 times never
+    serializes through one task."""
+    hashed = docs.select("doc_id", F.md5("text").alias("text_hash")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("_keep"))
     return (
         hashed.join(canon, "text_hash")
@@ -233,28 +242,44 @@ def ngram_jaccard_pairs(
     10^12 join rows. The result is the exact Jaccard over the filtered
     (non-boilerplate) shingle universe; with ``max_df=None`` it is the
     exact unfiltered Jaccard.
+
+    Physical shape (round 4 — was a 3-consumer self-join that recomputed
+    the tokenize+shingle lineage ~6x): ONE aggregation inverts the
+    universe into per-shingle doc lists, the df cap is a size filter on
+    that list, and the list is persisted — everything downstream
+    (per-doc shingle counts AND shared-pair counts via a bounded
+    higher-order pair expansion, same shape as ``lsh_candidate_pairs``)
+    reads the cache, so the shingle pipeline and its shuffle run exactly
+    once. Per-bucket pair fan-out is bounded by ``max_df`` (the cap is
+    what makes the expansion safe; ``max_df=None`` is the explicitly
+    exact/quadratic oracle mode).
     """
     sh = shingles_df(tokens_df(docs), shingle_n)
+    buckets = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("_ds"))
     if max_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") > max_df)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
-    counts = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        buckets = buckets.where(F.size("_ds") <= max_df)
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = (
+        buckets.select(F.explode("_ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "_ds",
+                lambda x: F.transform(
+                    "_ds",
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
     shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.where(F.size("_ds") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").cast("long").alias("shared"))
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -299,6 +324,11 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     char i is the i-th nibble from the top, so bit b sits at position
     (n_chars-1-b//4)*4 + b%4 of that integer.
     """
+    if not 1 <= bits <= 60:
+        # 60 bits = 15 hex chars; 16+ chars can exceed 2^63-1 and the
+        # conv(...,16,10).cast("long") would silently overflow to NULL,
+        # corrupting signatures — make the API bound explicit.
+        raise ValueError(f"simhash bits must be in [1, 60], got {bits}")
     n_chars = (bits + 3) // 4  # leading hex chars that carry the bits
     occ = docs.select(
         "doc_id", F.explode(tokenize_col(F.col("text"))).alias("term")

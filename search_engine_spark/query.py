@@ -463,21 +463,47 @@ class QueryEngine:
 
     # ------------------------------------- distributed (banded) planner
 
-    def _bound_expr(self, present: list[str], lex: dict[str, dict]):
-        """Column: a chunk row's block-max score bound for its term.
+    def _bound_meta(self, present: list[str], lex: dict[str, dict]) -> DataFrame:
+        """Chunk metadata (term, salt, chunk_seq, first_doc_id,
+        last_doc_id, n, bound) where ``bound`` is the row's block-max
+        score bound for its term.
 
-        idf comes from the lexicon stats (driver-side); negative idf
-        uses min_ratio (the least-negative contribution)."""
-        bexpr = None
+        The per-term (scale, use_min) pair comes in via a BROADCAST
+        join against a tiny driver-built frame — a per-term CASE WHEN
+        chain would grow linearly with the distinct-term count and, in
+        ``_batch_banded`` (every distinct term of a web-scale batch),
+        risk whole-stage-codegen's 64KB method limit / analyzer stack
+        depth on exactly the path that exists for scale; the join keeps
+        the expression O(1). idf comes from the lexicon stats
+        (driver-side); negative idf uses min_ratio (the least-negative
+        contribution)."""
+        rows = []
         for t in present:
             t_idf = wand.idf(lex[t]["df"], self.n_docs)
-            scale = t_idf * (wand.K1 + 1.0)
-            ratio = F.col("max_ratio") if t_idf >= 0 else F.col("min_ratio")
-            e = F.lit(scale) * ratio
-            bexpr = e if bexpr is None else F.when(
-                F.col("term") == t, e
-            ).otherwise(bexpr)
-        return bexpr
+            rows.append(
+                (t, float(t_idf * (wand.K1 + 1.0)), bool(t_idf < 0))
+            )
+        bdf = F.broadcast(
+            self.spark.createDataFrame(
+                rows, "term string, _scale double, _use_min boolean"
+            )
+        )
+        bound = F.col("_scale") * F.when(
+            F.col("_use_min"), F.col("min_ratio")
+        ).otherwise(F.col("max_ratio"))
+        return (
+            self._chunks(present)
+            .join(bdf, "term")
+            .select(
+                "term",
+                "salt",
+                "chunk_seq",
+                "first_doc_id",
+                "last_doc_id",
+                "n",
+                bound.alias("bound"),
+            )
+        )
 
     def _banded_segments(
         self, present: list[str], lex: dict[str, dict], conj: bool
@@ -507,17 +533,7 @@ class QueryEngine:
             max(total_chunks // BAND_TARGET_CHUNKS, N_BANDS_MIN), N_BANDS_MAX
         )
         width = max(1, -(-(gmax - gmin + 1) // n_bands))
-        bexpr = self._bound_expr(present, lex)
-
-        meta = self._chunks(present).select(
-            "term",
-            "salt",
-            "chunk_seq",
-            "first_doc_id",
-            "last_doc_id",
-            "n",
-            bexpr.alias("bound"),
-        )
+        meta = self._bound_meta(present, lex)
         band = F.explode(
             F.sequence(
                 F.floor((F.col("first_doc_id") - gmin) / width),
@@ -1239,15 +1255,7 @@ class QueryEngine:
             max(total_chunks // BAND_TARGET_CHUNKS, N_BANDS_MIN), N_BANDS_MAX
         )
         width = max(1, -(-(gmax - gmin + 1) // n_bands))
-        meta = self._chunks(present).select(
-            "term",
-            "salt",
-            "chunk_seq",
-            "first_doc_id",
-            "last_doc_id",
-            "n",
-            self._bound_expr(present, lex).alias("bound"),
-        )
+        meta = self._bound_meta(present, lex)
         band = F.explode(
             F.sequence(
                 F.floor((F.col("first_doc_id") - gmin) / width),
@@ -1755,7 +1763,31 @@ class QueryEngine:
         documented deviation (bounded output per doc)."""
         terms = tokenize_query(query)
         doc_table = self._stage_df("doc_table")
-        joined = doc_table.join(F.broadcast(topk), "doc_id")
+        # Point-lookup semantics (reference MongoService.cpp:27-48,
+        # studied not copied): the top-k set is <= k rows, so collect it
+        # and push an IN(doc_id) predicate into the doc_table scan
+        # BEFORE the join — parquet row-group stats / file-level min-max
+        # then prune the probe side to the handful of files that can
+        # contain those ids, instead of a full corpus scan to fetch k
+        # rows (the 100 TB scale-killer this replaces). Pruning is sharp
+        # whenever the doc_table layout is id-clustered, which both
+        # natural paths give: builder-assigned ids (assign_doc_ids
+        # range-repartitions, so each file holds a contiguous id range)
+        # and pre-assigned ids over a source written in id order; a
+        # deliberately scrambled layout degrades to a filtered (still
+        # correct) scan.
+        hits = topk.select("doc_id", "score").collect()
+        score_t = dict(topk.dtypes).get("score", "float")
+        small = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in hits],
+            schema=f"doc_id long, score {score_t}",
+        )
+        pruned = doc_table.where(
+            F.col("doc_id").isin([int(r["doc_id"]) for r in hits])
+            if hits
+            else F.lit(False)
+        )
+        joined = pruned.join(F.broadcast(small), "doc_id")
 
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import ArrayType, StringType

@@ -211,3 +211,16 @@ def test_ann_kmeans_codebook_recall_and_shape(emb, spark):
     assert recall_km >= 0.5
     allp = ann.ivf_topk(emb, queries, k=5, n_cells=8, nprobe=8, codebook=cb).collect()
     assert {(r["query_id"], r["neighbor_id"]) for r in allp} == ex
+
+
+def test_simhash_bits_bound_explicit(spark):
+    """bits > 60 would overflow conv(hex,16,10).cast('long') to NULL
+    and silently corrupt signatures — the API bound must be explicit."""
+    import pytest as _pytest
+
+    from search_engine_spark.dedup import simhash
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="bits"):
+        simhash(docs, bits=64)
+    assert simhash(docs, bits=60).count() == 1

@@ -218,3 +218,103 @@ def test_minhash_single_shuffle_jvm_only(spark):
     assert p.count("Exchange") == 1, p.count("Exchange")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in p, marker
+
+
+def _file_scans(df):
+    """Executed-plan FileSourceScan nodes (AQE/query-stage aware),
+    for reading actual scan metrics (files listed, rows output) after
+    an action ran."""
+    out = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if "QueryStageExec" in cls:
+            walk(node.plan())
+            return
+        if cls == "ReusedExchangeExec":
+            walk(node.child())
+            return
+        if "FileSourceScan" in cls:
+            out.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def _metric(node, key):
+    o = node.metrics().get(key)
+    return o.get().value() if o.isDefined() else None
+
+
+def test_snippets_doc_fetch_prunes_scan(spark, tmp_path):
+    """The snippets doc fetch must be a point lookup, not a corpus
+    scan: an IN(doc_id) predicate reaches the doc_table parquet scan,
+    and on a multi-file id-clustered index row-group stats prune the
+    read to a bounded row count (the reference's per-result point
+    lookups, MongoService.cpp:27-48 — at 100 TB the old unpruned probe
+    was a full-corpus read to fetch 10 rows)."""
+    d = str(tmp_path / "snip_idx")
+    docs = load_documents(spark, SF_DIR).repartitionByRange(8, "doc_id")
+    IndexBuilder(spark, d, n_salts=2, bucket_count=4).build(docs)
+    qe = QueryEngine(spark, d)
+    topk = qe.search("data spark", k=5)
+    sn = qe.snippets("data spark", topk)
+    p = plan_str(sn)
+    assert "In(doc_id" in p or "EqualTo(doc_id" in p, p
+    rows = sn.collect()
+    assert 0 < len(rows) <= 5
+    scans = [
+        s
+        for s in _file_scans(sn)
+        if "doc_id" in s.toString() and "text" in s.toString().split("ReadSchema")[0]
+    ]
+    assert scans, "doc_table scan not found in executed plan"
+    n_total = load_documents(spark, SF_DIR).count()
+    for s in scans:
+        out_rows = _metric(s, "numOutputRows")
+        # 5 hits over 8 range files of ~n/8 rows each: at most 5 file
+        # row-groups survive the pushed filter
+        assert out_rows is not None and out_rows <= 5 * (n_total // 8 + 1), (
+            out_rows,
+            n_total,
+        )
+
+
+def test_ngram_jaccard_single_shingle_lineage(spark):
+    """ngram_jaccard_pairs must materialize the tokenize+shingle
+    pipeline exactly once: the per-shingle bucket aggregation is
+    persisted and every downstream consumer (per-doc counts, shared
+    pair counts) reads the cache — the round-3 self-join shape
+    recomputed the shingle lineage ~6x."""
+    from search_engine_spark.dedup import ngram_jaccard_pairs
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+    df = ngram_jaccard_pairs(docs, max_df=50)
+    p = plan_str(df)
+    assert "InMemoryTableScan" in p
+    # every corpus read goes through the cache: the outer plan owns no
+    # direct parquet scan of the documents table
+    outer = p.split("InMemoryRelation")[0]
+    assert "FileScan" not in outer, outer
+    rows = df.collect()
+    assert rows is not None
+
+
+def test_exact_duplicates_reuses_hash_lineage(spark):
+    """exact_duplicates persists (doc_id, md5) so the corpus scan +
+    hash runs once, feeding both the canonical-id agg and the join
+    probe."""
+    from search_engine_spark.dedup import exact_duplicates
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+    df = exact_duplicates(docs)
+    p = plan_str(df)
+    assert "InMemoryTableScan" in p
+    outer = p.split("InMemoryRelation")[0]
+    assert "FileScan" not in outer, outer
