@@ -41,6 +41,7 @@ latency, no Spark job.
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import pandas as pd
@@ -139,6 +140,7 @@ class QueryEngine:
         self.avgdl = float(row["avgdl"] or 1.0)
         self.last_plan_stats: dict = {}
         self.last_local_stats: dict = {}
+        self._local_cache: dict | None = None
 
     def _stage_df(self, stage: str) -> DataFrame:
         """Read a build stage from either persistence layout (parquet
@@ -1438,6 +1440,95 @@ class QueryEngine:
 
     # ------------------------------------------------- driver-local path
 
+    def _local_scan(
+        self, terms: list[str]
+    ) -> tuple[dict, list[str], bool] | None:
+        """Driver-side chunk-row fetch with a persistent footer cache.
+
+        The round-3 path re-ran ``pyarrow.dataset(...).to_table`` per
+        query: every call re-parsed every fragment footer AND re-read
+        the matching buckets' row groups (~18 ms/query over a 105-file
+        sf0.1 chunks dir to fetch 32 rows — the BENCH_r03 local_path
+        regression: round-3 scan-split balancing made the build write
+        more, smaller chunk files, and the per-file cost scales with
+        file count). A serving engine answering many queries against an
+        IMMUTABLE index does what every IR system does with posting
+        lists: CACHE them. Data files are grouped by hive bucket at
+        first use, and each file's (projected) table is kept in a
+        byte-capped LRU (``SE_LOCAL_CACHE_MB``, default 512) — repeated
+        terms serve from memory, cold terms read through. Per-query
+        work on a warm cache is a vectorized in-memory term filter.
+        At web scale the cap bounds the driver's resident set; the
+        distributed ``search()`` path is the uncached/cold-term story.
+        Returns (columnar data dict, column names, have_bounds), or
+        None for an empty index. Row set is identical to the round-3
+        filtered ``to_table`` (test-asserted)."""
+        import glob
+        import re
+        from collections import OrderedDict
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        cache = self._local_cache
+        if cache is None:
+            by_bucket: dict[int, list[str]] = {}
+            root = f"{self.index_dir}/chunks"
+            for path in sorted(
+                glob.glob(f"{root}/**/*.parquet", recursive=True)
+            ):
+                m = re.search(r"bucket=(\d+)", path)
+                by_bucket.setdefault(
+                    int(m.group(1)) if m else -1, []
+                ).append(path)
+            schema_names: list[str] = []
+            for paths in by_bucket.values():
+                schema_names = pq.ParquetFile(paths[0]).schema_arrow.names
+                break
+            cache = self._local_cache = {
+                "by_bucket": by_bucket,
+                "data": OrderedDict(),
+                "bytes": 0,
+                "cap": int(os.environ.get("SE_LOCAL_CACHE_MB", "512"))
+                << 20,
+                "schema": schema_names,
+            }
+        if "term" not in cache["schema"]:  # empty index: no data files
+            return None
+        cols = [
+            "term", "salt", "chunk_seq", "first_doc_id", "last_doc_id",
+            "n", "codec", "payload", "dls",
+        ]
+        have_bounds = "max_ratio" in cache["schema"]
+        if have_bounds:
+            cols += ["max_ratio", "min_ratio"]
+        data_cache: OrderedDict = cache["data"]
+        tabs = []
+        for b in self._buckets(terms):
+            for path in cache["by_bucket"].get(b, ()):
+                tbl = data_cache.get(path)
+                if tbl is None:
+                    tbl = pq.read_table(path, columns=cols)
+                    data_cache[path] = tbl
+                    cache["bytes"] += tbl.nbytes
+                    while (
+                        cache["bytes"] > cache["cap"] and len(data_cache) > 1
+                    ):
+                        _, old = data_cache.popitem(last=False)
+                        cache["bytes"] -= old.nbytes
+                else:
+                    data_cache.move_to_end(path)
+                tabs.append(tbl)
+        if not tabs:
+            return {c: [] for c in cols}, cols, have_bounds
+        tbl = pa.concat_tables(tabs)
+        tbl = tbl.filter(
+            pc.is_in(tbl.column("term"), value_set=pa.array(terms))
+        )
+        data = {c: tbl.column(c).to_pylist() for c in cols}
+        return data, cols, have_bounds
+
     def search_local(
         self, query: str, mode: str = "disjunctive", k: int = 10
     ) -> list[tuple[int, float]]:
@@ -1445,8 +1536,6 @@ class QueryEngine:
         of the index parquet, then the sequential block-max WAND sweep —
         chunks are decoded lazily in descending segment-bound order and
         skipped entirely once they cannot reach the top-k threshold."""
-        import pyarrow.dataset as pads
-
         if self.config.get("table_format") == "iceberg":
             raise NotImplementedError(
                 "the driver-local fast path reads the parquet layout "
@@ -1455,27 +1544,10 @@ class QueryEngine:
         terms = tokenize_query(query)
         if not terms:
             return []
-        ds = pads.dataset(
-            f"{self.index_dir}/chunks", format="parquet", partitioning="hive"
-        )
-        if "term" not in ds.schema.names:  # empty index: no data files
+        got = self._local_scan(terms)
+        if got is None:
             return []
-        buckets = self._buckets(terms)
-        cols = [
-            "term", "salt", "chunk_seq", "first_doc_id", "last_doc_id",
-            "n", "codec", "payload", "dls",
-        ]
-        have_bounds = "max_ratio" in ds.schema.names
-        if have_bounds:
-            cols += ["max_ratio", "min_ratio"]
-        tbl = ds.to_table(
-            filter=(
-                pads.field("bucket").isin(buckets)
-                & pads.field("term").isin(terms)
-            ),
-            columns=cols,
-        )
-        data = {c: tbl.column(c).to_pylist() for c in cols}
+        data, cols, have_bounds = got
         n_rows = len(data["term"])
         if n_rows == 0:
             return []
@@ -1516,16 +1588,25 @@ class QueryEngine:
         }
         self.last_local_stats = stats
 
-        decoded: dict[int, tuple] = {}
+        # decoded-postings cache (engine-level LRU, the serving twin of
+        # the posting-file cache in _local_scan): chunks shared across
+        # queries decode once; ~3 KB/chunk, count-capped
+        decoded = self._local_cache.setdefault("decoded", {})
+        decoded_cap = 131072
 
         def get_chunk(row: int):
-            got = decoded.get(row)
+            key = (
+                data["term"][row], data["salt"][row], data["chunk_seq"][row]
+            )
+            got = decoded.get(key)
             if got is None:
                 ids, tfs = codecs.decode_chunk(
                     data["payload"][row], data["codec"][row]
                 )
                 dls = codecs.decode_lengths(data["dls"][row])
-                got = decoded[row] = (ids.astype(np.int64), tfs, dls)
+                if len(decoded) >= decoded_cap:
+                    decoded.clear()  # simple epoch flush beats per-hit LRU
+                got = decoded[key] = (ids.astype(np.int64), tfs, dls)
                 stats["chunks_decoded"] += 1
             return got
 
