@@ -557,7 +557,33 @@ class IndexBuilder:
         return os.path.join(self.index_dir, stage)
 
     def _stage_done(self, manifest: dict, stage: str) -> bool:
-        return stage in manifest["stages"] and os.path.exists(
+        entry = manifest["stages"].get(stage)
+        if entry is None:
+            return False
+        if self.table_format == "iceberg":
+            # The Iceberg snapshot commit IS the completion marker
+            # (north rule: "restarts from the last committed Iceberg
+            # snapshot"): a fresh driver — different machine, no local
+            # _SUCCESS sentinel — resumes from catalog state alone, and
+            # a table replaced/truncated since the manifest was written
+            # invalidates the stage (its recorded snapshot id is gone
+            # from the snapshot log).
+            snap = entry.get("snapshot_id")
+            if snap is None:
+                return False
+            try:
+                ids = {
+                    int(r["snapshot_id"])
+                    for r in self.spark.table(
+                        f"{self._table_name(stage)}.snapshots"
+                    )
+                    .select("snapshot_id")
+                    .collect()
+                }
+            except Exception:
+                return False
+            return int(snap) in ids
+        return os.path.exists(
             os.path.join(self._stage_dir(stage), "_SUCCESS")
         )
 
@@ -572,6 +598,7 @@ class IndexBuilder:
         import pyarrow as pa
 
         files, rows, sizes = [], [], []
+        snapshot_id = None
         if self.table_format == "iceberg":
             # Iceberg's own files metadata table is the lineage source
             for r in self.spark.table(f"{self._table_name(stage)}.files").select(
@@ -580,6 +607,17 @@ class IndexBuilder:
                 files.append(r["file_path"])
                 rows.append(int(r["record_count"]))
                 sizes.append(int(r["file_size_in_bytes"]))
+            # the committed snapshot is the durable completion marker
+            # _stage_done checks on resume
+            snaps = (
+                self.spark.table(f"{self._table_name(stage)}.snapshots")
+                .orderBy(F.desc("committed_at"))
+                .select("snapshot_id")
+                .limit(1)
+                .collect()
+            )
+            if snaps:
+                snapshot_id = int(snaps[0]["snapshot_id"])
         else:
             ds = pads.dataset(self._stage_dir(stage), format="parquet")
             for frag in ds.get_fragments():
@@ -595,6 +633,8 @@ class IndexBuilder:
             "inputs": inputs,
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if snapshot_id is not None:
+            manifest["stages"][stage]["snapshot_id"] = snapshot_id
         lineage_dir = os.path.join(self.index_dir, "lineage")
         os.makedirs(lineage_dir, exist_ok=True)
         pq.write_table(
@@ -879,8 +919,8 @@ class IndexBuilder:
                     ),
                 )
             manifest["config"]["n_salts"] = n_salts
-            if self.store_positions or not os.path.exists(
-                os.path.join(self._stage_dir("tokens"), "_SUCCESS")
+            if self.store_positions or not self._stage_done(
+                manifest, "tokens"
             ):
                 # positions layout / streaming compaction: encode from
                 # the exploded postings checkpoint

@@ -36,6 +36,100 @@ def load_documents(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def iter_trec_docs(lines) -> "Iterator[dict]":
+    """Parse TREC-format documents from an iterable of lines (no
+    trailing newlines), yielding {"url", "text", "lineno"} per doc.
+
+    Byte-identical twin of the reference extractor's state machine
+    (HTMLParser.cpp:21-131, studied not copied), including its quirks:
+
+    * empty lines are skipped EVERYWHERE (``tmp.empty() -> continue``),
+      so blank lines inside <TEXT> never reach the content;
+    * tag checks are prefix matches (``rfind(tag, 0) == 0``), so
+      ``<DOC>trailing`` passes;
+    * the first non-empty line inside <TEXT> is the document url, the
+      rest is content with ``'\\n'`` appended per line — the reference
+      performs NO entity/tag stripping inside <TEXT>;
+    * a malformed sequence raises ValueError (the reference returns -1
+      and the caller aborts the file).
+    """
+    status = 0
+    url = ""
+    content: list[str] = []
+    lineno = 0
+    start_line = 0
+    for raw in lines:
+        lineno += 1
+        line = raw.rstrip("\n").rstrip("\r")
+        if line == "":
+            continue
+        if status == 0:
+            if not line.startswith("<DOC>"):
+                raise ValueError(f"line {lineno}: expected <DOC>")
+            status, url, content, start_line = 1, "", [], lineno
+        elif status == 1:
+            if not line.startswith("<DOCNO>"):
+                raise ValueError(f"line {lineno}: expected <DOCNO>")
+            status = 2
+        elif status == 2:
+            if not line.startswith("<TEXT>"):
+                raise ValueError(f"line {lineno}: expected <TEXT>")
+            status = 3
+        elif status == 3:
+            if line.startswith("</TEXT>"):
+                status = 4
+            elif not url:
+                url = line
+            else:
+                content.append(line)
+        else:  # status == 4
+            if not line.startswith("</DOC>"):
+                raise ValueError(f"line {lineno}: expected </DOC>")
+            yield {
+                "url": url,
+                "text": "".join(c + "\n" for c in content),
+                "lineno": start_line,
+            }
+            status = 0
+
+
+def load_trec(spark, path: str) -> DataFrame:
+    """TREC corpus source (reference B1): parse ``<DOC>`` records from
+    raw TREC files into the canonical (url, warc_ts, html, text, lang)
+    schema. Files load whole (``binaryFile`` — TREC records span lines,
+    so line-splitting can't parallelize WITHIN a file; at crawl scale
+    parallelism comes from the file count, exactly like the reference's
+    per-file workers, CoreBuilder.cpp:20-116) and parse in an
+    Arrow-batched pandas iterator — no per-row Python."""
+    import io
+
+    import pandas as pd  # noqa: F811 (executor-side import)
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches):
+        for pdf in batches:
+            urls: list[str] = []
+            texts: list[str] = []
+            for content in pdf["content"]:
+                buf = io.StringIO(
+                    bytes(content).decode("utf-8", errors="replace")
+                )
+                for doc in iter_trec_docs(buf):
+                    urls.append(doc["url"])
+                    texts.append(doc["text"])
+            yield pd.DataFrame({"url": urls, "text": texts})
+
+    parsed = files.select("content").mapInPandas(parse, "url string, text string")
+    return parsed.select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
 def extract_text(df: DataFrame) -> DataFrame:
     """Derive ``text`` from ``html`` where text is null.
 

@@ -90,10 +90,18 @@ def test_iceberg_dispatch_without_runtime(spark, monkeypatch, tmp_path):
             [("f1.parquet", 3, 120), ("f2.parquet", 1, 40)],
             "file_path string, record_count long, file_size_in_bytes long",
         )
+        snapshots_meta = spark.createDataFrame(
+            [(111, 1_000), (222, 2_000)],
+            "snapshot_id long, committed_at long",
+        )
 
         def fake_table(name):
             calls["read"].append(name)
-            return files_meta if name.endswith(".files") else df
+            if name.endswith(".files"):
+                return files_meta
+            if name.endswith(".snapshots"):
+                return snapshots_meta
+            return df
 
         monkeypatch.setattr(spark, "table", fake_table)
         assert b._read("lexicon") is df
@@ -101,10 +109,12 @@ def test_iceberg_dispatch_without_runtime(spark, monkeypatch, tmp_path):
 
         manifest = {"stages": {}, "config": {}}
         b._record_stage(manifest, "lexicon", 1.5, inputs=["chunks"])
-        assert calls["read"][-1] == "icefake.search_engine.lexicon.files"
+        assert any(r.endswith(".files") for r in calls["read"])
         entry = manifest["stages"]["lexicon"]
         assert entry["rows"] == 4 and entry["files"] == 2
         assert entry["bytes"] == 160 and entry["inputs"] == ["chunks"]
+        # the LATEST committed snapshot becomes the durable marker
+        assert entry["snapshot_id"] == 222
         lineage = os.path.join(idx, "lineage", "lexicon.parquet")
         assert os.path.exists(lineage)
         import pyarrow.parquet as pq
@@ -151,3 +161,66 @@ def test_iceberg_build_and_query(tmp_path):
         assert len(rows) > 0
     finally:
         spark.stop()
+
+
+def test_iceberg_snapshot_gated_resume_after_kill(spark, monkeypatch, tmp_path):
+    """Resume semantics the north rule asks for ('restarts from the
+    last committed Iceberg snapshot'), under the local double: a FRESH
+    builder on a machine with NO local _SUCCESS sentinels must treat a
+    stage as done iff the manifest's recorded snapshot_id still exists
+    in the table's snapshot log — and re-run it when the table was
+    replaced/truncated since (snapshot gone)."""
+    import json
+
+    from search_engine_spark.build import IndexBuilder
+
+    spark.conf.set("spark.sql.catalog.icefake", "fake.Catalog")
+    monkeypatch.setattr(spark, "sql", lambda q, **kw: None)
+    try:
+        idx = str(tmp_path / "idx")
+        snapshots = {"lexicon": [111, 222]}
+
+        def fake_table(name):
+            stage = name.split(".")[-2] if name.endswith(".snapshots") else None
+            if name.endswith(".snapshots"):
+                ids = snapshots.get(stage)
+                if ids is None:
+                    raise RuntimeError(f"no such table {name}")
+                return spark.createDataFrame(
+                    [(i, 1000 + i) for i in ids],
+                    "snapshot_id long, committed_at long",
+                )
+            raise AssertionError(f"unexpected table read {name}")
+
+        monkeypatch.setattr(spark, "table", fake_table)
+        b = IndexBuilder(spark, idx, table_format="iceberg", catalog="icefake")
+        manifest = {
+            "stages": {"lexicon": {"rows": 4, "snapshot_id": 222}},
+            "config": {},
+        }
+        # simulate the kill: persist the manifest, then a FRESH builder
+        # with no local stage dirs/sentinels anywhere
+        import os as _os
+
+        _os.makedirs(idx, exist_ok=True)
+        with open(_os.path.join(idx, "_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        b2 = IndexBuilder(spark, idx, table_format="iceberg", catalog="icefake")
+        m2 = b2._load_manifest()
+        assert not _os.path.exists(_os.path.join(idx, "lexicon", "_SUCCESS"))
+        assert b2._stage_done(m2, "lexicon") is True  # snapshot present
+
+        # table truncated/replaced since: recorded snapshot vanished
+        snapshots["lexicon"] = [333]
+        assert b2._stage_done(m2, "lexicon") is False
+
+        # table dropped entirely: metadata read raises -> not done
+        del snapshots["lexicon"]
+        assert b2._stage_done(m2, "lexicon") is False
+
+        # manifest entry without snapshot_id (older layout): not done
+        m2["stages"]["lexicon"].pop("snapshot_id")
+        snapshots["lexicon"] = [222]
+        assert b2._stage_done(m2, "lexicon") is False
+    finally:
+        spark.conf.unset("spark.sql.catalog.icefake")

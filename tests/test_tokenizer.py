@@ -127,3 +127,79 @@ def test_jvm_unique_tf_cols_matches_counter(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == dict(Counter(tokenize_text(t or ""))), repr(t)
+
+
+# ------------------------- TREC extractor golden vectors (round 4) ---
+# Fixed inputs -> exact extracted bytes, locking the input_hint's
+# byte-identical-per-url invariant to the reference state machine
+# (HTMLParser.cpp:21-131) before any raw TREC corpus shows up.
+
+TREC_SAMPLE = """<DOC>
+<DOCNO>WT01-B01-1</DOCNO>
+<TEXT>
+http://example.com/a
+
+Line one, with <b>markup kept verbatim</b> & entities &amp; all.
+  indented line with trailing spaces   
+</TEXT>
+</DOC>
+
+<DOC>trailing junk after tag is legal
+<DOCNO>WT01-B01-2</DOCNO>
+<TEXT>
+http://example.com/b
+</TEXT>
+</DOC>
+"""
+
+
+def test_trec_extractor_golden_vectors():
+    from search_engine_spark.corpus import iter_trec_docs
+
+    docs = list(iter_trec_docs(TREC_SAMPLE.splitlines()))
+    assert [d["url"] for d in docs] == [
+        "http://example.com/a",
+        "http://example.com/b",
+    ]
+    # blank line inside <TEXT> skipped; markup NOT stripped; per-line
+    # trailing spaces preserved; '\n' appended per content line
+    assert docs[0]["text"] == (
+        "Line one, with <b>markup kept verbatim</b> & entities &amp; all.\n"
+        "  indented line with trailing spaces   \n"
+    )
+    # url-only document: empty content
+    assert docs[1]["text"] == ""
+
+
+def test_trec_extractor_rejects_malformed():
+    import pytest as _pytest
+
+    from search_engine_spark.corpus import iter_trec_docs
+
+    with _pytest.raises(ValueError, match="expected <DOCNO>"):
+        list(iter_trec_docs(["<DOC>", "<TEXT>", "x", "</TEXT>", "</DOC>"]))
+    with _pytest.raises(ValueError, match="expected <DOC>"):
+        list(iter_trec_docs(["hello"]))
+
+
+def test_trec_spark_source_byte_identity(spark, tmp_path):
+    """load_trec through the Arrow-batched Spark path must produce the
+    same bytes as the pure-python state machine (two files -> file-count
+    parallelism)."""
+    from search_engine_spark.corpus import iter_trec_docs, load_trec
+
+    p1 = tmp_path / "a.trec"
+    p1.write_text(TREC_SAMPLE)
+    p2 = tmp_path / "b.trec"
+    p2.write_text(
+        "<DOC>\n<DOCNO>X</DOCNO>\n<TEXT>\nhttp://example.com/c\n"
+        "second file content\n</TEXT>\n</DOC>\n"
+    )
+    df = load_trec(spark, str(tmp_path))
+    got = {r["url"]: r["text"] for r in df.collect()}
+    want = {}
+    for p in (p1, p2):
+        for d in iter_trec_docs(p.read_text().splitlines()):
+            want[d["url"]] = d["text"]
+    assert got == want
+    assert set(df.columns) == {"url", "warc_ts", "html", "text", "lang"}
