@@ -904,6 +904,53 @@ def spark_index_e2e_topk(spark, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def spark_doc_point_lookup(spark, sf_dir: str) -> DataFrame:
+    """Reference B13 (doc-table point lookup, MongoService.cpp:27-48)
+    through the REAL engine, HARD-ORACLED: the flagship query's top-10
+    ids fetch their doc-table records via ``QueryEngine.fetch_docs`` —
+    the pruned IN(doc_id) scan + broadcast join that snippets (Q11)
+    rides on. Hash-matches a DuckDB BM25-top-10 joined back to the
+    documents table on (doc_id, score, url, text)."""
+    import tempfile
+
+    import numpy as np
+
+    from .build import IndexBuilder
+    from .corpus import load_documents
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    index_dir = _E2E_CACHE.get(sf_dir)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="se_e2e_idx_")
+        IndexBuilder(spark, index_dir, n_salts=4, bucket_count=8).build(
+            load_documents(spark, sf_dir)
+        )
+        _E2E_CACHE[sf_dir] = index_dir
+    qe = QueryEngine(spark, index_dir)
+    topk = qe.search(
+        " ".join(BM25_DISJ_TERMS), mode="disjunctive", k=10, dtype=np.float64
+    )
+    return qe.fetch_docs(topk).select(
+        "doc_id", F.round("score", 4).alias("score"), "url", "text"
+    )
+
+
+def sql_doc_point_lookup() -> str:
+    """DuckDB twin: BM25 top-10 CTE joined back to documents; url
+    re-derives exactly as corpus.load_documents does."""
+    in_list = ", ".join(f"'{t}'" for t in BM25_DISJ_TERMS)
+    return (
+        _bm25_base("duckdb") + f"WHERE tf.term IN ({in_list})), "
+        "top AS (SELECT doc_id, round(sum(score), 4) AS score "
+        "FROM scored GROUP BY doc_id "
+        "ORDER BY sum(score) DESC, doc_id LIMIT 10) "
+        "SELECT t.doc_id, t.score, "
+        "'https://' || d.source || '/doc/' || CAST(d.doc_id AS VARCHAR) "
+        "AS url, d.text FROM top t JOIN documents d ON t.doc_id = d.doc_id"
+    )
+
+
 def spark_batch_e2e_topk(spark, sf_dir: str) -> DataFrame:
     """batch_search through the REAL chunked engine, HARD-ORACLED: two
     disjunctive queries share one decode (plus the WAND batch planner
@@ -1036,6 +1083,11 @@ def _registry() -> dict:
     q["batch_e2e_topk"] = {
         "spark": spark_batch_e2e_topk,
         "sql": sql_batch_e2e_topk(),
+    }
+    # B13 point lookup (the snippets fetch path) through the same index
+    q["doc_point_lookup"] = {
+        "spark": spark_doc_point_lookup,
+        "sql": sql_doc_point_lookup(),
     }
     q["winnow_fingerprints"] = {
         "spark": spark_winnow,

@@ -1825,6 +1825,38 @@ class QueryEngine:
 
     # ----------------------------------------------------------- snippets
 
+    def fetch_docs(self, topk: DataFrame) -> DataFrame:
+        """Point lookup of a bounded top-k's doc-table records
+        (reference B13, MongoService.cpp:27-48, studied not copied):
+        the top-k set is <= k rows, so collect it and push an
+        IN(doc_id) predicate into the doc_table scan BEFORE the join —
+        parquet row-group stats / file-level min-max then prune the
+        probe side to the handful of files that can contain those ids,
+        instead of a full corpus scan to fetch k rows (the 100 TB
+        scale-killer this replaces). Pruning is sharp whenever the
+        doc_table layout is id-clustered, which both natural paths
+        give: builder-assigned ids (assign_doc_ids range-repartitions,
+        so each file holds a contiguous id range) and pre-assigned ids
+        over a source written in id order; a deliberately scrambled
+        layout degrades to a filtered (still correct) scan.
+
+        Returns (doc_id, score, url, text)."""
+        doc_table = self._stage_df("doc_table")
+        hits = topk.select("doc_id", "score").collect()
+        score_t = dict(topk.dtypes).get("score", "float")
+        small = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in hits],
+            schema=f"doc_id long, score {score_t}",
+        )
+        pruned = doc_table.where(
+            F.col("doc_id").isin([int(r["doc_id"]) for r in hits])
+            if hits
+            else F.lit(False)
+        )
+        return pruned.join(F.broadcast(small), "doc_id").select(
+            "doc_id", "score", "url", "text"
+        )
+
     def snippets(
         self,
         query: str,
@@ -1843,32 +1875,7 @@ class QueryEngine:
         ``max_segments`` by per-segment match count — is a deliberate,
         documented deviation (bounded output per doc)."""
         terms = tokenize_query(query)
-        doc_table = self._stage_df("doc_table")
-        # Point-lookup semantics (reference MongoService.cpp:27-48,
-        # studied not copied): the top-k set is <= k rows, so collect it
-        # and push an IN(doc_id) predicate into the doc_table scan
-        # BEFORE the join — parquet row-group stats / file-level min-max
-        # then prune the probe side to the handful of files that can
-        # contain those ids, instead of a full corpus scan to fetch k
-        # rows (the 100 TB scale-killer this replaces). Pruning is sharp
-        # whenever the doc_table layout is id-clustered, which both
-        # natural paths give: builder-assigned ids (assign_doc_ids
-        # range-repartitions, so each file holds a contiguous id range)
-        # and pre-assigned ids over a source written in id order; a
-        # deliberately scrambled layout degrades to a filtered (still
-        # correct) scan.
-        hits = topk.select("doc_id", "score").collect()
-        score_t = dict(topk.dtypes).get("score", "float")
-        small = self.spark.createDataFrame(
-            [(int(r["doc_id"]), float(r["score"])) for r in hits],
-            schema=f"doc_id long, score {score_t}",
-        )
-        pruned = doc_table.where(
-            F.col("doc_id").isin([int(r["doc_id"]) for r in hits])
-            if hits
-            else F.lit(False)
-        )
-        joined = pruned.join(F.broadcast(small), "doc_id")
+        joined = self.fetch_docs(topk)
 
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import ArrayType, StringType

@@ -58,17 +58,24 @@ def reorder_by_content(docs: DataFrame, bits: int = 16) -> DataFrame:
     return out.drop("locality_key")
 
 
-def _unit_term_weights(docs: DataFrame) -> DataFrame:
-    """(doc_id, term, uw): L2-normalized tf vector per doc — the
-    reference's get_term_vector + cosine denominator precomputed
-    (BlandfordBlelloch.cpp:272-307, studied not copied)."""
+def _term_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, w): raw tf vector per doc — the reference's
+    get_term_vector (BlandfordBlelloch.cpp:408-419, studied not
+    copied)."""
     from .tokenizer import tokenize_col
 
-    tf = (
+    return (
         docs.select("doc_id", F.explode(tokenize_col(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("double").alias("w"))
     )
+
+
+def _unit_term_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, uw): L2-normalized tf vector per doc — the
+    reference's get_term_vector + cosine denominator precomputed
+    (BlandfordBlelloch.cpp:272-307, studied not copied)."""
+    tf = _term_weights(docs)
     norm = tf.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
     )
@@ -77,12 +84,149 @@ def _unit_term_weights(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bb_leaf_order(
+    doc_ids: list[int],
+    tvecs: dict[int, dict[str, float]],
+    graph_tf_threshold: float = 10.0,
+    direct_cap: int = 500,
+    sample_cap: int = 1000,
+    min_seg: int = 21,
+) -> list[int]:
+    """The reference's ACTUAL order_index recursion over one leaf
+    cluster, in-process (BlandfordBlelloch.cpp:20-465, studied not
+    copied): similarity graph over term-sharing docs -> Prim-style
+    half-growth partition -> per-side centers of mass -> neighbor-
+    oriented halves (order_cluster) -> recurse; clusters above
+    ``direct_cap`` partition a sample and assign the rest by centroid
+    cosine (split_index's two branches); recursion stops at
+    ``min_seg``-doc segments (order_index's R-L <= 20), which keep
+    incoming order. The reference's rand() sampling is replaced by
+    md5(doc_id) order — same distributional role, engine-reproducible.
+
+    Quirks preserved: graph edges skip terms with tf above the
+    threshold but cosine weights use FULL vectors (build_graph:202-237);
+    Prim growth picks the MINIMUM-D frontier vertex (partition:274-300,
+    the code as written); split_index ties assign to side 2.
+    """
+    import hashlib
+
+    def md5v(d: int) -> str:
+        return hashlib.md5(str(d).encode()).hexdigest()
+
+    def com(ids: list[int]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for d in ids:
+            for t, v in tvecs[d].items():
+                out[t] = out.get(t, 0.0) + v
+        n = max(len(ids), 1)
+        return {t: v / n for t, v in out.items()}
+
+    def cos(a: dict[str, float], b: dict[str, float]) -> float:
+        if not a or not b:
+            return 0.0
+        small, big = (a, b) if len(a) <= len(b) else (b, a)
+        up = sum(v * big.get(t, 0.0) for t, v in small.items())
+        qa = sum(v * v for v in a.values()) ** 0.5
+        qb = sum(v * v for v in b.values()) ** 0.5
+        return up / (qa * qb) if qa > 0 and qb > 0 else 0.0
+
+    def prim_split(ids: list[int]) -> tuple[list[int], list[int]]:
+        n = len(ids)
+        # adjacency: docs sharing any term whose tf <= threshold
+        by_term: dict[str, list[int]] = {}
+        for i, d in enumerate(ids):
+            for t, v in tvecs[d].items():
+                if v > graph_tf_threshold:
+                    continue
+                by_term.setdefault(t, []).append(i)
+        adj: list[set[int]] = [set() for _ in range(n)]
+        for members in by_term.values():
+            for ai in range(len(members)):
+                for bi in range(ai + 1, len(members)):
+                    adj[members[ai]].add(members[bi])
+                    adj[members[bi]].add(members[ai])
+        cosmemo: dict[tuple[int, int], float] = {}
+
+        def w(i: int, j: int) -> float:
+            key = (i, j) if i < j else (j, i)
+            got = cosmemo.get(key)
+            if got is None:
+                got = cosmemo[key] = cos(tvecs[ids[i]], tvecs[ids[j]])
+            return got
+
+        INF = float("inf")
+        vis = [False] * n
+        D = [INF] * n
+        vis[0] = True
+        for e in adj[0]:
+            D[e] = min(D[e], w(0, e))
+        count, half = 1, n // 2
+        has_edge = [bool(adj[i]) for i in range(n)]
+        while count < half:
+            u = -1
+            for i in range(n):
+                if vis[i] or not has_edge[i]:
+                    continue
+                if u == -1 or D[i] < D[u]:
+                    u = i
+            if u == -1:
+                break
+            vis[u] = True
+            for e in adj[u]:
+                D[e] = min(D[e], w(u, e))
+            count += 1
+        one = [ids[i] for i in range(n) if vis[i]]
+        two = [ids[i] for i in range(n) if not vis[i]]
+        return one, two
+
+    def split(ids: list[int]) -> tuple[list[int], list[int]]:
+        if len(ids) > direct_cap:
+            sample = sorted(ids, key=md5v)[: min(sample_cap, len(ids))]
+            s1, s2 = prim_split(sample)
+            if not s1 or not s2:
+                mid = len(ids) // 2
+                return ids[:mid], ids[mid:]
+            d1, d2 = com(s1), com(s2)
+            one, two = [], []
+            for d in ids:
+                (one if cos(tvecs[d], d1) > cos(tvecs[d], d2) else two).append(d)
+            if not one or not two:
+                mid = len(ids) // 2
+                return ids[:mid], ids[mid:]
+            return one, two
+        return prim_split(ids)
+
+    out: list[int] = []
+    # iterative DFS (explicit stack) — leaf_cap/min_seg keep depth tiny
+    # but Python's recursion limit shouldn't be the bound
+    init = com(sorted(doc_ids, key=md5v)[: min(100, len(doc_ids))])
+    stack = [(list(doc_ids), init, init)]
+    while stack:
+        ids, mL, mR = stack.pop()
+        if len(ids) <= min_seg:
+            out.extend(ids)
+            continue
+        one, two = split(ids)
+        if not one or not two:
+            out.extend(ids)
+            continue
+        m1, m2 = com(one), com(two)
+        if cos(mL, m1) * cos(mR, m2) <= cos(mL, m2) * cos(mR, m1):
+            one, two, m1, m2 = two, one, m2, m1
+        # LIFO stack: push right half first so left emits first
+        stack.append((two, m1, mR))
+        stack.append((one, mL, m2))
+    return out
+
+
 def reorder_bisect(
     docs: DataFrame,
     depth: int = 4,
     iters: int = 2,
     centroid_terms: int = 256,
     leaf_bits: int = 16,
+    leaf_refine: bool = False,
+    leaf_cap: int = 1000,
 ) -> DataFrame:
     """Recursive cosine bisection, the faithful re-expression of the
     reference's Blandford–Blelloch pipeline (R1-R6,
@@ -185,19 +329,61 @@ def reorder_bisect(
     finally:
         tf.unpersist()
 
-    sh = simhash(docs.select("doc_id", "text"), bits=leaf_bits)
-    gray = F.expr(
-        "coalesce(simhash, 0L) ^ (coalesce(simhash, 0L) >> 1)"
-    ).alias("leaf_key")
-    keyed = (
-        docs.join(state, "doc_id")
-        .join(sh, "doc_id", "left")
-        .select(
-            F.col("doc_id").alias("orig_doc_id"),
-            *[c for c in docs.columns if c != "doc_id"],
-            "path",
-            gray,
+    ranks = None
+    if leaf_refine:
+        # Prim-faithful leaf refinement (stretch item): inside leaves
+        # of <= leaf_cap docs, run the reference's ACTUAL sampled
+        # similarity graph + Prim half-growth + oriented recursion
+        # (_bb_leaf_order) — one applyInPandas pass over (path) groups,
+        # keeping the level-synchronous outer loop as the distributed
+        # scaffold. Oversized leaves (wrong depth for the corpus) and
+        # term-less docs fall back to the Gray order below.
+        import pandas as pd  # noqa: F811 (executor-side)
+
+        raw = _term_weights(docs.select("doc_id", "text"))
+        small = (
+            state.groupBy("path")
+            .count()
+            .where(F.col("count") <= leaf_cap)
+            .select("path")
         )
+        rows = raw.join(state, "doc_id").join(F.broadcast(small), "path")
+
+        def refine(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            tvecs: dict[int, dict[str, float]] = {}
+            for d, t, w in zip(pdf["doc_id"], pdf["term"], pdf["w"]):
+                tvecs.setdefault(int(d), {})[t] = float(w)
+            ids = sorted(tvecs)
+            order = _bb_leaf_order(ids, tvecs)
+            return pd.DataFrame(
+                {
+                    "doc_id": order,
+                    "leaf_rank": list(range(len(order))),
+                }
+            )
+
+        ranks = rows.groupBy("path").applyInPandas(
+            refine, "doc_id long, leaf_rank long"
+        )
+
+    sh = simhash(docs.select("doc_id", "text"), bits=leaf_bits)
+    gray_val = F.expr("coalesce(simhash, 0L) ^ (coalesce(simhash, 0L) >> 1)")
+    keyed = docs.join(state, "doc_id").join(sh, "doc_id", "left")
+    if ranks is not None:
+        # refined docs order by their Prim rank; everything else
+        # (oversized leaves, term-less docs) sorts after them by the
+        # Gray key, offset past any possible rank
+        keyed = keyed.join(ranks, "doc_id", "left")
+        leaf_key = F.coalesce(
+            F.col("leaf_rank"), F.lit(1 << 40) + gray_val
+        ).alias("leaf_key")
+    else:
+        leaf_key = gray_val.alias("leaf_key")
+    keyed = keyed.select(
+        F.col("doc_id").alias("orig_doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+        "path",
+        leaf_key,
     )
     out = assign_doc_ids(keyed, order_col=["path", "leaf_key", "orig_doc_id"])
     return out.drop("path", "leaf_key")
