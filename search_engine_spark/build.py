@@ -174,6 +174,27 @@ def term_bucket_col(col, bucket_count: int):
     ).cast("int")
 
 
+def _chunk_arrow_schema():
+    """Arrow twin of CHUNK_SCHEMA (executor-side, mapInArrow output)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("salt", pa.int32()),
+            ("chunk_seq", pa.int32()),
+            ("first_doc_id", pa.int64()),
+            ("last_doc_id", pa.int64()),
+            ("n", pa.int32()),
+            ("codec", pa.int32()),
+            ("payload", pa.binary()),
+            ("dls", pa.binary()),
+            ("max_ratio", pa.float64()),
+            ("min_ratio", pa.float64()),
+        ]
+    )
+
+
 def _chunk_boundaries(
     group_starts: np.ndarray, group_ends: np.ndarray, chunk_length: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -376,33 +397,58 @@ def chunk_tokens_docmajor(
     ).repartitionByRange(n_salts, "salt")
 
     def encode_partition(batches):
-        ids_b, dls_b, terms_b, tfs_b, salts_b = [], [], [], [], []
-        for pdf in batches:
-            tl = pdf["uterms"].to_numpy()
-            lens = np.fromiter(
-                (len(t) for t in tl), dtype=np.int64, count=len(tl)
+        # Arrow-NATIVE ingestion (mapInArrow, round 4): the pandas
+        # twin boxed every term of every doc into a Python str while
+        # deserializing the channel (Series-of-lists → object arrays),
+        # which was the sub-scaling CPU in the 1→4-core builds (the
+        # one 0.62-efficiency stage; tokens scales at 0.86). Here the
+        # flatten + dictionary-encode run in Arrow C++ — the only
+        # Python-object strings ever materialized are the DISTINCT
+        # terms (uniq), ~10^2-10^4 per partition vs ~10^7 postings.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ids_b, dls_b, tfs_b, salts_b, flat_b = [], [], [], [], []
+        for rb in batches:
+            col = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
+            lens = (
+                pc.list_value_length(col["uterms"])
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
             if not lens.sum():
                 continue
-            nz = lens > 0
-            terms_b.append(
-                np.concatenate([np.asarray(t, dtype=object) for t in tl[nz]])
-            )
+            flat_b.append(pc.list_flatten(col["uterms"]))
             tfs_b.append(
-                np.concatenate(
-                    [np.asarray(t, dtype=np.int64) for t in pdf["utfs"].to_numpy()[nz]]
+                pc.list_flatten(col["utfs"])
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            ids_b.append(
+                np.repeat(
+                    col["doc_id"].to_numpy(zero_copy_only=False), lens
                 )
             )
-            ids_b.append(np.repeat(pdf["doc_id"].to_numpy(), lens))
-            dls_b.append(np.repeat(pdf["doc_length"].to_numpy(), lens))
-            salts_b.append(np.repeat(pdf["salt"].to_numpy(), lens))
+            dls_b.append(
+                np.repeat(
+                    col["doc_length"].to_numpy(zero_copy_only=False), lens
+                )
+            )
+            salts_b.append(
+                np.repeat(col["salt"].to_numpy(zero_copy_only=False), lens)
+            )
         if not ids_b:
             return
         ids = np.concatenate(ids_b)
         dls = np.concatenate(dls_b)
         tfs = np.concatenate(tfs_b)
         salts = np.concatenate(salts_b)
-        codes, uniq = pd.factorize(np.concatenate(terms_b))
+        denc = pc.dictionary_encode(
+            pa.chunked_array(flat_b).combine_chunks()
+        )
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = denc.dictionary.to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, codes, salts))
         ids, dls, tfs, salts, codes = (
             ids[order],
@@ -432,9 +478,13 @@ def chunk_tokens_docmajor(
         )
         # bound Arrow batch size on the way out
         for lo in range(0, len(frame), 16384):
-            yield frame.iloc[lo : lo + 16384]
+            yield pa.RecordBatch.from_pandas(
+                frame.iloc[lo : lo + 16384],
+                schema=_chunk_arrow_schema(),
+                preserve_index=False,
+            )
 
-    return salted.mapInPandas(encode_partition, CHUNK_SCHEMA)
+    return salted.mapInArrow(encode_partition, CHUNK_SCHEMA)
 
 
 # partitionBy writes of an EMPTY DataFrame emit no data files (only
