@@ -157,8 +157,12 @@ def run_suite() -> dict:
         )
 
         def local_20q():
-            for _ in range(20):
-                qe.search_local("spark query data", "disjunctive")
+            # 10 DISTINCT queries x 2 passes: with the serving caches a
+            # single repeated query would measure pure cache hits; a
+            # mixed workload exercises cold reads AND warm hits the way
+            # a real query stream (Zipf repetition) does
+            for q in DISJ_QUERIES * 2:
+                qe.search_local(q, "disjunctive")
 
         timings["local_path_20q"] = _min_of(local_20q)
         # the interactive/REPL serving path (no Spark job per query)
