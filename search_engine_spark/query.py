@@ -647,9 +647,18 @@ class QueryEngine:
         conj = mode == "conjunctive" and len(present) > 1
         segs = self._banded_segments(present, lex, conj).persist()
         try:
+            # ONE collect yields the top-bound segments AND their
+            # covering chunk keys (collect_set of <= |terms| structs
+            # per segment) — round 3 ran a second cache-scan job to
+            # fetch the chosen segments' keys; at scale every planner
+            # job is a driver round-trip worth deleting
             top = (
-                segs.select("seg_lo", "seg_hi", "bound", "est")
-                .dropDuplicates(["seg_lo"])
+                segs.groupBy("seg_lo", "seg_hi", "bound", "est")
+                .agg(
+                    F.collect_set(
+                        F.struct("term", "salt", "chunk_seq")
+                    ).alias("_ks")
+                )
                 .orderBy(F.desc("bound"), F.asc("seg_lo"))
                 .limit(64)
                 .collect()
@@ -673,14 +682,13 @@ class QueryEngine:
                     np.array([r["seg_lo"] for r in chosen], dtype=np.int64),
                     np.array([r["seg_hi"] for r in chosen], dtype=np.int64),
                 )
-                chosen_los = [int(r["seg_lo"]) for r in chosen]
-                p1_keys = [
-                    (r["term"], int(r["salt"]), int(r["chunk_seq"]))
-                    for r in segs.where(F.col("seg_lo").isin(chosen_los))
-                    .select("term", "salt", "chunk_seq")
-                    .distinct()
-                    .collect()
-                ]
+                p1_keys = sorted(
+                    {
+                        (s["term"], int(s["salt"]), int(s["chunk_seq"]))
+                        for r in chosen
+                        for s in r["_ks"]
+                    }
+                )
                 p1_rows = self._keys_job(
                     present, lex, p1_keys, (lo, hi), mode, k, dtype=dtype
                 ).collect()
@@ -1349,9 +1357,16 @@ class QueryEngine:
             w = Window.partitionBy("query_id").orderBy(
                 F.desc("bound"), F.asc("seg_lo")
             )
+            # one collect: per-query top segments WITH covering chunk
+            # keys (same job-fold as _spark_banded — the round-3 shape
+            # paid a second cache-scan job for the chosen keys)
             top_rows = (
-                segs.select("query_id", "seg_lo", "seg_hi", "bound", "est")
-                .dropDuplicates(["query_id", "seg_lo"])
+                segs.groupBy("query_id", "seg_lo", "seg_hi", "bound", "est")
+                .agg(
+                    F.collect_set(
+                        F.struct("term", "salt", "chunk_seq")
+                    ).alias("_ks")
+                )
                 .withColumn("_r", F.row_number().over(w))
                 .where(F.col("_r") <= 64)
                 .collect()
@@ -1377,24 +1392,13 @@ class QueryEngine:
                     p1[qid] = rows[:n_p1]
             thetas: dict[int, float] = {}
             if p1:
-                chosen_df = F.broadcast(
-                    self.spark.createDataFrame(
-                        [
-                            (qid, int(r["seg_lo"]))
-                            for qid, rows in p1.items()
-                            for r in rows
-                        ],
-                        "query_id int, seg_lo long",
-                    )
-                )
                 p1_keys = sorted(
-                    (r["term"], int(r["salt"]), int(r["chunk_seq"]))
-                    for r in segs.join(
-                        chosen_df, ["query_id", "seg_lo"], "leftsemi"
-                    )
-                    .select("term", "salt", "chunk_seq")
-                    .distinct()
-                    .collect()
+                    {
+                        (s["term"], int(s["salt"]), int(s["chunk_seq"]))
+                        for rows in p1.values()
+                        for r in rows
+                        for s in r["_ks"]
+                    }
                 )
                 p1_ivals: list[tuple[int, int, int]] = []
                 for qid, rows in p1.items():
