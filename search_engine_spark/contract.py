@@ -758,10 +758,15 @@ def spark_reorder_permutation(spark, sf_dir: str) -> DataFrame:
     a dense zero-based permutation of the corpus. The locality
     objective itself (cluster adjacency, measured compression payoff)
     is pytest-gated in tests/test_reorder.py — iterative 2-means is not
-    SQL-expressible, so the oracle checks the permutation contract."""
+    SQL-expressible, so the oracle checks the permutation contract.
+    ``leaf_refine=True`` additionally routes every leaf through the
+    reference's actual graph + Prim-growth recursion (_bb_leaf_order),
+    so the driver gate exercises the full faithful pipeline."""
     from .reorder import reorder_bisect
 
-    out = reorder_bisect(_docs(spark, sf_dir), depth=3, iters=2)
+    out = reorder_bisect(
+        _docs(spark, sf_dir), depth=3, iters=2, leaf_refine=True
+    )
     return out.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.min("doc_id").cast("long").alias("min_id"),
