@@ -318,3 +318,19 @@ def test_exact_duplicates_reuses_hash_lineage(spark):
     assert "InMemoryTableScan" in p
     outer = p.split("InMemoryRelation")[0]
     assert "FileScan" not in outer, outer
+
+
+def test_docmajor_encode_single_exchange_arrow_native(spark, built):
+    """The default chunk encoder (doc-major local inversion) must plan
+    exactly ONE exchange (the salt range partitioning) and run its
+    Python stage through the Arrow-native channel (mapInArrow) — the
+    mapInPandas twin boxed every posting's term into a Python str and
+    was the one sub-linear build stage at 1-to-4-core scaling."""
+    from search_engine_spark.build import chunk_tokens_docmajor
+
+    tokens = spark.read.parquet(f"{built}/tokens")
+    df = chunk_tokens_docmajor(tokens, 1000, n_salts=4)
+    p = plan_str(df)
+    assert p.count("Exchange") == 1, p.count("Exchange")
+    assert "MapInArrow" in p or "PythonMapInArrow" in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
