@@ -261,6 +261,39 @@ def sql_lsh_pairs(engine: str) -> str:
     )
 
 
+def spark_lsh_bucket_stats(spark, sf_dir: str) -> DataFrame:
+    """Skew accounting for the LSH bucket cap (what web-scale dedup
+    DROPS): one row per oversized (band, band_key) bucket. A small cap
+    (2) makes the result non-trivial at test scale — production uses
+    the 500-doc boilerplate cap."""
+    from .dedup import lsh_bucket_stats
+
+    return lsh_bucket_stats(
+        _docs(spark, sf_dir), n_hashes=N_MINHASH, band_rows=4,
+        max_bucket_size=2,
+    )
+
+
+def sql_lsh_bucket_stats(engine: str) -> str:
+    if engine == "spark":
+        band_key = (
+            "md5(concat_ws(',', transform(array_sort(collect_list("
+            "struct(minhash_idx, minhash))), s -> s.minhash)))"
+        )
+        band = "CAST(minhash_idx div 4 AS INT)"
+    else:
+        band_key = "md5(string_agg(minhash, ',' ORDER BY minhash_idx))"
+        band = "CAST(minhash_idx // 4 AS INT)"
+    return (
+        f"WITH {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "
+        f"{_minhash_cte(engine)}, "
+        f"bands AS (SELECT doc_id, {band} AS band, {band_key} AS band_key "
+        f"FROM sigs GROUP BY doc_id, {band}) "
+        "SELECT band, band_key, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM bands GROUP BY band, band_key HAVING count(*) > 2"
+    )
+
+
 def sql_ngram_jaccard(engine: str) -> str:
     return (
         f"WITH {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "
@@ -1048,6 +1081,7 @@ def _registry() -> dict:
         "dedup_exact": (spark_dedup_exact, sql_dedup_exact),
         "minhash_signatures": (spark_minhash, sql_minhash_signatures),
         "lsh_candidate_pairs": (spark_lsh_pairs, sql_lsh_pairs),
+        "lsh_bucket_stats": (spark_lsh_bucket_stats, sql_lsh_bucket_stats),
         "ngram_jaccard_pairs": (spark_ngram_jaccard, sql_ngram_jaccard),
         "simhash": (spark_simhash, sql_simhash),
         "langid": (spark_langid, sql_langid),
