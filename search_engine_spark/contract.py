@@ -785,6 +785,84 @@ def spark_winnow(spark, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def spark_repetition_ratio(spark, sf_dir: str) -> DataFrame:
+    from .textstats import repetition_ratio
+
+    return repetition_ratio(_docs(spark, sf_dir))
+
+
+def sql_repetition_ratio(engine: str) -> str:
+    """DuckDB twin of textstats.repetition_ratio (n=3): word trigrams
+    per doc, dup_ratio = 1 - distinct/total, 0.0 for short docs."""
+    grams = " || ' ' || ".join(f"ts[i+{j}]" for j in range(3))
+    return (
+        f"WITH {_toks_cte(engine)}, "
+        "grams AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN "
+        f"list_transform(range(1, len(ts) - 1), i -> {grams}) "
+        "ELSE [] END AS gs FROM toks) "
+        "SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, "
+        "CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct, "
+        "CASE WHEN len(gs) > 0 THEN round(1.0 - "
+        "CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 4) "
+        "ELSE 0.0 END AS dup_ratio FROM grams"
+    )
+
+
+def spark_source_stats(spark, sf_dir: str) -> DataFrame:
+    from .textstats import source_stats
+
+    _prepare(spark, sf_dir)
+    return source_stats(spark.table("documents"))
+
+
+def sql_source_stats(engine: str) -> str:
+    """DuckDB twin of textstats.source_stats: per-source curation
+    accounting. All aggregates are over exact integers (sum/count of
+    BIGINT) so the rounded doubles are bit-identical cross-engine."""
+    return (
+        "WITH ws AS (SELECT source, lang, n_chars, "
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tok "
+        "FROM documents) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+        "round(avg(n_chars), 4) AS avg_chars, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+        "round(avg(CAST(ws_tok AS DOUBLE)), 4) AS avg_ws_tokens "
+        "FROM ws GROUP BY source"
+    )
+
+
+def spark_stratified_sample(spark, sf_dir: str) -> DataFrame:
+    from .textstats import stratified_sample
+
+    _prepare(spark, sf_dir)
+    return stratified_sample(spark.table("documents"), strat_col="lang")
+
+
+def sql_stratified_sample(engine: str) -> str:
+    """DuckDB twin of textstats.stratified_sample: the md5 hex-nibble
+    bucket regenerates exactly (strpos == Spark instr, both 1-based),
+    and floor(min/cnt * 65536) is the same IEEE-double expression."""
+    nib = (
+        "(strpos('0123456789abcdef', substr(md5('sample|' || "
+        "CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+    )
+    bucket = " + ".join(
+        nib.format(i=i + 1) + f" * {16 ** (3 - i)}" for i in range(4)
+    )
+    return (
+        "WITH cnt AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c "
+        "FROM documents GROUP BY lang), "
+        "mn AS (SELECT min(c) AS m FROM cnt), "
+        "thr AS (SELECT lang, CAST(floor(m / c * 65536) AS BIGINT) "
+        "AS t FROM cnt CROSS JOIN mn), "
+        f"b AS (SELECT doc_id, lang, {bucket} AS bucket FROM documents) "
+        "SELECT b.doc_id, b.lang FROM b JOIN thr ON b.lang = thr.lang "
+        "WHERE b.bucket < thr.t"
+    )
+
+
 def spark_reorder_permutation(spark, sf_dir: str) -> DataFrame:
     """Permutation invariants of the Blandford–Blelloch-faithful
     bisection reorder (``reorder.reorder_bisect``): the new ids must be
@@ -1088,6 +1166,9 @@ def _registry() -> dict:
         "quality_score": (spark_quality, sql_quality),
         "token_count_bpe": (spark_token_count_bpe, sql_token_count_bpe),
         "rolling_min_hash": (spark_rolling_min_hash, sql_rolling_min_hash),
+        "repetition_ratio": (spark_repetition_ratio, sql_repetition_ratio),
+        "source_stats": (spark_source_stats, sql_source_stats),
+        "stratified_sample": (spark_stratified_sample, sql_stratified_sample),
         "ann_cosine_topk": (spark_ann_bruteforce, sql_ann_cosine),
         "ann_ivf_topk": (spark_ann_ivf, sql_ann_ivf),
         "embedding_neardup_exact": (

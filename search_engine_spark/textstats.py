@@ -165,3 +165,111 @@ def rolling_min_hash(docs: DataFrame, k: int = ROLL_K) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         run, "doc_id long, n_grams long, min_hash long"
     )
+
+
+# ------------------------------------------------------- curation ops
+# Three corpus-curation operators a web-scale training pipeline runs
+# between dedup and tokenization (Gopher/C4-style rule filtering,
+# domain accounting, language rebalancing). All three are pure JVM
+# expression trees (whole-stage codegen, no Python workers) and each
+# has a hash-checked DuckDB oracle in contract.py.
+
+SAMPLE_BUCKETS = 65536  # 4 md5 hex chars -> bucket in [0, 65536)
+
+
+def _hex_bucket(prefix: str, id_col: str = "doc_id"):
+    """Deterministic bucket in [0, SAMPLE_BUCKETS): nibble-decode the
+    first 4 hex chars of md5('<prefix>|' || id). `instr` over the hex
+    alphabet is portable (identical in DuckDB as strpos), so oracles
+    regenerate the exact bucket."""
+    h = f"md5(concat('{prefix}|', CAST({id_col} AS STRING)))"
+    nib = "(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    return F.expr(
+        " + ".join(
+            nib.format(h=h, i=i + 1) + f" * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+    )
+
+
+def repetition_ratio(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Gopher-style repetition signal: fraction of word n-grams that
+    are repeats of an earlier n-gram in the same doc.
+
+    (doc_id, n_grams, n_distinct, dup_ratio) where dup_ratio =
+    1 - n_distinct/n_grams (0.0 for docs shorter than n tokens).
+    Array-valued higher-order expressions only — map-only, no shuffle,
+    no Python; at 100 TB this is a single codegen'd scan."""
+    toks = tokenize_col(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
+        ),
+    )
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    n_grams = F.size(grams).cast("long")
+    n_distinct = F.size(F.array_distinct(grams)).cast("long")
+    ratio = F.when(
+        n_grams > 0,
+        F.round(
+            F.lit(1.0) - n_distinct.cast("double") / n_grams.cast("double"), 4
+        ),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        ratio.alias("dup_ratio"),
+    )
+
+
+def source_stats(docs: DataFrame) -> DataFrame:
+    """Per-source (per-domain) curation accounting: doc count, char
+    mass, mean doc length, distinct languages, mean whitespace-token
+    count. One hash-agg over the corpus — map-side partials, ~|sources|
+    result rows; the frame a curation pipeline joins its keep/drop
+    rules against."""
+    ws = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), "\\s+"))
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(F.avg(ws.cast("double")), 4).alias("avg_ws_tokens"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, strat_col: str = "lang", seed_tag: str = "sample"
+) -> DataFrame:
+    """Deterministic language-rebalancing sampler: downsample every
+    stratum to the size of the SMALLEST stratum, by hash bucket (no
+    RNG — the kept set is a pure function of ids, so re-runs and
+    resumed builds keep identical rows).
+
+    keep iff bucket(doc_id) < floor(min_count/count * 65536): the
+    smallest stratum keeps everything, a stratum 4x the smallest keeps
+    ~1/4. Two passes over the corpus (count agg, then filter) — the
+    counts agg is map-side-combinable and its result (one row per
+    stratum) broadcasts back, so no corpus-sized shuffle anywhere."""
+    cnt = docs.groupBy(strat_col).agg(
+        F.count("*").cast("double").alias("_cnt")
+    )
+    mn = cnt.agg(F.min("_cnt").alias("_min"))
+    thr = cnt.crossJoin(F.broadcast(mn)).select(
+        strat_col,
+        F.floor(F.col("_min") / F.col("_cnt") * SAMPLE_BUCKETS)
+        .cast("long")
+        .alias("_thr"),
+    )
+    bucket = _hex_bucket(seed_tag)
+    return (
+        docs.join(F.broadcast(thr), strat_col)
+        .where(bucket < F.col("_thr"))
+        .select("doc_id", strat_col)
+    )

@@ -94,3 +94,80 @@ def test_rolling_min_hash_matches_pure(docs):
     h = textstats.rolling_hashes("the quick brown fox")
     assert rows[1]["n_grams"] == len(h)
     assert rows[1]["min_hash"] == int(h.min())
+
+
+def test_repetition_ratio(docs, spark):
+    extra = spark.createDataFrame(
+        [
+            (10, "a b c a b c a b c"),  # 7 trigrams, 3 distinct
+            (11, "one two three four"),  # 2 trigrams, all distinct
+            (12, "just two"),  # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.repetition_ratio(docs.union(extra)).collect()
+    }
+    assert rows[10]["n_grams"] == 7 and rows[10]["n_distinct"] == 3
+    assert rows[10]["dup_ratio"] == round(1 - 3 / 7, 4)
+    assert rows[11]["n_grams"] == 2 and rows[11]["dup_ratio"] == 0.0
+    assert rows[12]["n_grams"] == 0 and rows[12]["dup_ratio"] == 0.0
+    assert rows[3]["n_grams"] == 0 and rows[3]["dup_ratio"] == 0.0
+
+
+@pytest.fixture(scope="module")
+def curation_docs(spark):
+    ensure_shipped(spark)
+    rows = []
+    for i in range(40):
+        rows.append((i, f"english text number {i}", "en", "site-a", 20 + i))
+    for i in range(40, 50):
+        rows.append((i, f"texte {i}", "fr", "site-b", 8))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_source_stats(curation_docs):
+    rows = {
+        r["source"]: r
+        for r in textstats.source_stats(curation_docs).collect()
+    }
+    a, b = rows["site-a"], rows["site-b"]
+    assert a["n_docs"] == 40 and b["n_docs"] == 10
+    assert a["total_chars"] == sum(20 + i for i in range(40))
+    assert b["avg_chars"] == 8.0
+    assert a["n_langs"] == 1 and b["n_langs"] == 1
+    assert a["avg_ws_tokens"] == 4.0 and b["avg_ws_tokens"] == 2.0
+
+
+def test_stratified_sample_matches_pure_md5(curation_docs):
+    import hashlib
+
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in textstats.stratified_sample(curation_docs).collect()
+    }
+    # pure-python twin: bucket = first 4 md5 hex nibbles of 'sample|id'
+    def bucket(i):
+        return int(hashlib.md5(f"sample|{i}".encode()).hexdigest()[:4], 16)
+
+    import math
+
+    thr = {"en": math.floor(10 / 40 * 65536), "fr": 65536}
+    want = {
+        (i, "en" if i < 40 else "fr")
+        for i in range(50)
+        if bucket(i) < thr["en" if i < 40 else "fr"]
+    }
+    assert got == want
+    # smallest stratum keeps everything; larger stratum downsampled
+    assert sum(1 for _, l in got if l == "fr") == 10
+    assert 1 <= sum(1 for _, l in got if l == "en") < 40
+    # deterministic across runs
+    again = {
+        (r["doc_id"], r["lang"])
+        for r in textstats.stratified_sample(curation_docs).collect()
+    }
+    assert got == again
