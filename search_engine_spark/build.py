@@ -492,6 +492,10 @@ def chunk_tokens_docmajor(
 # back to their declared schemas (an empty corpus is a valid index)
 _PARTITIONED_STAGE_SCHEMAS = {
     "chunks": CHUNK_SCHEMA + ", bucket int",
+    "postings": (
+        "term string, doc_id long, doc_length long, tf long, "
+        "positions array<int>, bucket int"
+    ),
     "lexicon": (
         "term string, df long, n_chunks int, min_doc_id long, "
         "max_doc_id long, max_ratio double, min_ratio double, bucket int"
@@ -938,7 +942,19 @@ class IndexBuilder:
                         F.col("p.utfs").cast("long").alias("tf"),
                     )
                 )
-            self._write(postings, "postings")
+            # bucket-partition + term-sort like chunks/lexicon, so the
+            # positional side table supports partition-pruned point
+            # access (phrase_search reads only the queried terms'
+            # buckets, never a full postings scan)
+            postings = postings.withColumn(
+                "bucket", term_bucket_col(F.col("term"), self.bucket_count)
+            )
+            self._write(
+                postings,
+                "postings",
+                partition_by=["bucket"],
+                sort_cols=["term", "doc_id"],
+            )
             self._record_stage(manifest, "postings", time.time() - t0, ["tokens"])
 
         return self.build_from_postings(manifest)

@@ -987,6 +987,52 @@ def spark_events_streaming(spark, sf_dir: str) -> DataFrame:
 
 
 _E2E_CACHE: dict = {}
+_E2E_POS_CACHE: dict = {}
+
+PHRASE = ("part", "filter")
+
+
+def spark_phrase_e2e_topk(spark, sf_dir: str) -> DataFrame:
+    """Exact-adjacency phrase top-10 through the REAL positional index
+    (store_positions=True build), HARD-ORACLED: QueryEngine.phrase_search
+    in float64 hash-matches a DuckDB oracle that finds the token-adjacent
+    docs and scores them with the relational BM25 formulation."""
+    import tempfile
+
+    import numpy as np
+
+    from .build import IndexBuilder
+    from .corpus import load_documents
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    index_dir = _E2E_POS_CACHE.get(sf_dir)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="se_e2e_pos_idx_")
+        IndexBuilder(
+            spark, index_dir, n_salts=4, bucket_count=8, store_positions=True
+        ).build(load_documents(spark, sf_dir))
+        _E2E_POS_CACHE[sf_dir] = index_dir
+    qe = QueryEngine(spark, index_dir)
+    res = qe.phrase_search(" ".join(PHRASE), k=10, dtype=np.float64)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def sql_phrase_e2e_topk() -> str:
+    """DuckDB twin: docs whose token array contains the phrase as an
+    adjacent run, scored by the distinct-term BM25 sum, top-10 ordered
+    on the unrounded sum (the engine's ordering)."""
+    L = len(PHRASE)
+    conds = " AND ".join(f"ts[i+{j}] = '{w}'" for j, w in enumerate(PHRASE))
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(PHRASE)))
+    return (
+        _bm25_base("duckdb") + f"WHERE tf.term IN ({in_list})), "
+        f"matched AS (SELECT doc_id FROM toks WHERE len(ts) >= {L} AND "
+        f"len(list_filter(range(1, len(ts) - {L} + 2), i -> {conds})) > 0) "
+        "SELECT s.doc_id, round(sum(s.score), 4) AS score FROM scored s "
+        "JOIN matched m ON s.doc_id = m.doc_id GROUP BY s.doc_id "
+        "ORDER BY sum(s.score) DESC, s.doc_id LIMIT 10"
+    )
 
 
 def spark_index_e2e_topk(spark, sf_dir: str) -> DataFrame:
@@ -1208,6 +1254,11 @@ def _registry() -> dict:
     q["doc_point_lookup"] = {
         "spark": spark_doc_point_lookup,
         "sql": sql_doc_point_lookup(),
+    }
+    # positional phrase query through a store_positions=True index
+    q["phrase_e2e_topk"] = {
+        "spark": spark_phrase_e2e_topk,
+        "sql": sql_phrase_e2e_topk(),
     }
     q["winnow_fingerprints"] = {
         "spark": spark_winnow,

@@ -1829,6 +1829,111 @@ class QueryEngine:
 
     # ----------------------------------------------------------- snippets
 
+    def phrase_search(
+        self, phrase: str, k: int = 10, dtype=np.float32
+    ) -> DataFrame:
+        """Exact-adjacency phrase query — the consumer of indexes built
+        with ``store_positions=True`` (the positional member of the
+        north rule's (term, docID, tf, positions) posting tuple; the
+        reference engine has no phrase operator, so semantics are the
+        standard IR definition: all terms adjacent, in order, in
+        index-token space).
+
+        Plan, entirely JVM expressions (no Python on the hot path):
+
+        1. scan the bucket-partitioned ``postings`` side table pruned
+           to the phrase terms' buckets + an ``IN(term)`` pushdown —
+           partition pruning plus term-sorted row groups make this a
+           point access, never a corpus scan;
+        2. one ``groupBy(doc_id)`` pivots each candidate doc's per-term
+           (positions, tf) — shuffled rows are bounded by the phrase
+           terms' total df, not the corpus;
+        3. adjacency is a codegen'd ``exists(p_first, p ->
+           array_contains(p_j, p + j) AND ...)``, duplicate phrase
+           terms sharing one array;
+        4. BM25 over the DISTINCT phrase terms (idf from the lexicon,
+           tf/dl from the same rows), deterministic (score desc,
+           doc_id asc) top-k via TakeOrderedAndProject.
+
+        ``dtype=np.float64`` computes end-to-end in doubles (the
+        contract-oracle mode); the float32 default casts the double
+        sum at output (documented deviation: no reference float32
+        accumulation exists to mirror for phrases).
+        """
+        import math
+
+        from .tokenizer import tokenize_text
+
+        seq = tokenize_text(phrase)
+        schema = "doc_id long, score " + (
+            "double" if dtype is np.float64 else "float"
+        )
+        empty = self.spark.createDataFrame([], schema)
+        if not seq:
+            return empty
+        if not self.config.get("store_positions"):
+            raise ValueError(
+                "phrase_search needs a positional index: rebuild with "
+                "IndexBuilder(..., store_positions=True)"
+            )
+        uniq = sorted(set(seq))
+        lex = self.lexicon_lookup(uniq)
+        if any(t not in lex for t in uniq):
+            # a never-indexed term can't be adjacent to anything
+            return empty
+        pos = self._stage_df("postings")
+        if "bucket" in pos.columns:
+            pos = pos.where(F.col("bucket").isin(self._buckets(uniq)))
+        pos = pos.where(F.col("term").isin(uniq))
+        idx = {t: i for i, t in enumerate(uniq)}
+        aggs = []
+        for i, t in enumerate(uniq):
+            is_t = F.col("term") == t
+            # exactly one (term, doc_id) row per group -> first non-null
+            aggs.append(
+                F.first(F.when(is_t, F.col("positions")), ignorenulls=True)
+                .alias(f"_p{i}")
+            )
+            aggs.append(
+                F.first(F.when(is_t, F.col("tf")), ignorenulls=True)
+                .alias(f"_tf{i}")
+            )
+        per_doc = pos.groupBy("doc_id", "doc_length").agg(*aggs)
+        all_present = F.lit(True)
+        for i in range(len(uniq)):
+            all_present = all_present & F.col(f"_p{i}").isNotNull()
+        per_doc = per_doc.where(all_present)
+        if len(seq) > 1:
+            first = F.col(f"_p{idx[seq[0]]}")
+
+            def adjacent(p):
+                cond = F.lit(True)
+                for j, t in enumerate(seq[1:], start=1):
+                    cond = cond & F.array_contains(
+                        F.col(f"_p{idx[t]}"), p + F.lit(j)
+                    )
+                return cond
+
+            per_doc = per_doc.where(F.exists(first, adjacent))
+        n_docs, avgdl = self.n_docs, self.avgdl
+        dl = F.col("doc_length").cast("double")
+        kfac = F.lit(float(K1)) * (
+            F.lit(1.0 - float(B)) + F.lit(float(B)) * dl / F.lit(avgdl)
+        )
+        score = None
+        for i, t in enumerate(uniq):
+            df_t = lex[t]["df"]
+            idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5))
+            tf = F.col(f"_tf{i}").cast("double")
+            s = F.lit(idf) * F.lit(float(K1) + 1.0) * tf / (kfac + tf)
+            score = s if score is None else score + s
+        out = per_doc.select("doc_id", score.alias("score"))
+        if dtype is not np.float64:
+            out = out.select(
+                "doc_id", F.col("score").cast("float").alias("score")
+            )
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def fetch_docs(self, topk: DataFrame) -> DataFrame:
         """Point lookup of a bounded top-k's doc-table records
         (reference B13, MongoService.cpp:27-48, studied not copied):

@@ -334,3 +334,24 @@ def test_docmajor_encode_single_exchange_arrow_native(spark, built):
     assert p.count("Exchange") == 1, p.count("Exchange")
     assert "MapInArrow" in p or "PythonMapInArrow" in p, p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_phrase_search_postings_scan_is_point_access(spark, tmp_path):
+    """phrase_search's positional side-table scan must partition-prune
+    on bucket and push the term IN filter to parquet — a point access,
+    never a corpus-wide postings scan (the property that keeps phrase
+    queries df-bounded at 100 TB)."""
+    import numpy as np
+
+    d = str(tmp_path / "pos_idx")
+    IndexBuilder(
+        spark, d, n_salts=2, bucket_count=4, store_positions=True
+    ).build(load_documents(spark, SF_DIR))
+    qe = QueryEngine(spark, d)
+    df = qe.phrase_search("part filter", dtype=np.float64)
+    p = plan_str(df)
+    assert "PartitionFilters" in p and "bucket" in p
+    assert "PushedFilters" in p
+    assert "In(term" in p or "EqualTo(term" in p
+    # top-k stays TakeOrderedAndProject (no global sort at scale)
+    assert "TakeOrderedAndProject" in p

@@ -160,3 +160,88 @@ def test_snippets_parity_prints_all_segments_in_doc_order(engine):
             i = doc_text.find(s, pos + 1)
             assert i > pos, (d, segs)
             pos = i
+
+
+# ---------------------------------------------------------------- phrase
+
+
+@pytest.fixture(scope="module")
+def phrase_engine(spark, tmp_path_factory):
+    """Tiny positional index with known adjacency structure."""
+    index_dir = str(tmp_path_factory.mktemp("idx_phrase"))
+    docs = spark.createDataFrame(
+        [
+            (0, "u0", "alpha beta gamma delta"),
+            (1, "u1", "alpha gamma beta delta"),  # scattered, not adjacent
+            (2, "u2", "x alpha beta y alpha beta"),  # phrase twice
+            (3, "u3", "beta alpha"),  # reversed order
+            (4, "u4", "echo echo foxtrot"),  # duplicate-term phrase
+            (5, "u5", "alpha"),  # prefix only
+        ],
+        "doc_id long, url string, text string",
+    )
+    IndexBuilder(
+        spark, index_dir, n_salts=2, bucket_count=4, store_positions=True
+    ).build(docs, resume=False)
+    return QueryEngine(spark, index_dir)
+
+
+def ids(df):
+    return [r["doc_id"] for r in df.collect()]
+
+
+def test_phrase_adjacency_and_order(phrase_engine):
+    qe = phrase_engine
+    assert set(ids(qe.phrase_search("alpha beta"))) == {0, 2}
+    assert set(ids(qe.phrase_search("beta alpha"))) == {3}
+    assert set(ids(qe.phrase_search("alpha beta gamma"))) == {0}
+    # single-term phrase == term presence
+    assert set(ids(qe.phrase_search("alpha"))) == {0, 1, 2, 3, 5}
+
+
+def test_phrase_duplicate_term(phrase_engine):
+    qe = phrase_engine
+    assert set(ids(qe.phrase_search("echo echo"))) == {4}
+    assert set(ids(qe.phrase_search("echo echo foxtrot"))) == {4}
+    assert set(ids(qe.phrase_search("echo foxtrot echo"))) == set()
+
+
+def test_phrase_missing_term_and_empty(phrase_engine):
+    qe = phrase_engine
+    assert ids(qe.phrase_search("alpha zzzabsent")) == []
+    assert ids(qe.phrase_search("")) == []
+    assert ids(qe.phrase_search(",,, ...")) == []
+
+
+def test_phrase_scores_match_oracle_bm25(phrase_engine):
+    """Distinct-term float64 BM25 equals the pure-python formula."""
+    import math
+
+    import numpy as np
+
+    qe = phrase_engine
+    rows = qe.phrase_search("alpha beta", dtype=np.float64).collect()
+    lex = qe.lexicon_lookup(["alpha", "beta"])
+    texts = {
+        0: "alpha beta gamma delta".split(),
+        2: "x alpha beta y alpha beta".split(),
+    }
+    for r in rows:
+        toks = texts[r["doc_id"]]
+        want = 0.0
+        for t in ("alpha", "beta"):
+            df_t = lex[t]["df"]
+            idf = math.log((qe.n_docs - df_t + 0.5) / (df_t + 0.5))
+            tf = toks.count(t)
+            kk = 1.2 * (0.25 + 0.75 * len(toks) / qe.avgdl)
+            want += idf * 2.2 * tf / (kk + tf)
+        assert abs(r["score"] - want) < 1e-9, (r, want)
+    # deterministic ordering: score desc, doc_id asc
+    scores = [(r["score"], r["doc_id"]) for r in rows]
+    assert scores == sorted(scores, key=lambda x: (-x[0], x[1]))
+
+
+def test_phrase_requires_positions(engine):
+    qe, _ = engine
+    with pytest.raises(ValueError, match="store_positions"):
+        qe.phrase_search("spark query")
