@@ -1035,6 +1035,117 @@ def sql_phrase_e2e_topk() -> str:
     )
 
 
+PROX_WINDOW = 3
+
+
+def spark_proximity_e2e_topk(spark, sf_dir: str) -> DataFrame:
+    """NEAR-window top-10 through the SAME positional index as
+    phrase_e2e_topk (cache shared), HARD-ORACLED vs a relational DuckDB
+    twin: a doc matches when some window of PROX_WINDOW consecutive
+    token positions contains every query term (order-insensitive)."""
+    import numpy as np
+
+    _prepare(spark, sf_dir)
+    index_dir = _E2E_POS_CACHE.get(sf_dir)
+    if index_dir is None:
+        # build via the phrase entry's path so both share one index
+        spark_phrase_e2e_topk(spark, sf_dir).collect()
+        index_dir = _E2E_POS_CACHE[sf_dir]
+    from .query import QueryEngine
+
+    qe = QueryEngine(spark, index_dir)
+    res = qe.proximity_search(
+        " ".join(PHRASE), window=PROX_WINDOW, k=10, dtype=np.float64
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def sql_proximity_e2e_topk() -> str:
+    """DuckDB twin: positions via zipped unnest, candidate window
+    anchors at every query-term occurrence (exhaustive — the minimal
+    covering window starts at an occurrence), BM25 scoring identical
+    to the phrase oracle."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(PHRASE)))
+    n_terms = len(set(PHRASE))
+    w = PROX_WINDOW
+    return (
+        _bm25_base("duckdb") + f"WHERE tf.term IN ({in_list})), "
+        "posx AS (SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(1, len(ts) + 1)) AS pos FROM toks), "
+        f"hits AS (SELECT doc_id, term, pos FROM posx "
+        f"WHERE term IN ({in_list})), "
+        "matched AS (SELECT DISTINCT c.doc_id FROM hits c JOIN hits p "
+        "ON p.doc_id = c.doc_id AND p.pos >= c.pos AND "
+        f"p.pos < c.pos + {w} GROUP BY c.doc_id, c.pos "
+        f"HAVING count(DISTINCT p.term) = {n_terms}) "
+        "SELECT s.doc_id, round(sum(s.score), 4) AS score FROM scored s "
+        "JOIN matched m ON s.doc_id = m.doc_id GROUP BY s.doc_id "
+        "ORDER BY sum(s.score) DESC, s.doc_id LIMIT 10"
+    )
+
+
+_HTML_PRE = "<html><head><title>doc "
+_HTML_MID = "</title></head><body><p>"
+_HTML_POST = "</p></body></html>"
+
+
+def spark_html_extract_e2e(spark, sf_dir: str) -> DataFrame:
+    """The input_hint's ``html:binary`` path end-to-end: synthesize a
+    deterministic html payload per document (UTF-8-encoded tag wrapper
+    around the text — no external data), null out ``text``, run
+    :func:`corpus.extract_text` (the vectorized Arrow UDF), and emit
+    per-doc md5(extracted_text) + token_count. Hash-checked against a
+    DuckDB twin that applies the same global tag-strip regex — this is
+    the byte-identical-per-url invariant as a driver-gated check, not
+    just a pytest golden."""
+    from .corpus import extract_text
+    from .tokenizer import tokenize_col
+
+    _prepare(spark, sf_dir)
+    docs = spark.table("documents")
+    pages = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/doc/"), F.col("doc_id")
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.encode(
+            F.concat(
+                F.lit(_HTML_PRE),
+                F.col("doc_id").cast("string"),
+                F.lit(_HTML_MID),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(_HTML_POST),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    out = extract_text(pages)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.size(tokenize_col(F.col("text"))).cast("long").alias("token_count"),
+    )
+
+
+def sql_html_extract_e2e() -> str:
+    return (
+        "WITH ext AS (SELECT doc_id, regexp_replace("
+        f"'{_HTML_PRE}' || CAST(doc_id AS VARCHAR) || '{_HTML_MID}' || "
+        f"coalesce(text, '') || '{_HTML_POST}', "
+        "'<[^>]*>', ' ', 'g') AS text FROM documents), "
+        "toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+        f"'{_RX_SQL}'), t -> t <> '') AS ts FROM ext) "
+        "SELECT e.doc_id, md5(e.text) AS text_md5, "
+        "CAST(len(t.ts) AS BIGINT) AS token_count "
+        "FROM ext e JOIN toks t ON e.doc_id = t.doc_id"
+    )
+
+
 def spark_index_e2e_topk(spark, sf_dir: str) -> DataFrame:
     """Full-engine path, HARD-ORACLED: build the real chunked index
     (tokenize -> doc-major inversion -> delta+Simple9 chunks -> lexicon)
@@ -1259,6 +1370,16 @@ def _registry() -> dict:
     q["phrase_e2e_topk"] = {
         "spark": spark_phrase_e2e_topk,
         "sql": sql_phrase_e2e_topk(),
+    }
+    # NEAR-window proximity query over the same positional index
+    q["proximity_e2e_topk"] = {
+        "spark": spark_proximity_e2e_topk,
+        "sql": sql_proximity_e2e_topk(),
+    }
+    # input_hint html:binary column -> extract_text byte-identity
+    q["html_extract_e2e"] = {
+        "spark": spark_html_extract_e2e,
+        "sql": sql_html_extract_e2e(),
     }
     q["winnow_fingerprints"] = {
         "spark": spark_winnow,

@@ -1860,11 +1860,87 @@ class QueryEngine:
         sum at output (documented deviation: no reference float32
         accumulation exists to mirror for phrases).
         """
-        import math
-
         from .tokenizer import tokenize_text
 
         seq = tokenize_text(phrase)
+        cand = self._positional_candidates(seq, dtype)
+        if isinstance(cand, DataFrame):
+            return cand  # degenerate case: empty result
+        per_doc, uniq, idx, lex = cand
+        if len(seq) > 1:
+            first = F.col(f"_p{idx[seq[0]]}")
+
+            def adjacent(p):
+                cond = F.lit(True)
+                for j, t in enumerate(seq[1:], start=1):
+                    cond = cond & F.array_contains(
+                        F.col(f"_p{idx[t]}"), p + F.lit(j)
+                    )
+                return cond
+
+            per_doc = per_doc.where(F.exists(first, adjacent))
+        return self._positional_topk(per_doc, uniq, lex, k, dtype)
+
+    def proximity_search(
+        self, query: str, window: int, k: int = 10, dtype=np.float32
+    ) -> DataFrame:
+        """NEAR-window query over the positional index: top-k docs that
+        contain ALL distinct query terms within some window of
+        ``window`` consecutive token positions (order-insensitive —
+        standard proximity semantics; term multiplicity in the query is
+        ignored, unlike :meth:`phrase_search`).
+
+        Exactness: the minimal window covering one occurrence of every
+        term starts AT an occurrence of one of the terms, so anchoring
+        candidate windows at every stored position is exhaustive — the
+        predicate is ``exists(all_positions, s -> AND_t exists(p_t,
+        q -> s <= q < s + window))``, one codegen'd JVM expression over
+        the same df-bounded pivot as phrase_search (postings scan stays
+        a bucket-pruned point access). Scoring/top-k identical to
+        phrase_search (distinct-term BM25, deterministic tiebreak).
+        ``window=1`` degenerates to "single position", i.e. only
+        single-term queries can match; ``window`` < 1 is an error.
+        """
+        from .tokenizer import tokenize_text
+
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        seq = tokenize_text(query)
+        cand = self._positional_candidates(seq, dtype)
+        if isinstance(cand, DataFrame):
+            return cand
+        per_doc, uniq, idx, lex = cand
+        if len(uniq) > 1:
+            starts = F.flatten(
+                F.array(*[F.col(f"_p{i}") for i in range(len(uniq))])
+            )
+
+            def in_window(pcol, s):
+                # closure factory: the HOF lambda must stay single-arg
+                return F.exists(
+                    pcol, lambda q: (q >= s) & (q < s + F.lit(window))
+                )
+
+            def covered(s):
+                cond = F.lit(True)
+                for i in range(len(uniq)):
+                    cond = cond & in_window(F.col(f"_p{i}"), s)
+                return cond
+
+            per_doc = per_doc.where(F.exists(starts, covered))
+        return self._positional_topk(per_doc, uniq, lex, k, dtype)
+
+    def _positional_candidates(self, seq: list, dtype):
+        """Shared front half of the positional operators: validate the
+        index, prune the bucket-partitioned postings side table to the
+        query terms (partition pruning + IN(term) pushdown = point
+        access), and pivot to one row per candidate doc with ``_p{i}``
+        (positions) / ``_tf{i}`` columns per distinct term — shuffled
+        rows bounded by the terms' total df, never the corpus.
+
+        Returns an empty result DataFrame directly for degenerate
+        queries (no tokens / unindexed term), else the tuple
+        (per_doc, uniq, idx, lex)."""
         schema = "doc_id long, score " + (
             "double" if dtype is np.float64 else "float"
         )
@@ -1873,13 +1949,13 @@ class QueryEngine:
             return empty
         if not self.config.get("store_positions"):
             raise ValueError(
-                "phrase_search needs a positional index: rebuild with "
-                "IndexBuilder(..., store_positions=True)"
+                "phrase/proximity search needs a positional index: "
+                "rebuild with IndexBuilder(..., store_positions=True)"
             )
         uniq = sorted(set(seq))
         lex = self.lexicon_lookup(uniq)
         if any(t not in lex for t in uniq):
-            # a never-indexed term can't be adjacent to anything
+            # a never-indexed term can't co-occur with anything
             return empty
         pos = self._stage_df("postings")
         if "bucket" in pos.columns:
@@ -1902,19 +1978,16 @@ class QueryEngine:
         all_present = F.lit(True)
         for i in range(len(uniq)):
             all_present = all_present & F.col(f"_p{i}").isNotNull()
-        per_doc = per_doc.where(all_present)
-        if len(seq) > 1:
-            first = F.col(f"_p{idx[seq[0]]}")
+        return per_doc.where(all_present), uniq, idx, lex
 
-            def adjacent(p):
-                cond = F.lit(True)
-                for j, t in enumerate(seq[1:], start=1):
-                    cond = cond & F.array_contains(
-                        F.col(f"_p{idx[t]}"), p + F.lit(j)
-                    )
-                return cond
+    def _positional_topk(
+        self, per_doc: DataFrame, uniq: list, lex: dict, k: int, dtype
+    ) -> DataFrame:
+        """Shared back half: distinct-term BM25 (idf from the lexicon,
+        tf/dl from the pivot) + deterministic (score desc, doc_id asc)
+        top-k via TakeOrderedAndProject."""
+        import math
 
-            per_doc = per_doc.where(F.exists(first, adjacent))
         n_docs, avgdl = self.n_docs, self.avgdl
         dl = F.col("doc_length").cast("double")
         kfac = F.lit(float(K1)) * (

@@ -245,3 +245,45 @@ def test_phrase_requires_positions(engine):
     qe, _ = engine
     with pytest.raises(ValueError, match="store_positions"):
         qe.phrase_search("spark query")
+
+
+# ------------------------------------------------------------- proximity
+
+
+def test_proximity_window_semantics(phrase_engine):
+    qe = phrase_engine
+    # alpha..delta: positions 0 and 3 in docs 0/1 -> window 4 needed
+    assert set(ids(qe.proximity_search("alpha delta", window=3))) == set()
+    assert set(ids(qe.proximity_search("alpha delta", window=4))) == {0, 1}
+    # order-insensitive: "beta alpha" within 2 = adjacency either way
+    assert set(ids(qe.proximity_search("beta alpha", window=2))) == {0, 2, 3}
+    # single term: presence at any window
+    assert set(ids(qe.proximity_search("alpha", window=1))) == {0, 1, 2, 3, 5}
+    # two distinct terms can't share one position
+    assert ids(qe.proximity_search("alpha beta", window=1)) == []
+    # duplicate query terms collapse (distinct-term semantics)
+    assert set(ids(qe.proximity_search("echo echo", window=1))) == {4}
+
+
+def test_proximity_edge_cases(phrase_engine):
+    qe = phrase_engine
+    with pytest.raises(ValueError, match="window"):
+        qe.proximity_search("alpha beta", window=0)
+    assert ids(qe.proximity_search("alpha zzzabsent", window=50)) == []
+    assert ids(qe.proximity_search("", window=3)) == []
+
+
+def test_proximity_scores_match_phrase_scoring(phrase_engine):
+    """Same distinct-term BM25 back half as phrase_search: for a query
+    where both match the same doc set, scores are identical."""
+    import numpy as np
+
+    qe = phrase_engine
+    ph = {r["doc_id"]: r["score"]
+          for r in qe.phrase_search("alpha beta", dtype=np.float64).collect()}
+    px = {r["doc_id"]: r["score"]
+          for r in qe.proximity_search(
+              "alpha beta", window=2, dtype=np.float64).collect()}
+    assert set(ph) <= set(px)  # proximity(2) is a superset of adjacency
+    for d in ph:
+        assert abs(ph[d] - px[d]) < 1e-12
