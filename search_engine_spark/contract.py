@@ -1146,6 +1146,108 @@ def sql_html_extract_e2e() -> str:
     )
 
 
+def spark_pii_redact(spark, sf_dir: str) -> DataFrame:
+    """PII redaction driven on synthesized-PII rows (the corpus has no
+    emails/phones, so every row gets a deterministic doc_id-derived
+    email + phone appended — both engines replicate the injection, so
+    the redaction logic is exercised on every row, not vacuously)."""
+    from .textstats import pii_redact
+
+    _prepare(spark, sf_dir)
+    docs = spark.table("documents")
+    aug = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    out = pii_redact(aug)
+    return out.select(
+        "doc_id", F.md5("text").alias("red_md5"), "n_emails", "n_phones"
+    )
+
+
+def sql_pii_redact() -> str:
+    from .textstats import EMAIL_RX, PHONE_RX
+
+    return (
+        "WITH aug AS (SELECT doc_id, coalesce(text, '') || ' contact doc' "
+        "|| CAST(doc_id AS VARCHAR) || '@example.com or call +1 (555) 010-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS text "
+        "FROM documents), "
+        f"r1 AS (SELECT doc_id, regexp_replace(text, '{EMAIL_RX}', "
+        "'<EMAIL>', 'g') AS t1, "
+        f"len(regexp_extract_all(text, '{EMAIL_RX}')) AS n_emails FROM aug) "
+        f"SELECT doc_id, md5(regexp_replace(t1, '{PHONE_RX}', '<PHONE>', "
+        "'g')) AS red_md5, CAST(n_emails AS BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(t1, '{PHONE_RX}')) AS BIGINT) "
+        "AS n_phones FROM r1"
+    )
+
+
+_URL_BASE = "://example.com/page/"
+
+
+def spark_url_dedup(spark, sf_dir: str) -> DataFrame:
+    """URL-level dedup on synthesized url variants: docs are grouped in
+    threes sharing one logical page; each group member carries a
+    different surface form (plain / UPPERCASED scheme+host + #fragment
+    / default :443 port + trailing slash) that normalize_url must
+    collapse. Hash-checks group sizes and the min-doc_id survivor."""
+    from .textstats import url_dedup
+
+    _prepare(spark, sf_dir)
+    docs = spark.table("documents")
+    g = F.floor(F.col("doc_id") / F.lit(3)).cast("long").cast("string")
+    v = F.col("doc_id") % 3
+    url = (
+        F.when(v == 0, F.concat(F.lit("https" + _URL_BASE), g))
+        .when(
+            v == 1,
+            F.concat(F.lit(("https" + _URL_BASE).upper()), g, F.lit("#top")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com:443/page/"), g, F.lit("/")
+            )
+        )
+    )
+    aug = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), url.alias("url")
+    )
+    return url_dedup(aug)
+
+
+def sql_url_dedup() -> str:
+    up = ("https" + _URL_BASE).upper()
+    return (
+        "WITH v AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS v, "
+        "CAST(floor(doc_id / 3) AS BIGINT) AS g FROM documents), "
+        "urls AS (SELECT doc_id, CASE v "
+        f"WHEN 0 THEN 'https{_URL_BASE}' || CAST(g AS VARCHAR) "
+        f"WHEN 1 THEN '{up}' || CAST(g AS VARCHAR) || '#top' "
+        "ELSE 'https://example.com:443/page/' || CAST(g AS VARCHAR) || '/' "
+        "END AS url FROM v), "
+        "u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u "
+        "FROM urls), "
+        "u2 AS (SELECT doc_id, coalesce(regexp_extract(u, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'), '') AS head, u FROM u1), "
+        "u3 AS (SELECT doc_id, lower(head) || substr(u, length(head) + 1) "
+        "AS u FROM u2), "
+        "u4 AS (SELECT doc_id, regexp_replace(regexp_replace(u, "
+        "'^(https?://[^/:?#]+):(80|443)([/?#]|$)', '\\1\\3'), '/$', '') "
+        "AS url_norm FROM u3) "
+        "SELECT url_norm, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(min(doc_id) AS BIGINT) AS keep_doc_id FROM u4 "
+        "GROUP BY url_norm"
+    )
+
+
 def spark_index_e2e_topk(spark, sf_dir: str) -> DataFrame:
     """Full-engine path, HARD-ORACLED: build the real chunked index
     (tokenize -> doc-major inversion -> delta+Simple9 chunks -> lexicon)
@@ -1381,6 +1483,9 @@ def _registry() -> dict:
         "spark": spark_html_extract_e2e,
         "sql": sql_html_extract_e2e(),
     }
+    # curation: PII redaction + URL-level dedup (synthesized inputs)
+    q["pii_redact"] = {"spark": spark_pii_redact, "sql": sql_pii_redact()}
+    q["url_dedup"] = {"spark": spark_url_dedup, "sql": sql_url_dedup()}
     q["winnow_fingerprints"] = {
         "spark": spark_winnow,
         "sql": sql_winnow_duckdb(),

@@ -273,3 +273,62 @@ def stratified_sample(
         .where(bucket < F.col("_thr"))
         .select("doc_id", strat_col)
     )
+
+
+# -------------------------------------------------- PII / URL curation
+# Portable regexes only (identical semantics in Java regex and DuckDB's
+# RE2 for these linear, lookaround-free patterns), so the contract
+# oracles reproduce redaction and normalization byte-for-byte.
+
+EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RX = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails then phone-like numbers: (doc_id, text, n_emails,
+    n_phones), with matches replaced by ``<EMAIL>`` / ``<PHONE>``.
+
+    Map-only JVM regex ops — a single codegen'd scan at any corpus
+    size. Phones are counted on the email-redacted text (order is part
+    of the contract: an email's digits can never double-count as a
+    phone). The redaction tokens contain no digits/alnum runs, so the
+    two passes can't interfere."""
+    raw = F.col(text_col)
+    red1 = F.regexp_replace(raw, EMAIL_RX, "<EMAIL>")
+    n_emails = F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RX), F.lit(0)))
+    red2 = F.regexp_replace(red1, PHONE_RX, "<PHONE>")
+    n_phones = F.size(F.regexp_extract_all(red1, F.lit(PHONE_RX), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        red2.alias("text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+    )
+
+
+def normalize_url(col):
+    """Canonical url Column: fragment stripped, scheme+authority
+    lowercased, default :80/:443 port dropped, trailing slash trimmed.
+    Pure JVM expressions (regexp_replace / regexp_extract / substr) —
+    composable into any scan."""
+    u = F.regexp_replace(col, "#.*$", "")
+    head = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    u = F.concat(F.lower(head), u.substr(F.length(head) + 1, F.length(u)))
+    u = F.regexp_replace(u, "^(https?://[^/:?#]+):(80|443)([/?#]|$)", "$1$3")
+    return F.regexp_replace(u, "/$", "")
+
+
+def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-level dedup groups (the first curation pass of a crawl
+    pipeline, upstream of content dedup): one hash-agg keyed on the
+    normalized url — (url_norm, n_docs, keep_doc_id) with the
+    deterministic min-doc_id survivor. Map-side partial agg; shuffle
+    carries one row per distinct url, never the corpus."""
+    return (
+        docs.select(normalize_url(F.col(url_col)).alias("url_norm"), "doc_id")
+        .groupBy("url_norm")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+    )

@@ -171,3 +171,51 @@ def test_stratified_sample_matches_pure_md5(curation_docs):
         for r in textstats.stratified_sample(curation_docs).collect()
     }
     assert got == again
+
+
+# ----------------------------------------------------- PII / URL ops
+
+
+def test_pii_redact_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at jo.doe+x@sub.example.org today"),
+            (1, "call +1 (555) 010-4242 or 555-010-9999 ok"),
+            (2, "no pii here"),
+            (3, "two mails a@b.co and c.d@e-f.org plus 12345678901"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.pii_redact(docs).collect()}
+    assert rows[0]["text"] == "mail me at <EMAIL> today"
+    assert (rows[0]["n_emails"], rows[0]["n_phones"]) == (1, 0)
+    assert rows[1]["text"] == "call <PHONE> or <PHONE> ok"
+    assert (rows[1]["n_emails"], rows[1]["n_phones"]) == (0, 2)
+    assert rows[2]["text"] == "no pii here"
+    assert (rows[2]["n_emails"], rows[2]["n_phones"]) == (0, 0)
+    assert rows[3]["text"] == "two mails <EMAIL> and <EMAIL> plus <PHONE>"
+    assert (rows[3]["n_emails"], rows[3]["n_phones"]) == (2, 1)
+
+
+def test_url_dedup_normalization(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "https://Example.COM/Page/1"),
+            (1, "HTTPS://EXAMPLE.com/Page/1#frag"),
+            (2, "https://example.com:443/Page/1/"),
+            (3, "http://example.com:80/other"),
+            (4, "http://example.com/other"),
+            (5, "https://example.com:8443/Page/1"),  # non-default port kept
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["url_norm"]: (r["n_docs"], r["keep_doc_id"])
+        for r in textstats.url_dedup(docs).collect()
+    }
+    # path case is preserved; host/scheme case, fragment, default port,
+    # trailing slash are normalized away
+    assert got["https://example.com/Page/1"] == (3, 0)
+    assert got["http://example.com/other"] == (2, 3)
+    assert got["https://example.com:8443/Page/1"] == (1, 5)
+    assert len(got) == 3
