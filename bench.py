@@ -188,6 +188,36 @@ def run_suite() -> dict:
         finally:
             query_mod.METADATA_CAP = cap_prev
 
+        # positional index + its consumers (phrase / NEAR-window);
+        # min-of-2 cold builds like the main index
+        import numpy as np
+
+        pos_dir = tempfile.mkdtemp(prefix="se_bench_pos_")
+        pos_dir2 = tempfile.mkdtemp(prefix="se_bench_pos2_")
+        try:
+            best = float("inf")
+            for d in (pos_dir, pos_dir2):
+                t0 = time.time()
+                IndexBuilder(
+                    spark, d, bucket_count=16, store_positions=True,
+                    materialize_postings=False,
+                ).build(docs, resume=False)
+                best = min(best, time.time() - t0)
+            timings["positional_index_build"] = best
+            shutil.rmtree(pos_dir2, ignore_errors=True)
+            pqe = QueryEngine(spark, pos_dir)
+            timings["phrase_search"] = _min_of(
+                lambda: pqe.phrase_search("fast value part").collect()
+            )
+            timings["proximity_search"] = _min_of(
+                lambda: pqe.proximity_search(
+                    "spark query data", window=8
+                ).collect()
+            )
+        finally:
+            shutil.rmtree(pos_dir, ignore_errors=True)
+            shutil.rmtree(pos_dir2, ignore_errors=True)
+
         for name in [
             "bm25_disjunctive",
             "bm25_conjunctive",

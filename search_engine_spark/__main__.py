@@ -74,6 +74,7 @@ def cmd_build(args) -> int:
         table_format=args.table_format,
         catalog=args.catalog,
         materialize_postings=args.materialize_postings,
+        store_positions=args.store_positions,
     ).build(docs, resume=not args.no_resume)
     print(json.dumps({s: m["rows"] for s, m in manifest["stages"].items()}))
     return 0
@@ -84,7 +85,13 @@ def cmd_query(args) -> int:
 
     spark = _spark()
     qe = QueryEngine(spark, args.index_dir)
-    rows = qe.search(args.query, mode=args.mode, k=args.k).collect()
+    if args.mode == "phrase":
+        res = qe.phrase_search(args.query, k=args.k)
+    elif args.mode == "near":
+        res = qe.proximity_search(args.query, window=args.window, k=args.k)
+    else:
+        res = qe.search(args.query, mode=args.mode, k=args.k)
+    rows = res.collect()
     for r in rows:
         print(f"{r['doc_id']}\t{r['score']:.6f}")
     return 0
@@ -106,6 +113,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--table-format", default="parquet")
     b.add_argument("--catalog", default=None)
     b.add_argument("--materialize-postings", action="store_true")
+    b.add_argument("--store-positions", action="store_true",
+                   help="also persist (term, doc_id, tf, positions) for "
+                        "phrase/near queries")
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
 
@@ -113,8 +123,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index-dir", required=True)
     q.add_argument("--query", required=True)
     q.add_argument("--mode", default="disjunctive",
-                   choices=["disjunctive", "conjunctive"])
+                   choices=["disjunctive", "conjunctive", "phrase", "near"])
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--window", type=int, default=8,
+                   help="NEAR window size (mode=near)")
     q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
