@@ -141,6 +141,32 @@ class QueryEngine:
         self.last_plan_stats: dict = {}
         self.last_local_stats: dict = {}
         self._local_cache: dict | None = None
+        # tombstoned doc ids (maintenance.delete_docs): a sorted int64
+        # array when the set fits the driver cap (decode paths mask
+        # in-place), else a distributed DataFrame (anti-join fallback).
+        # Loaded once at engine construction — reopen the engine after
+        # new deletes, like any other index mutation.
+        from .maintenance import load_deleted_array
+
+        self._deleted, self._deleted_df = load_deleted_array(
+            spark, index_dir
+        )
+        self.has_deletes = (
+            self._deleted is not None or self._deleted_df is not None
+        )
+
+    def _alive_df(self, df: DataFrame) -> DataFrame:
+        """Anti-join tombstones out of a (doc_id, ...) DataFrame."""
+        if self._deleted is not None:
+            dels = F.broadcast(
+                self.spark.createDataFrame(
+                    [(int(i),) for i in self._deleted], "doc_id long"
+                )
+            )
+            return df.join(dels, "doc_id", "left_anti")
+        if self._deleted_df is not None:
+            return df.join(self._deleted_df, "doc_id", "left_anti")
+        return df
 
     def _stage_df(self, stage: str) -> DataFrame:
         """Read a build stage from either persistence layout (parquet
@@ -206,6 +232,11 @@ class QueryEngine:
         dfs = {t: e["df"] for t, e in lex.items()}
         lo_arr, hi_arr = (intervals if intervals is not None else (None, None))
         out_dtype = "double" if dtype is np.float64 else "float"
+        # tombstone mask (stats/df stay intentionally stale — Lucene
+        # deleted-docs semantics; see maintenance.py module doc). theta
+        # probes run through this same decode, so thresholds are always
+        # attained by ALIVE docs.
+        deleted = self._deleted
 
         def decode(batches):
             for pdf in batches:
@@ -221,6 +252,13 @@ class QueryEngine:
                 ):
                     ids, tfs = codecs.decode_chunk(payload, int(codec_id))
                     dl = codecs.decode_lengths(dls)
+                    if deleted is not None and len(ids):
+                        ids64 = ids.astype(np.int64)
+                        pos = np.searchsorted(deleted, ids64)
+                        pos_safe = np.clip(pos, 0, len(deleted) - 1)
+                        keep = deleted[pos_safe] != ids64
+                        if not keep.all():
+                            ids, tfs, dl = ids[keep], tfs[keep], dl[keep]
                     if lo_arr is not None:
                         keep = wand.ids_in_intervals(
                             ids.astype(np.int64), lo_arr, hi_arr
@@ -257,9 +295,13 @@ class QueryEngine:
         schema = f"term string, doc_id long, tf long, score {out_dtype}"
         if with_dl:
             schema += ", dl long"
-        return chunks.select("term", "codec", "payload", "dls").mapInPandas(
+        out = chunks.select("term", "codec", "payload", "dls").mapInPandas(
             decode, schema
         )
+        if self._deleted_df is not None:
+            # tombstone set exceeded the driver cap: distributed anti-join
+            out = out.join(self._deleted_df, "doc_id", "left_anti")
+        return out
 
     # --------------------------------------------------- WAND planning
 
@@ -835,8 +877,17 @@ class QueryEngine:
             # distribution separates cleanly, the phase-1 DECODE JOB is
             # skipped entirely: search() = 1 metadata collect + 1 job
             theta0 = None
-            if (not conj or len(present) == 1) and all(
-                wand.idf(lex[t]["df"], self.n_docs) >= 0 for t in present
+            # _meta_theta's validity rests on chunk bounds being
+            # ATTAINED — a tombstoned doc may be the attainer, so the
+            # fast path is off while deletes exist (decode-probe thetas
+            # remain valid: the probe masks deleted ids)
+            if (
+                (not conj or len(present) == 1)
+                and not self.has_deletes
+                and all(
+                    wand.idf(lex[t]["df"], self.n_docs) >= 0
+                    for t in present
+                )
             ):
                 theta0 = self._meta_theta(present, metas, k)
             run_p1 = n_p1 < len(order)
@@ -1545,6 +1596,11 @@ class QueryEngine:
                 "the driver-local fast path reads the parquet layout "
                 "directly; use search() against an Iceberg-persisted index"
             )
+        if self._deleted_df is not None:
+            raise NotImplementedError(
+                "tombstone set exceeds the driver cap; compact the index "
+                "(maintenance.compact_index) or use search()"
+            )
         terms = tokenize_query(query)
         if not terms:
             return []
@@ -1608,6 +1664,13 @@ class QueryEngine:
                     data["payload"][row], data["codec"][row]
                 )
                 dls = codecs.decode_lengths(data["dls"][row])
+                if self._deleted is not None and len(ids):
+                    ids64 = ids.astype(np.int64)
+                    pos = np.searchsorted(self._deleted, ids64)
+                    safe = np.clip(pos, 0, len(self._deleted) - 1)
+                    keep = self._deleted[safe] != ids64
+                    if not keep.all():
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
                 if len(decoded) >= decoded_cap:
                     decoded.clear()  # simple epoch flush beats per-hit LRU
                 got = decoded[key] = (ids.astype(np.int64), tfs, dls)
@@ -1797,7 +1860,20 @@ class QueryEngine:
                 np.concatenate([p[j] for p in parts]) for j in range(3)
             )
         present = sorted(lists)
+        # df BEFORE the tombstone mask: stale-stats semantics, matching
+        # the Spark path's lexicon df (maintenance.py module doc)
         dfs = {t: len(lists[t][0]) for t in present}
+        if self._deleted is not None:
+            for t in present:
+                ids, tfs, dls = lists[t]
+                if not len(ids):
+                    continue
+                ids64 = ids.astype(np.int64)
+                pos = np.searchsorted(self._deleted, ids64)
+                safe = np.clip(pos, 0, len(self._deleted) - 1)
+                keep = self._deleted[safe] != ids64
+                if not keep.all():
+                    lists[t] = (ids[keep], tfs[keep], dls[keep])
         if mode == "conjunctive":
             cand = lists[present[0]][0]
             for t in present[1:]:
@@ -1961,6 +2037,8 @@ class QueryEngine:
         if "bucket" in pos.columns:
             pos = pos.where(F.col("bucket").isin(self._buckets(uniq)))
         pos = pos.where(F.col("term").isin(uniq))
+        if self.has_deletes:
+            pos = self._alive_df(pos)
         idx = {t: i for i, t in enumerate(uniq)}
         aggs = []
         for i, t in enumerate(uniq):

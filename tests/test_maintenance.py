@@ -1,0 +1,349 @@
+"""Tombstone deletes, physical compaction, and shard-index merging
+(maintenance.py) against the pure-Python oracle on the real sf0.001
+corpus.
+
+Semantics under test (maintenance.py module doc):
+* tombstoned docs vanish from every query path at zero rebuild cost,
+  while N/avgdl/df stay STALE (Lucene deleted-docs semantics) — the
+  surviving docs' scores are bit-identical to pre-delete;
+* compaction re-derives stats, so a compacted index answers exactly
+  like a fresh build over the surviving corpus;
+* merging shard indexes answers exactly like one build over the union,
+  with chunk payload bytes preserved (or prefix-rewritten) rather than
+  re-encoded wherever deletes didn't touch them.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import codecs, maintenance
+from search_engine_spark.build import IndexBuilder, read_stage_parquet
+from search_engine_spark.corpus import load_documents
+from search_engine_spark.oracle import OracleIndex
+from search_engine_spark.query import QueryEngine
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERY = "spark query"
+CONJ_QUERY = "data table"
+
+
+def _topk(df):
+    return [(r["doc_id"], float(r["score"])) for r in df.collect()]
+
+
+def _oracle_alive(oracle, query, deleted, mode="disjunctive", k=10):
+    """Tombstone-semantics oracle: score with FULL-corpus stats, rank
+    only the alive docs."""
+    full = oracle.topk(query, mode=mode, k=oracle.n_docs)
+    return [x for x in full if x[0] not in deleted][:k]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs_df = load_documents(spark, SF_DIR)
+    rows = sorted(
+        (r["doc_id"], r["text"])
+        for r in docs_df.select("doc_id", "text").collect()
+    )
+    return docs_df, rows
+
+
+def assert_rank_identical(got, want, tol=2e-4):
+    """Same ids in order, tolerating swaps of score-tied neighbors."""
+    assert len(got) == len(want), (got, want)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) <= tol * max(1.0, abs(ws)), (got, want)
+    if [d for d, _ in got] != [d for d, _ in want]:
+        gm, wm = dict(got), dict(want)
+        for g, w in zip([d for d, _ in got], [d for d, _ in want]):
+            if g != w:
+                assert abs(gm[g] - wm[w]) <= tol * max(1.0, abs(wm[w])), (
+                    got, want,
+                )
+
+
+@pytest.fixture(scope="module")
+def base_index(spark, corpus, tmp_path_factory):
+    docs_df, _rows = corpus
+    index_dir = str(tmp_path_factory.mktemp("idx_maint"))
+    IndexBuilder(spark, index_dir, n_salts=4, bucket_count=8).build(
+        docs_df, resume=False
+    )
+    return index_dir
+
+
+@pytest.fixture(scope="module")
+def deleted_index(spark, corpus, base_index, tmp_path_factory):
+    """A COPY of the base index with the flagship query's top-3 docs
+    tombstoned (deleting winners is the adversarial case: the pruned
+    theta must re-derive from the survivors)."""
+    import shutil
+
+    _docs_df, rows = corpus
+    index_dir = str(tmp_path_factory.mktemp("idx_del"))
+    os.rmdir(index_dir)
+    shutil.copytree(base_index, index_dir)
+    top = _topk(QueryEngine(spark, base_index).search(QUERY, k=10))
+    victims = sorted({d for d, _ in top[:3]} | {rows[-1][0]})
+    n = maintenance.delete_docs(spark, index_dir, victims)
+    assert n == len(victims)
+    return index_dir, set(victims)
+
+
+def test_tombstones_filter_every_query_path(spark, corpus, deleted_index):
+    _docs_df, rows = corpus
+    index_dir, victims = deleted_index
+    oracle = OracleIndex(rows)
+    qe = QueryEngine(spark, index_dir)
+    assert qe.has_deletes
+
+    for mode, q in (("disjunctive", QUERY), ("conjunctive", CONJ_QUERY)):
+        got = _topk(qe.search(q, mode=mode, k=10))
+        assert not ({d for d, _ in got} & victims)
+        want = _oracle_alive(oracle, q, victims, mode=mode)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        # stale-stats semantics: survivor scores are UNCHANGED
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=2e-4)
+        local = qe.search_local(q, mode=mode, k=10)
+        assert [d for d, _ in local] == [d for d, _ in want]
+
+    batch = qe.batch_search([(0, QUERY), (1, CONJ_QUERY)], k=10)
+    got_ids = {r["doc_id"] for r in batch.collect()}
+    assert not (got_ids & victims)
+
+
+def test_meta_theta_fast_path_disabled_under_tombstones(
+    spark, deleted_index
+):
+    index_dir, _victims = deleted_index
+    qe = QueryEngine(spark, index_dir)
+    qe.search(QUERY, k=10).collect()
+    assert "theta0" not in qe.last_plan_stats
+
+
+def test_delete_by_urls_resolves_through_doc_table(
+    spark, corpus, base_index, tmp_path_factory
+):
+    import shutil
+
+    _docs_df, rows = corpus
+    index_dir = str(tmp_path_factory.mktemp("idx_url"))
+    os.rmdir(index_dir)
+    shutil.copytree(base_index, index_dir)
+    doc_table = read_stage_parquet(
+        spark, os.path.join(index_dir, "doc_table"), "doc_table"
+    )
+    urls = [
+        r["url"]
+        for r in doc_table.where(F.col("doc_id").isin([3, 7])).collect()
+    ]
+    assert len(urls) == 2
+    assert maintenance.delete_by_urls(spark, index_dir, urls) == 2
+    qe = QueryEngine(spark, index_dir)
+    arr, df = maintenance.load_deleted_array(spark, index_dir)
+    assert df is None and sorted(arr.tolist()) == [3, 7]
+    assert qe.has_deletes
+
+
+def test_compaction_equals_fresh_build_over_survivors(
+    spark, corpus, deleted_index, tmp_path_factory
+):
+    _docs_df, rows = corpus
+    index_dir, victims = deleted_index
+    out_dir = str(tmp_path_factory.mktemp("idx_compact"))
+    maintenance.compact_index(spark, index_dir, out_dir)
+
+    qe = QueryEngine(spark, out_dir)
+    assert not qe.has_deletes
+    alive_oracle = OracleIndex([r for r in rows if r[0] not in victims])
+    # stats re-derive: scores now match a FRESH build over survivors
+    assert qe.n_docs == alive_oracle.n_docs
+    assert qe.avgdl == pytest.approx(alive_oracle.avgdl)
+    for mode, q in (("disjunctive", QUERY), ("conjunctive", CONJ_QUERY)):
+        got = _topk(qe.search(q, mode=mode, k=10))
+        want = alive_oracle.topk(q, mode=mode, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=2e-4)
+    # no tombstoned id survives in any chunk
+    chunks = read_stage_parquet(
+        spark, os.path.join(out_dir, "chunks"), "chunks"
+    ).collect()
+    for row in chunks:
+        ids, _tfs = codecs.decode_chunk(row["payload"], row["codec"])
+        assert not (set(ids.astype(np.int64).tolist()) & victims)
+        assert row["n"] == len(ids)
+        assert row["first_doc_id"] == int(ids[0])
+        assert row["last_doc_id"] == int(ids[-1])
+
+
+def test_merge_shards_matches_full_build(
+    spark, corpus, base_index, tmp_path_factory
+):
+    """Two shard indexes over globally disjoint doc-id halves merge
+    (offsets=[0, 0]) into an index that answers like the full build."""
+    docs_df, rows = corpus
+    mid = rows[len(rows) // 2][0]
+    dir_a = str(tmp_path_factory.mktemp("shard_a"))
+    dir_b = str(tmp_path_factory.mktemp("shard_b"))
+    out_dir = str(tmp_path_factory.mktemp("idx_merged"))
+    IndexBuilder(spark, dir_a, n_salts=2, bucket_count=8).build(
+        docs_df.where(F.col("doc_id") < mid), resume=False
+    )
+    IndexBuilder(spark, dir_b, n_salts=2, bucket_count=8).build(
+        docs_df.where(F.col("doc_id") >= mid), resume=False
+    )
+    maintenance.merge_indexes(spark, [dir_a, dir_b], out_dir, offsets=[0, 0])
+
+    full = QueryEngine(spark, base_index)
+    merged = QueryEngine(spark, out_dir)
+    assert merged.n_docs == full.n_docs
+    assert merged.avgdl == pytest.approx(full.avgdl)
+    for mode, q in (("disjunctive", QUERY), ("conjunctive", CONJ_QUERY)):
+        got = _topk(merged.search(q, mode=mode, k=10))
+        want = _topk(full.search(q, mode=mode, k=10))
+        assert got == pytest.approx(want)
+        local = merged.search_local(q, mode=mode, k=10)
+        assert [d for d, _ in local] == [d for d, _ in want]
+
+    # lexicon re-derives exactly (df, doc-id spans) from merged chunks
+    lex_m = {
+        r["term"]: (r["df"], r["min_doc_id"], r["max_doc_id"])
+        for r in read_stage_parquet(
+            spark, os.path.join(out_dir, "lexicon"), "lexicon"
+        ).collect()
+    }
+    lex_f = {
+        r["term"]: (r["df"], r["min_doc_id"], r["max_doc_id"])
+        for r in read_stage_parquet(
+            spark, os.path.join(base_index, "lexicon"), "lexicon"
+        ).collect()
+    }
+    assert lex_m == lex_f
+
+
+def test_merge_stack_offsets_relocate_local_shard_ids(
+    spark, corpus, tmp_path_factory
+):
+    """Shards built with LOCAL dense ids (0..n_i-1 each) merge under
+    offsets='stack' into the same id space as a full sequential build,
+    with tier-2 chunks rewritten prefix-only (gap bytes preserved)."""
+    docs_df, rows = corpus
+    n = len(rows)
+    mid_pos = n // 2
+    mid = rows[mid_pos][0]
+    dir_a = str(tmp_path_factory.mktemp("lshard_a"))
+    dir_b = str(tmp_path_factory.mktemp("lshard_b"))
+    out_dir = str(tmp_path_factory.mktemp("idx_stacked"))
+    a_docs = docs_df.where(F.col("doc_id") < mid)
+    # shard B re-ids its docs locally from 0, preserving order
+    b_docs = docs_df.where(F.col("doc_id") >= mid).withColumn(
+        "doc_id", (F.col("doc_id") - F.lit(mid)).cast("long")
+    )
+    IndexBuilder(spark, dir_a, n_salts=2, bucket_count=8).build(
+        a_docs, resume=False
+    )
+    IndexBuilder(spark, dir_b, n_salts=2, bucket_count=8).build(
+        b_docs, resume=False
+    )
+    b_chunks_before = {
+        (r["term"], r["salt"], r["chunk_seq"]): (r["payload"], r["codec"])
+        for r in read_stage_parquet(
+            spark, os.path.join(dir_b, "chunks"), "chunks"
+        ).collect()
+    }
+    maintenance.merge_indexes(spark, [dir_a, dir_b], out_dir)
+
+    # the merged id space is contiguous 0..n-1
+    merged = QueryEngine(spark, out_dir)
+    assert merged.n_docs == n
+    stats = read_stage_parquet(
+        spark, os.path.join(out_dir, "stats"), "stats"
+    ).collect()[0]
+    delta = mid  # shard A's max_doc_id + 1 == mid (dense ids)
+    assert int(stats["max_doc_id"]) == delta + (n - mid_pos) - 1
+
+    # tier-2 check: a relocated B chunk decodes to original ids + delta
+    # and its post-base tail bytes are UNTOUCHED (no re-encode)
+    a_salts = 2
+    checked = 0
+    for r in read_stage_parquet(
+        spark, os.path.join(out_dir, "chunks"), "chunks"
+    ).collect():
+        key = (r["term"], r["salt"] - a_salts, r["chunk_seq"])
+        if r["salt"] < a_salts or key not in b_chunks_before:
+            continue
+        old_payload, old_codec = b_chunks_before[key]
+        assert r["codec"] == old_codec
+        old_ids, old_tfs = codecs.decode_chunk(old_payload, old_codec)
+        new_ids, new_tfs = codecs.decode_chunk(r["payload"], r["codec"])
+        assert (new_ids == old_ids + np.uint64(delta)).all()
+        assert (new_tfs == old_tfs).all()
+        _base, old_pos = codecs.var_byte_decode(old_payload, 0)
+        _base2, new_pos = codecs.var_byte_decode(r["payload"], 0)
+        assert bytes(r["payload"])[new_pos:] == bytes(old_payload)[old_pos:]
+        checked += 1
+    assert checked > 0
+
+
+def test_merge_preserves_untouched_payload_bytes(
+    spark, corpus, base_index, tmp_path_factory
+):
+    """Tier 1: offset-0, delete-free sources keep chunk payloads
+    byte-identical (bounds may still re-derive)."""
+    out_dir = str(tmp_path_factory.mktemp("idx_tier1"))
+    maintenance.merge_indexes(spark, [base_index], out_dir, offsets=[0])
+    before = {
+        (r["term"], r["salt"], r["chunk_seq"]): (
+            bytes(r["payload"]), bytes(r["dls"]), r["codec"], r["n"]
+        )
+        for r in read_stage_parquet(
+            spark, os.path.join(base_index, "chunks"), "chunks"
+        ).collect()
+    }
+    after = {
+        (r["term"], r["salt"], r["chunk_seq"]): (
+            bytes(r["payload"]), bytes(r["dls"]), r["codec"], r["n"]
+        )
+        for r in read_stage_parquet(
+            spark, os.path.join(out_dir, "chunks"), "chunks"
+        ).collect()
+    }
+    assert before == after
+
+
+def test_merge_rejects_bucket_count_mismatch(
+    spark, corpus, base_index, tmp_path_factory
+):
+    docs_df, _rows = corpus
+    other = str(tmp_path_factory.mktemp("idx_bc"))
+    IndexBuilder(spark, other, n_salts=2, bucket_count=4).build(
+        docs_df.where(F.col("doc_id") < 5), resume=False
+    )
+    with pytest.raises(ValueError, match="bucket_count"):
+        maintenance.merge_indexes(
+            spark, [base_index, other],
+            str(tmp_path_factory.mktemp("idx_bc_out")),
+        )
+
+
+def test_phrase_search_respects_tombstones(spark, corpus, tmp_path_factory):
+    docs_df, rows = corpus
+    index_dir = str(tmp_path_factory.mktemp("idx_pos_del"))
+    IndexBuilder(
+        spark, index_dir, n_salts=2, bucket_count=8, store_positions=True
+    ).build(docs_df, resume=False)
+    qe0 = QueryEngine(spark, index_dir)
+    base = _topk(qe0.search(QUERY, k=10))
+    # tombstone the top phrase/term doc and re-open
+    maintenance.delete_docs(spark, index_dir, [base[0][0]])
+    qe = QueryEngine(spark, index_dir)
+    got = _topk(qe.search(QUERY, k=10))
+    assert base[0][0] not in {d for d, _ in got}
+    # positional operators share the filter
+    pr = _topk(qe.proximity_search(QUERY, window=50, k=10))
+    assert base[0][0] not in {d for d, _ in pr}
