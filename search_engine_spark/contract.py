@@ -65,7 +65,9 @@ def _sql_query(spark_sql: str):
     return run
 
 
-def _toks_cte(engine: str) -> str:
+def _toks_cte(engine: str, docs_where: str = "") -> str:
+    # docs_where: optional "WHERE ..." restricting the corpus BEFORE
+    # stats — the fresh-stats (post-compaction) oracle formulation
     if engine == "spark":
         # JVM-side tokenize (split + filter): whole-stage codegen, no
         # Python worker — same semantics as tokenizer.tokenize_col
@@ -75,11 +77,11 @@ def _toks_cte(engine: str) -> str:
         return (
             "toks AS (SELECT doc_id, "
             f"filter(split(coalesce(text, ''), '{rx}', -1), t -> t != '') "
-            "AS ts FROM documents)"
+            f"AS ts FROM documents{docs_where})"
         )
     return (
         "toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
-        f"'{_RX_SQL}'), t -> t <> '') AS ts FROM documents)"
+        f"'{_RX_SQL}'), t -> t <> '') AS ts FROM documents{docs_where})"
     )
 
 
@@ -173,10 +175,10 @@ def sql_top_terms(engine: str) -> str:
     )
 
 
-def _bm25_base(engine: str) -> str:
+def _bm25_base(engine: str, docs_where: str = "") -> str:
     ln = _len_fn(engine)
     return (
-        f"WITH {_toks_cte(engine)}, {_tok_cte(engine)}, "
+        f"WITH {_toks_cte(engine, docs_where)}, {_tok_cte(engine)}, "
         "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
         "FROM tok GROUP BY doc_id, term), "
         f"dl AS (SELECT doc_id, CAST({ln}(ts) AS BIGINT) AS dl FROM toks), "
@@ -1326,6 +1328,171 @@ def sql_doc_point_lookup() -> str:
     )
 
 
+# ---- index maintenance (maintenance.py): tombstone deletes, physical
+# compaction, shard merge — each gated end-to-end through the REAL
+# chunked engine against a relational DuckDB formulation of its exact
+# statistics semantics (stale for tombstones, fresh for compaction).
+
+# tombstone doc_id % 10 == 1 (~10% of the corpus) — remainder chosen so
+# the flagship query's TOP-RANKED docs are among the deleted at the
+# driver's sf0.01 (ids 371, 41): the gate fails loudly if masking stops
+DELETE_MOD, DELETE_REM = 10, 1
+_MAINT_CACHE: dict = {}
+
+
+def _e2e_index(spark, sf_dir: str) -> str:
+    """The shared cached e2e index (same build as spark_index_e2e_topk)."""
+    import tempfile
+
+    from .build import IndexBuilder
+    from .corpus import load_documents
+
+    index_dir = _E2E_CACHE.get(sf_dir)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="se_e2e_idx_")
+        IndexBuilder(spark, index_dir, n_salts=4, bucket_count=8).build(
+            load_documents(spark, sf_dir)
+        )
+        _E2E_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def _tombstoned_index(spark, sf_dir: str) -> str:
+    """A COPY of the cached e2e index with doc_id % DELETE_MOD ==
+    DELETE_REM tombstoned (copied so the shared cache stays pristine
+    for the non-maintenance entries)."""
+    import shutil
+    import tempfile
+
+    from . import maintenance
+
+    got = _MAINT_CACHE.get(sf_dir)
+    if got is None:
+        src = _e2e_index(spark, sf_dir)
+        dst = tempfile.mkdtemp(prefix="se_maint_idx_")
+        shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+        dels = spark.sql(
+            "SELECT doc_id FROM documents "
+            f"WHERE doc_id % {DELETE_MOD} = {DELETE_REM}"
+        )
+        maintenance.delete_docs(spark, dst, dels)
+        got = _MAINT_CACHE[sf_dir] = dst
+    return got
+
+
+def spark_tombstone_topk(spark, sf_dir: str) -> DataFrame:
+    """Tombstone deletes through the REAL engine, HARD-ORACLED: ~10% of
+    the corpus is deleted at zero rebuild cost and the flagship query
+    re-runs. Semantics under test (maintenance.py module doc): deleted
+    docs vanish from results while N/avgdl/df stay STALE — survivors'
+    scores are bit-identical to pre-delete (Lucene deleted-docs
+    semantics). The oracle scores over the FULL corpus and filters
+    deleted ids only from the result set."""
+    import numpy as np
+
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    qe = QueryEngine(spark, _tombstoned_index(spark, sf_dir))
+    res = qe.search(
+        " ".join(BM25_DISJ_TERMS), mode="disjunctive", k=10, dtype=np.float64
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def sql_tombstone_topk() -> str:
+    in_list = ", ".join(f"'{t}'" for t in BM25_DISJ_TERMS)
+    return (
+        _bm25_base("duckdb") + f"WHERE tf.term IN ({in_list}) "
+        f"AND tf.doc_id % {DELETE_MOD} <> {DELETE_REM}) "
+        "SELECT doc_id, round(sum(score), 4) AS score FROM scored "
+        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"
+    )
+
+
+def spark_compact_topk(spark, sf_dir: str) -> DataFrame:
+    """Physical compaction through the REAL engine, HARD-ORACLED: the
+    tombstoned index compacts into a fresh index (map-only chunk
+    rewrite, stats/df/WAND bounds re-derived over survivors) and the
+    flagship query re-runs. The oracle is BM25 over the surviving
+    corpus only — compaction must answer exactly like a fresh build."""
+    import tempfile
+
+    import numpy as np
+
+    from . import maintenance
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    key = ("compact", sf_dir)
+    out_dir = _MAINT_CACHE.get(key)
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="se_compact_idx_")
+        maintenance.compact_index(
+            spark, _tombstoned_index(spark, sf_dir), out_dir
+        )
+        _MAINT_CACHE[key] = out_dir
+    qe = QueryEngine(spark, out_dir)
+    res = qe.search(
+        " ".join(BM25_DISJ_TERMS), mode="disjunctive", k=10, dtype=np.float64
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def sql_compact_topk() -> str:
+    in_list = ", ".join(f"'{t}'" for t in BM25_DISJ_TERMS)
+    alive = f" WHERE doc_id % {DELETE_MOD} <> {DELETE_REM}"
+    return (
+        _bm25_base("duckdb", docs_where=alive)
+        + f"WHERE tf.term IN ({in_list})) "
+        "SELECT doc_id, round(sum(score), 4) AS score FROM scored "
+        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"
+    )
+
+
+def spark_merge_topk(spark, sf_dir: str) -> DataFrame:
+    """Shard-index merge through the REAL engine, HARD-ORACLED: the
+    corpus builds as TWO disjoint half-range shards, merge_indexes
+    stitches them map-only (chunk payload bytes preserved, lexicon
+    re-aggregated, WAND bounds refreshed against merged avgdl), and the
+    flagship query over the merged index must hash-match the plain
+    whole-corpus BM25 oracle — merged == built-as-one."""
+    import tempfile
+
+    import numpy as np
+
+    from . import maintenance
+    from .build import IndexBuilder
+    from .corpus import load_documents
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    key = ("merge", sf_dir)
+    out_dir = _MAINT_CACHE.get(key)
+    if out_dir is None:
+        docs = load_documents(spark, sf_dir)
+        half = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+        shards = []
+        for i, pred in enumerate(
+            (F.col("doc_id") <= half, F.col("doc_id") > half)
+        ):
+            d = tempfile.mkdtemp(prefix=f"se_shard{i}_")
+            IndexBuilder(spark, d, n_salts=2, bucket_count=8).build(
+                docs.where(pred)
+            )
+            shards.append(d)
+        out_dir = tempfile.mkdtemp(prefix="se_merged_idx_")
+        # shards were built over globally disjoint id ranges: offsets 0
+        maintenance.merge_indexes(spark, shards, out_dir, offsets=[0, 0])
+        _MAINT_CACHE[key] = out_dir
+    qe = QueryEngine(spark, out_dir)
+    res = qe.search(
+        " ".join(BM25_DISJ_TERMS), mode="disjunctive", k=10, dtype=np.float64
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def spark_batch_e2e_topk(spark, sf_dir: str) -> DataFrame:
     """batch_search through the REAL chunked engine, HARD-ORACLED: two
     disjunctive queries share one decode (plus the WAND batch planner
@@ -1456,6 +1623,21 @@ def _registry() -> dict:
     # engine mode; see spark_index_e2e_topk docstring)
     q["index_e2e_topk"] = {
         "spark": spark_index_e2e_topk,
+        "sql": sql_bm25("duckdb", BM25_DISJ_TERMS, False),
+    }
+    # maintenance lifecycle through the real engine: tombstone deletes
+    # (stale-stats oracle), compaction (fresh-stats oracle over the
+    # survivors), and shard merge (== built-as-one oracle)
+    q["tombstone_topk"] = {
+        "spark": spark_tombstone_topk,
+        "sql": sql_tombstone_topk(),
+    }
+    q["compact_topk"] = {
+        "spark": spark_compact_topk,
+        "sql": sql_compact_topk(),
+    }
+    q["merge_topk"] = {
+        "spark": spark_merge_topk,
         "sql": sql_bm25("duckdb", BM25_DISJ_TERMS, False),
     }
     # batch fan-out through the same real index (shared _E2E_CACHE)
