@@ -1493,6 +1493,112 @@ def spark_merge_topk(spark, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 4).alias("score"))
 
 
+# upsert: update every doc_id % 10 == DELETE_REM (overlaps the
+# flagship top-10 at sf0.01, so superseded-version leakage fails the
+# hash) and add four brand-new docs stuffed with flagship terms (so
+# relocated delta ids must rank). Suffix/new text are lowercase
+# space-separated words — both tokenizers agree trivially.
+UPSERT_SUFFIX = "spark data quality improved"
+UPSERT_NEW_WORDS = ("alpha", "beta", "gamma", "delta")
+
+
+def _upsert_new_rows() -> list[tuple[str, str]]:
+    return [
+        (
+            f"https://synthsrc/doc/new{w}",
+            f"spark query data spark query data engine {w}",
+        )
+        for w in UPSERT_NEW_WORDS
+    ]
+
+
+def spark_upsert_topk(spark, sf_dir: str) -> DataFrame:
+    """Incremental refresh through the REAL engine, HARD-ORACLED:
+    ``upsert_docs`` tombstones superseded urls, builds a delta shard
+    over the new/updated docs only, and merges map-only with stacked
+    id relocation. The flagship query over the upserted index must
+    match fresh BM25 over the UPDATED corpus (url-keyed — delta docs
+    relocate above the base id space, so urls are the stable key)."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from . import maintenance
+    from .build import read_stage_parquet
+    from .corpus import load_documents
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    key = ("upsert", sf_dir)
+    out_dir = _MAINT_CACHE.get(key)
+    if out_dir is None:
+        src = _e2e_index(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="se_upsert_base_")
+        shutil.rmtree(base)
+        shutil.copytree(src, base)
+        docs = load_documents(spark, sf_dir)
+        upd = (
+            docs.where(F.col("doc_id") % DELETE_MOD == DELETE_REM)
+            .withColumn("text", F.concat("text", F.lit(" " + UPSERT_SUFFIX)))
+            .select("url", "text")
+        )
+        delta = upd.unionByName(
+            spark.createDataFrame(_upsert_new_rows(), "url string, text string")
+        )
+        out_dir = tempfile.mkdtemp(prefix="se_upsert_idx_")
+        maintenance.upsert_docs(spark, base, delta, out_dir)
+        _MAINT_CACHE[key] = out_dir
+    qe = QueryEngine(spark, out_dir)
+    res = qe.search(
+        " ".join(BM25_DISJ_TERMS), mode="disjunctive", k=50, dtype=np.float64
+    )
+    dt = read_stage_parquet(
+        spark, os.path.join(out_dir, "doc_table"), "doc_table"
+    ).select("doc_id", "url")
+    return (
+        res.join(dt, "doc_id")
+        .select("url", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), "url")
+        .limit(10)
+    )
+
+
+def sql_upsert_topk() -> str:
+    """Url-keyed BM25 over the updated corpus (same scoring expression
+    as _bm25_base, keyed by url because delta doc ids relocate)."""
+    in_list = ", ".join(f"'{t}'" for t in BM25_DISJ_TERMS)
+    vals = ", ".join(f"('{u}', '{t}')" for u, t in _upsert_new_rows())
+    return (
+        "WITH docs2 AS ("
+        "SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) "
+        "AS url, CASE WHEN doc_id % "
+        f"{DELETE_MOD} = {DELETE_REM} THEN text || ' {UPSERT_SUFFIX}' "
+        "ELSE text END AS text FROM documents "
+        f"UNION ALL SELECT * FROM (VALUES {vals}) v(url, text)), "
+        "toks AS (SELECT url, list_filter(regexp_split_to_array(text, "
+        f"'{_RX_SQL}'), t -> t <> '') AS ts FROM docs2), "
+        "tok AS (SELECT url, unnest(ts) AS term FROM toks), "
+        "tf AS (SELECT url, term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY url, term), "
+        "dl AS (SELECT url, CAST(len(ts) AS BIGINT) AS dl FROM toks), "
+        "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "avg(len(ts)) AS avgdl FROM toks), "
+        "dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df "
+        "FROM tf GROUP BY term), "
+        "scored AS (SELECT tf.url, "
+        "ln((CAST(s.n_docs AS DOUBLE) - dfs.df + 0.5) / "
+        "(CAST(dfs.df AS DOUBLE) + 0.5)) * 2.2 * tf.tf / "
+        "(1.2 * (0.25 + 0.75 * dl.dl / s.avgdl) + tf.tf) AS score "
+        "FROM tf JOIN dl ON tf.url = dl.url "
+        "JOIN dfs ON tf.term = dfs.term CROSS JOIN stats s "
+        f"WHERE tf.term IN ({in_list})) "
+        "SELECT url, round(sum(score), 4) AS score FROM scored "
+        "GROUP BY url ORDER BY score DESC, url LIMIT 10"
+    )
+
+
 def spark_batch_e2e_topk(spark, sf_dir: str) -> DataFrame:
     """batch_search through the REAL chunked engine, HARD-ORACLED: two
     disjunctive queries share one decode (plus the WAND batch planner
@@ -1639,6 +1745,10 @@ def _registry() -> dict:
     q["merge_topk"] = {
         "spark": spark_merge_topk,
         "sql": sql_bm25("duckdb", BM25_DISJ_TERMS, False),
+    }
+    q["upsert_topk"] = {
+        "spark": spark_upsert_topk,
+        "sql": sql_upsert_topk(),
     }
     # batch fan-out through the same real index (shared _E2E_CACHE)
     q["batch_e2e_topk"] = {

@@ -107,6 +107,69 @@ def delete_by_urls(spark, index_dir: str, urls) -> int:
     return delete_docs(spark, index_dir, ids)
 
 
+def upsert_docs(
+    spark,
+    index_dir: str,
+    new_docs: DataFrame,
+    out_dir: str,
+    delta_dir: str | None = None,
+) -> dict:
+    """Upsert by url — the Lucene-style incremental refresh, composed
+    from the three primitives in this module:
+
+    1. tombstone every base doc whose url appears in ``new_docs``
+       (join-resolved through the doc_table; no driver collect of the
+       delta's urls — ``new_docs`` may be arbitrarily large);
+    2. build a DELTA shard index over ``new_docs`` alone (the only
+       tokenize work — the corpus-sized base is never re-read);
+    3. :func:`merge_indexes` base+delta map-only into ``out_dir`` with
+       stacked offsets: base ids keep their values, delta docs relocate
+       above the base id space, tombstones apply physically and
+       stats/df/WAND bounds re-derive fresh.
+
+    Cost is O(delta) tokenize + the map-only merge rewrite, vs a full
+    rebuild's corpus-wide tokenize + postings shuffle. The base index
+    at ``index_dir`` gains tombstones (it keeps serving correctly via
+    query-time masking); the merged result lands in ``out_dir``.
+    ``new_docs`` needs the canonical corpus columns (url, text, ...);
+    a missing ``doc_id`` is assigned dense from 0 (the stacked merge
+    relocates delta ids anyway). Returns the merge manifest with an
+    ``upsert`` record appended.
+    """
+    import tempfile
+
+    from .corpus import assign_doc_ids
+
+    state = _source_state(spark, index_dir)
+    cfg = state["config"]
+    doc_table = read_stage_parquet(
+        spark, os.path.join(index_dir, "doc_table"), "doc_table"
+    )
+    superseded = doc_table.join(
+        new_docs.select("url").distinct(), "url"
+    ).select("doc_id")
+    n_deleted = delete_docs(spark, index_dir, superseded)
+    if "doc_id" not in new_docs.columns:
+        new_docs = assign_doc_ids(new_docs)
+    delta_dir = delta_dir or tempfile.mkdtemp(prefix="se_delta_idx_")
+    IndexBuilder(
+        spark,
+        delta_dir,
+        chunk_length=int(cfg.get("chunk_length", codecs.CHUNK_LENGTH)),
+        bucket_count=int(cfg["bucket_count"]),
+        store_positions=bool(cfg.get("store_positions", False)),
+        materialize_postings=bool(cfg.get("store_positions", False)),
+    ).build(new_docs)
+    manifest = merge_indexes(
+        spark, [index_dir, delta_dir], out_dir, offsets="stack"
+    )
+    manifest["upsert"] = {
+        "n_superseded": int(n_deleted),
+        "delta_dir": delta_dir,
+    }
+    return manifest
+
+
 def read_deletes(spark, index_dir: str) -> DataFrame | None:
     """Distinct tombstoned doc ids, or None when none exist."""
     path = _deletes_path(index_dir)

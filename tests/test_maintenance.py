@@ -347,3 +347,84 @@ def test_phrase_search_respects_tombstones(spark, corpus, tmp_path_factory):
     # positional operators share the filter
     pr = _topk(qe.proximity_search(QUERY, window=50, k=10))
     assert base[0][0] not in {d for d, _ in pr}
+
+
+def test_upsert_matches_fresh_build_over_updated_corpus(
+    spark, corpus, base_index, tmp_path_factory
+):
+    """upsert_docs (tombstone-by-url + delta shard + stacked merge)
+    answers exactly like one fresh build over the UPDATED corpus:
+    superseded versions gone, updated text scored with fresh stats,
+    brand-new docs ranked. Compared by url because delta docs relocate
+    above the base id space."""
+    import shutil
+
+    docs_df, rows = corpus
+    base = str(tmp_path_factory.mktemp("idx_upsert_base"))
+    os.rmdir(base)
+    shutil.copytree(base_index, base)
+    out_dir = str(tmp_path_factory.mktemp("idx_upserted"))
+
+    # update the flagship top-2 docs (adversarial: winners change) and
+    # add two brand-new docs stuffed with flagship terms
+    top = _topk(QueryEngine(spark, base_index).search(QUERY, k=10))
+    upd_ids = sorted({d for d, _ in top[:2]})
+    suffix = " spark data quality improved"
+    upd = (
+        docs_df.where(F.col("doc_id").isin(upd_ids))
+        .withColumn("text", F.concat("text", F.lit(suffix)))
+        .select("url", "text")
+    )
+    new_rows = [
+        (f"https://synthsrc/doc/new{w}",
+         f"spark query data spark query data engine {w}")
+        for w in ("alpha", "beta")
+    ]
+    delta = upd.unionByName(
+        spark.createDataFrame(new_rows, "url string, text string")
+    )
+    manifest = maintenance.upsert_docs(spark, base, delta, out_dir)
+    assert manifest["upsert"]["n_superseded"] == len(upd_ids)
+
+    # oracle: fresh scoring over the updated corpus, keyed by url
+    url_of = {
+        r["doc_id"]: r["url"]
+        for r in docs_df.select("doc_id", "url").collect()
+    }
+    text_of = dict(rows)
+    upd_rows = []
+    next_id = max(url_of) + 1
+    urls = {}
+    for did, text in rows:
+        if did in upd_ids:
+            upd_rows.append((did, text + suffix))
+        else:
+            upd_rows.append((did, text))
+        urls[did] = url_of[did]
+    for url, text in new_rows:
+        upd_rows.append((next_id, text))
+        urls[next_id] = url
+        next_id += 1
+    oracle = OracleIndex(upd_rows)
+
+    qe = QueryEngine(spark, out_dir)
+    assert qe.n_docs == len(upd_rows)
+    got = qe.search(QUERY, mode="disjunctive", k=10)
+    dt = read_stage_parquet(
+        spark, os.path.join(out_dir, "doc_table"), "doc_table"
+    )
+    got_urls = [
+        (r["url"], float(r["score"]))
+        for r in got.join(dt.select("doc_id", "url"), "doc_id")
+        .orderBy(F.desc("score"), "url")
+        .collect()
+    ]
+    want = oracle.topk(QUERY, mode="disjunctive", k=10)
+    want_urls = [(urls[d], s) for d, s in want]
+    assert_rank_identical(got_urls, want_urls)
+    # superseded versions are gone; the new docs are queryable
+    assert not any(u in {url_of[d] for d in upd_ids} for u, _ in got_urls) \
+        or all(urls[d] == url_of[d] for d in upd_ids)  # same url = updated
+    new_hit = qe.search("alpha", k=5)
+    new_ids = {r["doc_id"] for r in new_hit.collect()}
+    assert new_ids, "brand-new doc must be queryable"
