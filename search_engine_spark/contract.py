@@ -1599,6 +1599,115 @@ def sql_upsert_topk() -> str:
     )
 
 
+def spark_lsm_serve_topk(spark, sf_dir: str) -> DataFrame:
+    """Multi-segment serving through the REAL engine, HARD-ORACLED:
+    the upsert scenario BEFORE any merge runs — base index with the
+    superseded urls tombstoned + an un-merged delta shard, served by
+    MultiIndexQueryEngine under STALE combined stats (base N/avgdl/df
+    still count the tombstoned versions; per-term df sums across
+    segment lexicons; WAND bounds rescale conservatively under the
+    global avgdl). The oracle scores over base-rows + delta-rows and
+    filters superseded base versions from the RESULT SET only."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from . import maintenance
+    from .build import IndexBuilder, read_stage_parquet
+    from .corpus import assign_doc_ids, load_documents
+    from .query import MultiIndexQueryEngine
+
+    _prepare(spark, sf_dir)
+    key = ("lsm", sf_dir)
+    dirs = _MAINT_CACHE.get(key)
+    if dirs is None:
+        src = _e2e_index(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="se_lsm_base_")
+        shutil.rmtree(base)
+        shutil.copytree(src, base)
+        docs = load_documents(spark, sf_dir)
+        upd = (
+            docs.where(F.col("doc_id") % DELETE_MOD == DELETE_REM)
+            .withColumn("text", F.concat("text", F.lit(" " + UPSERT_SUFFIX)))
+            .select("url", "text")
+        )
+        delta_docs = upd.unionByName(
+            spark.createDataFrame(_upsert_new_rows(), "url string, text string")
+        )
+        dt = read_stage_parquet(
+            spark, os.path.join(base, "doc_table"), "doc_table"
+        )
+        superseded = dt.join(
+            delta_docs.select("url").distinct(), "url"
+        ).select("doc_id")
+        maintenance.delete_docs(spark, base, superseded)
+        delta_dir = tempfile.mkdtemp(prefix="se_lsm_delta_")
+        IndexBuilder(spark, delta_dir, n_salts=2, bucket_count=8).build(
+            assign_doc_ids(delta_docs)
+        )
+        dirs = _MAINT_CACHE[key] = (base, delta_dir)
+    mqe = MultiIndexQueryEngine(spark, list(dirs))
+    res = mqe.search(
+        " ".join(BM25_DISJ_TERMS), mode="disjunctive", k=50, dtype=np.float64
+    )
+    rows = res.collect()
+    urls = mqe.doc_urls([int(r["doc_id"]) for r in rows])
+    out = spark.createDataFrame(
+        [(urls[int(r["doc_id"])], float(r["score"])) for r in rows],
+        "url string, score double",
+    )
+    return (
+        out.select("url", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), "url")
+        .limit(10)
+    )
+
+
+def sql_lsm_serve_topk() -> str:
+    """Stale-stats multi-segment oracle: BM25 over base-rows (old
+    versions included — deleted-docs statistics) plus delta-rows, with
+    superseded base versions filtered from the result set only."""
+    in_list = ", ".join(f"'{t}'" for t in BM25_DISJ_TERMS)
+    vals = ", ".join(f"('{u}', '{t}')" for u, t in _upsert_new_rows())
+    return (
+        "WITH docs2 AS ("
+        "SELECT 'b' || CAST(doc_id AS VARCHAR) AS key, "
+        "'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url, "
+        f"text, (doc_id % {DELETE_MOD} = {DELETE_REM}) AS superseded "
+        "FROM documents "
+        "UNION ALL SELECT 'd' || CAST(doc_id AS VARCHAR), "
+        "'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR), "
+        f"text || ' {UPSERT_SUFFIX}', FALSE FROM documents "
+        f"WHERE doc_id % {DELETE_MOD} = {DELETE_REM} "
+        f"UNION ALL SELECT 'n' || url, url, text, FALSE "
+        f"FROM (VALUES {vals}) v(url, text)), "
+        "toks AS (SELECT key, url, superseded, "
+        f"list_filter(regexp_split_to_array(text, '{_RX_SQL}'), "
+        "t -> t <> '') AS ts FROM docs2), "
+        "tok AS (SELECT key, unnest(ts) AS term FROM toks), "
+        "tf AS (SELECT key, term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY key, term), "
+        "dl AS (SELECT key, CAST(len(ts) AS BIGINT) AS dl FROM toks), "
+        "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "avg(len(ts)) AS avgdl FROM toks), "
+        "dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df "
+        "FROM tf GROUP BY term), "
+        "scored AS (SELECT tf.key, "
+        "ln((CAST(s.n_docs AS DOUBLE) - dfs.df + 0.5) / "
+        "(CAST(dfs.df AS DOUBLE) + 0.5)) * 2.2 * tf.tf / "
+        "(1.2 * (0.25 + 0.75 * dl.dl / s.avgdl) + tf.tf) AS score "
+        "FROM tf JOIN dl ON tf.key = dl.key "
+        "JOIN dfs ON tf.term = dfs.term CROSS JOIN stats s "
+        f"WHERE tf.term IN ({in_list})) "
+        "SELECT t.url, round(sum(sc.score), 4) AS score "
+        "FROM scored sc JOIN toks t ON sc.key = t.key "
+        "WHERE NOT t.superseded "
+        "GROUP BY t.url ORDER BY score DESC, t.url LIMIT 10"
+    )
+
+
 def spark_batch_e2e_topk(spark, sf_dir: str) -> DataFrame:
     """batch_search through the REAL chunked engine, HARD-ORACLED: two
     disjunctive queries share one decode (plus the WAND batch planner
@@ -1749,6 +1858,10 @@ def _registry() -> dict:
     q["upsert_topk"] = {
         "spark": spark_upsert_topk,
         "sql": sql_upsert_topk(),
+    }
+    q["lsm_serve_topk"] = {
+        "spark": spark_lsm_serve_topk,
+        "sql": sql_lsm_serve_topk(),
     }
     # batch fan-out through the same real index (shared _E2E_CACHE)
     q["batch_e2e_topk"] = {

@@ -124,7 +124,22 @@ def bm25_scores(
 
 
 class QueryEngine:
-    def __init__(self, spark, index_dir: str):
+    def __init__(
+        self, spark, index_dir: str, stats_override: dict | None = None
+    ):
+        """``stats_override`` ({"n_docs": int, "avgdl": float, "df":
+        {term: int}}) scores this segment with FOREIGN collection
+        statistics — the multi-segment serving hook (see
+        MultiIndexQueryEngine). Chunk score bounds were computed under
+        the segment's own avgdl; with an override they rescale
+        conservatively: for k(a) = K1*((1-b) + b*dl/a) the per-posting
+        ratio tf/(k+tf) satisfies ratio(a')/ratio(a) in
+        [min(1, a'/a), max(1, a'/a)], so max_ratio * max(1, a'/a) and
+        min_ratio * min(1, a'/a) stay an over-estimate of every
+        chunk's best contribution (positive idf uses max_ratio,
+        negative idf flips to min_ratio) — WAND pruning keeps more
+        chunks, never fewer. The bounds are then no longer ATTAINED,
+        so the metadata-only theta fast path disables itself."""
         self.spark = spark
         self.index_dir = index_dir
         ensure_shipped(spark)
@@ -135,9 +150,24 @@ class QueryEngine:
             self.config = json.load(f)["config"]
         self.bucket_count = int(self.config["bucket_count"])
         row = self._stage_df("stats").collect()[0]
-        self.n_docs = int(row["n_docs"])
+        self.built_n_docs = int(row["n_docs"])
+        self.max_doc_id = int(row["max_doc_id"] or 0)
         # avgdl is NULL for an empty corpus (a valid, if degenerate, index)
-        self.avgdl = float(row["avgdl"] or 1.0)
+        self.built_avgdl = float(row["avgdl"] or 1.0)
+        self.n_docs = self.built_n_docs
+        self.avgdl = self.built_avgdl
+        self._df_override: dict[str, int] = {}
+        self.has_stats_override = bool(stats_override)
+        if stats_override:
+            self.n_docs = int(stats_override.get("n_docs", self.n_docs))
+            self.avgdl = float(stats_override.get("avgdl", self.avgdl))
+            self._df_override = {
+                str(t): int(v)
+                for t, v in (stats_override.get("df") or {}).items()
+            }
+        _r = self.avgdl / self.built_avgdl if self.built_avgdl > 0 else 1.0
+        self._scale_max = max(1.0, _r)
+        self._scale_min = min(1.0, _r)
         self.last_plan_stats: dict = {}
         self.last_local_stats: dict = {}
         self._local_cache: dict | None = None
@@ -186,6 +216,11 @@ class QueryEngine:
     def _buckets(self, terms: list[str]) -> list[int]:
         return sorted({term_bucket(t, self.bucket_count) for t in terms})
 
+    def _df_of(self, term: str, local_df: int) -> int:
+        """Per-term df for idf: the stats_override value when serving
+        multi-segment (global df), else the segment-local value."""
+        return int(self._df_override.get(term, local_df))
+
     def lexicon_lookup(self, terms: list[str]) -> dict[str, dict]:
         if not terms:
             return {}
@@ -196,7 +231,7 @@ class QueryEngine:
         )
         return {
             r["term"]: {
-                "df": int(r["df"]),
+                "df": self._df_of(r["term"], r["df"]),
                 "n_chunks": int(r["n_chunks"]),
                 "min_doc_id": int(r["min_doc_id"]),
                 "max_doc_id": int(r["max_doc_id"]),
@@ -339,7 +374,7 @@ class QueryEngine:
         metas: dict[str, wand.TermChunks] = {}
         lex: dict[str, dict] = {}
         for t, rs in by_term.items():
-            df = int(sum(r["n"] for r in rs))
+            df = self._df_of(t, sum(r["n"] for r in rs))
             lex[t] = {
                 "df": df,
                 "n_chunks": len(rs),
@@ -349,8 +384,8 @@ class QueryEngine:
             t_idf = wand.idf(df, self.n_docs)
             bound = wand.term_chunk_bounds(
                 t_idf,
-                np.array([r["max_ratio"] for r in rs]),
-                np.array([r["min_ratio"] for r in rs]),
+                np.array([r["max_ratio"] for r in rs]) * self._scale_max,
+                np.array([r["min_ratio"] for r in rs]) * self._scale_min,
             )
             metas[t] = wand.TermChunks(
                 first=[r["first_doc_id"] for r in rs],
@@ -533,8 +568,8 @@ class QueryEngine:
             )
         )
         bound = F.col("_scale") * F.when(
-            F.col("_use_min"), F.col("min_ratio")
-        ).otherwise(F.col("max_ratio"))
+            F.col("_use_min"), F.col("min_ratio") * F.lit(self._scale_min)
+        ).otherwise(F.col("max_ratio") * F.lit(self._scale_max))
         return (
             self._chunks(present)
             .join(bdf, "term")
@@ -884,6 +919,8 @@ class QueryEngine:
             if (
                 (not conj or len(present) == 1)
                 and not self.has_deletes
+                # rescaled override bounds are no longer attained
+                and not self.has_stats_override
                 and all(
                     wand.idf(lex[t]["df"], self.n_docs) >= 0
                     for t in present
@@ -1623,12 +1660,14 @@ class QueryEngine:
         for t in present:
             idxs = np.array(by_term[t], dtype=np.int64)
             n_arr = np.array([data["n"][i] for i in idxs])
-            dfs[t] = int(n_arr.sum())
+            dfs[t] = self._df_of(t, int(n_arr.sum()))
             t_idf = wand.idf(dfs[t], self.n_docs)
             bound = wand.term_chunk_bounds(
                 t_idf,
-                np.array([data["max_ratio"][i] for i in idxs]),
-                np.array([data["min_ratio"][i] for i in idxs]),
+                np.array([data["max_ratio"][i] for i in idxs])
+                * self._scale_max,
+                np.array([data["min_ratio"][i] for i in idxs])
+                * self._scale_min,
             )
             metas[t] = wand.TermChunks(
                 first=[data["first_doc_id"][i] for i in idxs],
@@ -1862,7 +1901,7 @@ class QueryEngine:
         present = sorted(lists)
         # df BEFORE the tombstone mask: stale-stats semantics, matching
         # the Spark path's lexicon df (maintenance.py module doc)
-        dfs = {t: len(lists[t][0]) for t in present}
+        dfs = {t: self._df_of(t, len(lists[t][0])) for t in present}
         if self._deleted is not None:
             for t in present:
                 ids, tfs, dls = lists[t]
@@ -2174,3 +2213,145 @@ class QueryEngine:
         return joined.select(
             "doc_id", "score", "url", snip("text").alias("snippets")
         )
+
+
+class MultiIndexQueryEngine:
+    """Serve queries across MULTIPLE index segments with GLOBAL
+    collection statistics — the Lucene multi-segment serving model.
+
+    The use case is the write path's freshness gap: ``upsert_docs``
+    tombstones the base and builds a small delta shard, but the
+    map-only ``merge_indexes`` rewrite still has to run before a
+    single QueryEngine can see the new docs. This engine closes the
+    gap: open [base, delta1, delta2, ...] and serve immediately;
+    compaction/merge becomes a background activity, exactly like
+    Lucene segment merging behind an IndexSearcher.
+
+    Statistics: N and avgdl combine doc-count-weighted across
+    segments; per-term df sums across segment lexicons. All stay
+    STALE w.r.t. each segment's tombstones (the same deleted-docs
+    semantics as a single QueryEngine — results are masked, stats are
+    not). Over tombstone-free segments the combined stats equal a
+    fresh single build's, so results are rank-identical to indexing
+    the union at once. Each segment scores with the global stats via
+    ``QueryEngine(stats_override=...)``; chunk WAND bounds rescale
+    conservatively there (see QueryEngine.__init__), so score-bounded
+    skipping stays SAFE under the foreign avgdl.
+
+    Topology: scatter-gather. Each segment answers its own top-k with
+    global stats (a doc lives in exactly one segment, so per-segment
+    scores are exact and conjunctive semantics hold); the driver
+    merges <= n_segments*k rows. On a cluster the per-segment
+    searches are independent Spark jobs — submit them from threads to
+    overlap; this v1 runs them sequentially.
+
+    ``offsets``: per-segment doc-id translation applied to RESULT
+    ids only (scores never depend on ids). Default "stack" relocates
+    each segment above the previous one's id span — the same layout
+    ``merge_indexes(offsets="stack")`` would produce, so serving now
+    and merging later yield the same global ids. Pass explicit
+    offsets (e.g. all 0) for shards built over disjoint id ranges.
+    """
+
+    def __init__(self, spark, index_dirs: list[str], offsets="stack"):
+        if not index_dirs:
+            raise ValueError("MultiIndexQueryEngine needs >= 1 segment")
+        self.spark = spark
+        self.index_dirs = list(index_dirs)
+        probes = [QueryEngine(spark, d) for d in self.index_dirs]
+        n_total = sum(e.built_n_docs for e in probes)
+        if n_total > 0:
+            avgdl = (
+                sum(e.built_n_docs * e.built_avgdl for e in probes) / n_total
+            )
+        else:
+            avgdl = 1.0
+        self.n_docs, self.avgdl = n_total, avgdl
+        if offsets == "stack":
+            offs, acc = [], 0
+            for e in probes:
+                offs.append(acc)
+                acc += e.max_doc_id + 1
+        else:
+            offs = list(offsets)
+            if len(offs) != len(probes):
+                raise ValueError("offsets must match index_dirs")
+        self.offsets = offs
+        self.engines = [
+            QueryEngine(
+                spark, d, stats_override={"n_docs": n_total, "avgdl": avgdl}
+            )
+            for d in self.index_dirs
+        ]
+
+    def _set_global_df(self, terms: list[str]) -> dict[str, int]:
+        """Sum per-term df across segment lexicons and install it as
+        every segment's df override (two tiny driver lookups per
+        segment; lexicon scans are bucket+term pruned)."""
+        df_map: dict[str, int] = {}
+        for e in self.engines:
+            e._df_override = {}
+            for t, entry in e.lexicon_lookup(terms).items():
+                df_map[t] = df_map.get(t, 0) + entry["df"]
+        for e in self.engines:
+            e._df_override = df_map
+        return df_map
+
+    def search(
+        self,
+        query: str,
+        mode: str = "disjunctive",
+        k: int = 10,
+        dtype=np.float32,
+    ) -> DataFrame:
+        """Global top-k (doc_id, score) across all segments."""
+        terms = tokenize_query(query)
+        out_t = "double" if dtype is np.float64 else "float"
+        schema = f"doc_id long, score {out_t}"
+        if not terms:
+            return self.spark.createDataFrame([], schema)
+        self._set_global_df(terms)
+        rows: list[tuple[int, float]] = []
+        for e, off in zip(self.engines, self.offsets):
+            for r in e.search(query, mode=mode, k=k, dtype=dtype).collect():
+                rows.append((int(r["doc_id"]) + off, float(r["score"])))
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        return self.spark.createDataFrame(rows[:k], schema)
+
+    def search_local(
+        self, query: str, mode: str = "disjunctive", k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Driver-side serving twin: per-segment search_local under
+        global stats, merged. The multi-segment low-latency path."""
+        terms = tokenize_query(query)
+        if not terms:
+            return []
+        self._set_global_df(terms)
+        rows: list[tuple[int, float]] = []
+        for e, off in zip(self.engines, self.offsets):
+            rows += [
+                (d + off, s)
+                for d, s in e.search_local(query, mode=mode, k=k)
+            ]
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        return rows[:k]
+
+    def doc_urls(self, doc_ids: list[int]) -> dict[int, str]:
+        """Map GLOBAL result ids back to urls via the segment doc
+        tables (per-segment point lookups, same pruning as snippets)."""
+        out: dict[int, str] = {}
+        bounds = list(zip(self.engines, self.offsets))
+        for e, off in bounds:
+            local = [
+                d - off
+                for d in doc_ids
+                if off <= d <= off + e.max_doc_id
+            ]
+            if not local:
+                continue
+            dt = e._stage_df("doc_table").where(
+                F.col("doc_id").isin([int(x) for x in local])
+            )
+            for r in dt.select("doc_id", "url").collect():
+                out[int(r["doc_id"]) + off] = r["url"]
+        return out

@@ -428,3 +428,113 @@ def test_upsert_matches_fresh_build_over_updated_corpus(
     new_hit = qe.search("alpha", k=5)
     new_ids = {r["doc_id"] for r in new_hit.collect()}
     assert new_ids, "brand-new doc must be queryable"
+
+
+def test_multi_segment_serving_matches_full_build(
+    spark, corpus, base_index, tmp_path_factory
+):
+    """MultiIndexQueryEngine over two tombstone-free half shards ==
+    one QueryEngine over the full build: combined stats (N sum,
+    doc-weighted avgdl, summed df) equal the fresh single-build stats,
+    and the conservatively rescaled WAND bounds must not prune a true
+    top-k doc (the shards' avgdls differ from the global one)."""
+    from search_engine_spark.query import MultiIndexQueryEngine
+
+    docs_df, rows = corpus
+    mid = rows[len(rows) // 2][0]
+    dir_a = str(tmp_path_factory.mktemp("serve_a"))
+    dir_b = str(tmp_path_factory.mktemp("serve_b"))
+    IndexBuilder(spark, dir_a, n_salts=2, bucket_count=8).build(
+        docs_df.where(F.col("doc_id") < mid), resume=False
+    )
+    IndexBuilder(spark, dir_b, n_salts=2, bucket_count=8).build(
+        docs_df.where(F.col("doc_id") >= mid), resume=False
+    )
+    full = QueryEngine(spark, base_index)
+    mqe = MultiIndexQueryEngine(spark, [dir_a, dir_b], offsets=[0, 0])
+    assert mqe.n_docs == full.n_docs
+    assert mqe.avgdl == pytest.approx(full.avgdl)
+    assert all(e.has_stats_override for e in mqe.engines)
+    # the rescale is exercised: shard avgdls differ from the global
+    assert any(e._scale_max > 1.0 or e._scale_min < 1.0
+               for e in mqe.engines)
+    for mode, q in (("disjunctive", QUERY), ("conjunctive", CONJ_QUERY)):
+        got = _topk(mqe.search(q, mode=mode, k=10))
+        want = _topk(full.search(q, mode=mode, k=10))
+        assert_rank_identical(got, want)
+        local = mqe.search_local(q, mode=mode, k=10)
+        assert_rank_identical(local, want)
+
+
+def test_multi_segment_serving_after_upsert_before_merge(
+    spark, corpus, base_index, tmp_path_factory
+):
+    """The freshness-gap scenario: base with tombstoned superseded
+    versions + an un-merged delta shard serve together under STALE
+    combined stats (base N/avgdl/df still count the tombstoned
+    versions — deleted-docs semantics), verified against the
+    stale-stats python oracle over base-rows + delta-rows."""
+    import shutil
+
+    from search_engine_spark.corpus import assign_doc_ids
+    from search_engine_spark.query import MultiIndexQueryEngine
+
+    docs_df, rows = corpus
+    base = str(tmp_path_factory.mktemp("lsm_base"))
+    os.rmdir(base)
+    shutil.copytree(base_index, base)
+
+    top = _topk(QueryEngine(spark, base_index).search(QUERY, k=10))
+    upd_ids = sorted({d for d, _ in top[:2]})
+    suffix = " spark data quality improved"
+    delta_docs = (
+        docs_df.where(F.col("doc_id").isin(upd_ids))
+        .withColumn("text", F.concat("text", F.lit(suffix)))
+        .select("url", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [("https://synthsrc/doc/newalpha",
+                  "spark query data spark query data engine alpha")],
+                "url string, text string",
+            )
+        )
+    )
+    # tombstone superseded urls in the base; build the delta shard
+    from search_engine_spark.maintenance import delete_docs
+
+    dt = read_stage_parquet(
+        spark, os.path.join(base, "doc_table"), "doc_table"
+    )
+    ids = dt.join(delta_docs.select("url").distinct(), "url").select(
+        "doc_id"
+    )
+    delete_docs(spark, base, ids)
+    delta_dir = str(tmp_path_factory.mktemp("lsm_delta"))
+    IndexBuilder(spark, delta_dir, n_salts=2, bucket_count=8).build(
+        assign_doc_ids(delta_docs), resume=False
+    )
+
+    mqe = MultiIndexQueryEngine(spark, [base, delta_dir])
+    off1 = mqe.offsets[1]
+    # stale stats: N counts the tombstoned base versions
+    assert mqe.n_docs == len(rows) + len(upd_ids) + 1
+
+    # oracle rows: all base versions + delta rows at their global ids
+    ddt = read_stage_parquet(
+        spark, os.path.join(delta_dir, "doc_table"), "doc_table"
+    )
+    delta_rows = [
+        (off1 + int(r["doc_id"]), r["text"])
+        for r in ddt.select("doc_id", "text").collect()
+    ]
+    oracle = OracleIndex(rows + delta_rows)
+    deleted = set(upd_ids)
+
+    got = _topk(mqe.search(QUERY, mode="disjunctive", k=10))
+    want = _oracle_alive(oracle, QUERY, deleted)
+    assert_rank_identical(got, want)
+    local = mqe.search_local(QUERY, mode="disjunctive", k=10)
+    assert_rank_identical(local, want)
+    # the delta's docs are immediately visible (no merge ran)
+    alpha = mqe.search_local("alpha", k=5)
+    assert alpha and all(d >= off1 for d, _ in alpha)
