@@ -757,6 +757,33 @@ def spark_simhash(spark, sf_dir: str) -> DataFrame:
     return sh(_docs(spark, sf_dir), bits=16)
 
 
+def spark_decontaminate(spark, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over a self-derived split: every 25th
+    doc plays the benchmark/eval item, the rest the training corpus
+    (deterministic, no external data). 3-gram shingles with a 2-shared
+    floor keep the sf0.01 result non-trivial (77 flagged pairs)."""
+    from .dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+    return decontaminate(corpus, bench, shingle_n=3, min_overlap=2)
+
+
+def sql_decontaminate(engine: str) -> str:
+    return (
+        f"WITH {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "
+        "bench AS (SELECT doc_id AS bench_id, shingle FROM sh "
+        "WHERE doc_id % 25 = 0), "
+        "corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 25 <> 0) "
+        "SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM corp c JOIN bench b ON c.shingle = b.shingle "
+        "GROUP BY c.doc_id, b.bench_id HAVING count(*) >= 2"
+    )
+
+
 def spark_langid(spark, sf_dir: str) -> DataFrame:
     from .textstats import language_id
 
@@ -1802,6 +1829,7 @@ def _registry() -> dict:
         "lsh_candidate_pairs": (spark_lsh_pairs, sql_lsh_pairs),
         "lsh_bucket_stats": (spark_lsh_bucket_stats, sql_lsh_bucket_stats),
         "ngram_jaccard_pairs": (spark_ngram_jaccard, sql_ngram_jaccard),
+        "decontaminate": (spark_decontaminate, sql_decontaminate),
         "simhash": (spark_simhash, sql_simhash),
         "langid": (spark_langid, sql_langid),
         "quality_score": (spark_quality, sql_quality),

@@ -499,3 +499,47 @@ def embedding_neardup_pairs(
         .where(F.col("cos") >= threshold)
         .distinct()
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 8,
+    min_overlap: int = 1,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing at least
+    ``min_overlap`` DISTINCT word ``shingle_n``-gram shingles with any
+    benchmark/eval item — the standard training-data hygiene step
+    (GPT-3 appendix-C / Llama-style n-gram overlap contamination
+    check; no reference counterpart, LLM-pipeline extension).
+
+    ``benchmark`` must have columns (bench_id, text). Returns
+    (doc_id, bench_id, n_shared) — one row per contaminated
+    (corpus doc, benchmark item) pair; a training pipeline anti-joins
+    the corpus on the distinct doc_ids.
+
+    Plan shape at 10^12 docs: eval suites are tiny next to the corpus
+    (10^4-10^6 items), so the benchmark shingle set is BROADCAST and
+    the corpus-side shingle stream joins map-side — the corpus never
+    shuffles on shingle. The only wide op is the per-(doc, bench)
+    overlap count, whose input is already filtered to matching
+    shingles (vanishingly rare at scale — that sparsity is the whole
+    premise of contamination checks). ``broadcast_bench=False`` falls
+    back to a shuffle join for benchmark suites too large to broadcast
+    (>~100M shingles). Both shingle lineages are distinct-per-doc, so
+    ``count(*)`` after the join IS the distinct shared-shingle count.
+    """
+    corp_sh = shingles_df(tokens_df(docs), shingle_n)
+    bench_sh = shingles_df(
+        tokens_df(benchmark.select(F.col("bench_id").alias("doc_id"), "text")),
+        shingle_n,
+    ).select(F.col("doc_id").alias("bench_id"), "shingle")
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    return (
+        corp_sh.join(bench_sh, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_overlap))
+    )

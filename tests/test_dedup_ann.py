@@ -224,3 +224,45 @@ def test_simhash_bits_bound_explicit(spark):
     with _pytest.raises(ValueError, match="bits"):
         simhash(docs, bits=64)
     assert simhash(docs, bits=60).count() == 1
+
+
+def test_decontaminate_exact_counts(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown fox story with unrelated ending here"),
+            (3, "totally different text with zero overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "eval item the quick brown fox jumps high")],
+        "bench_id long, text string",
+    )
+    rows = dedup.decontaminate(corpus, bench, shingle_n=3, min_overlap=1)
+    got = {(r["doc_id"], r["bench_id"]): r["n_shared"] for r in rows.collect()}
+    # doc1 shares {"the quick brown","quick brown fox","brown fox jumps"};
+    # doc2 shares {"quick brown fox"}; doc3 shares nothing
+    assert got == {(1, 100): 3, (2, 100): 1}
+    # raising the floor drops the 1-shingle hit
+    floored = dedup.decontaminate(corpus, bench, shingle_n=3, min_overlap=2)
+    assert [
+        (r["doc_id"], r["n_shared"]) for r in floored.collect()
+    ] == [(1, 3)]
+
+
+def test_decontaminate_shuffle_join_same_result(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z w v u t s")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "c d e f g h extra tail")], "bench_id long, text string"
+    )
+    a = sorted(
+        map(tuple, dedup.decontaminate(corpus, bench, 4, 1, True).collect())
+    )
+    b = sorted(
+        map(tuple, dedup.decontaminate(corpus, bench, 4, 1, False).collect())
+    )
+    assert a == b and len(a) == 1
