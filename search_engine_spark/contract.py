@@ -784,6 +784,52 @@ def sql_decontaminate(engine: str) -> str:
     )
 
 
+def spark_dedup_clusters(spark, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS end-to-end: LSH candidate pairs -> alternating
+    large-star/small-star connected components -> (doc_id, cluster_id,
+    is_survivor) over every doc (singletons included)."""
+    from .dedup import dedup_clusters, lsh_candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(docs, n_hashes=N_MINHASH, band_rows=4)
+    return dedup_clusters(docs, pairs)
+
+
+def sql_dedup_clusters(engine: str) -> str:
+    """DuckDB twin: the same LSH pair CTEs, then component min via a
+    recursive transitive closure (fine at oracle scale; the Spark side
+    is the O(log^2 n)-round star algorithm)."""
+    if engine == "spark":
+        band_key = (
+            "md5(concat_ws(',', transform(array_sort(collect_list("
+            "struct(minhash_idx, minhash))), s -> s.minhash)))"
+        )
+        band = "CAST(minhash_idx div 4 AS INT)"
+    else:
+        band_key = "md5(string_agg(minhash, ',' ORDER BY minhash_idx))"
+        band = "CAST(minhash_idx // 4 AS INT)"
+    return (
+        f"WITH RECURSIVE {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "
+        f"{_minhash_cte(engine)}, "
+        f"bands AS (SELECT doc_id, {band} AS band, {band_key} AS band_key "
+        f"FROM sigs GROUP BY doc_id, {band}), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.band_key = b.band_key "
+        "AND a.doc_id < b.doc_id), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(u, v) AS (SELECT u, v FROM edges "
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), "
+        "cmap AS (SELECT u AS doc_id, least(min(v), u) AS cluster_id "
+        "FROM reach GROUP BY u) "
+        "SELECT d.doc_id, "
+        "coalesce(c.cluster_id, d.doc_id) AS cluster_id, "
+        "(d.doc_id = coalesce(c.cluster_id, d.doc_id)) AS is_survivor "
+        "FROM documents d LEFT JOIN cmap c ON d.doc_id = c.doc_id"
+    )
+
+
 def spark_langid(spark, sf_dir: str) -> DataFrame:
     from .textstats import language_id
 
@@ -1830,6 +1876,7 @@ def _registry() -> dict:
         "lsh_bucket_stats": (spark_lsh_bucket_stats, sql_lsh_bucket_stats),
         "ngram_jaccard_pairs": (spark_ngram_jaccard, sql_ngram_jaccard),
         "decontaminate": (spark_decontaminate, sql_decontaminate),
+        "dedup_clusters": (spark_dedup_clusters, sql_dedup_clusters),
         "simhash": (spark_simhash, sql_simhash),
         "langid": (spark_langid, sql_langid),
         "quality_score": (spark_quality, sql_quality),

@@ -543,3 +543,124 @@ def decontaminate(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= int(min_overlap))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list — the
+    clustering step that turns near-dup PAIRS (lsh_candidate_pairs /
+    ngram_jaccard_pairs / embedding_neardup_pairs) into dedup GROUPS.
+    Returns (doc_id, cluster_id) for every doc appearing in ``pairs``,
+    cluster_id = the component's minimum doc_id (deterministic).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" — public paper, no
+    reference counterpart; LLM-pipeline extension). Each half-round is
+    one groupBy(u) over the current edge set: large-star hangs every
+    neighbor LARGER than u off the minimum of u's closed neighborhood,
+    small-star re-hangs the smaller neighbors. Converges to star
+    graphs (every node -> component min) in O(log^2 n) rounds — at
+    10^12 docs that is ~dozens of bounded shuffles, each proportional
+    to the SURVIVING edge count (which contracts geometrically), vs
+    label propagation whose round count is the graph diameter
+    (unbounded on chain-shaped duplicate runs, e.g. crawl snapshots).
+    Per-round ``localCheckpoint`` truncates lineage so the plan does
+    not grow with iterations. Convergence is an exact edge-set check
+    (two counts + one anti-join probe per round, cheap next to the
+    round itself).
+    """
+    e = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if e.isEmpty():
+        return e.select(
+            F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+        )
+
+    def _min_closed(nb):
+        # min over the closed neighborhood {u} ∪ N(u)
+        return F.array_min(F.array_union("vs", F.array("u"))).alias("m")
+
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the SYMMETRIZED edge set
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nb = sym.groupBy("u").agg(F.collect_set("v").alias("vs"))
+        large = (
+            nb.select(
+                "u",
+                _min_closed(nb),
+                F.explode(
+                    F.filter("vs", lambda x: x > F.col("u"))
+                ).alias("w"),
+            )
+            .select(F.col("w").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over edges oriented max -> min
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        nb2 = directed.groupBy("u").agg(F.collect_set("v").alias("vs"))
+        e_new = (
+            nb2.select(
+                "u",
+                _min_closed(nb2),
+                F.explode(F.array_union("vs", F.array("u"))).alias("w"),
+            )
+            .select(F.col("w").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # exact fixpoint test: same count and no edge outside the old set
+        if e_new.count() == e.count() and e_new.exceptAll(e).isEmpty():
+            e = e_new
+            converged = True
+            break
+        e = e_new
+    if not converged:
+        # silent non-convergence would hand back WRONG cluster ids
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # e is a star forest: (member -> root). Roots map to themselves.
+    members = e.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    )
+    roots = e.select(F.col("v").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return members.union(roots)
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """(doc_id, cluster_id, is_survivor) for EVERY doc: component min
+    doc_id as cluster id (docs in no pair are their own singleton
+    cluster), survivor = the cluster minimum — the keep-one-per-group
+    policy a dedup pipeline applies after candidate generation. One
+    broadcast-size join against the component map when pairs are rare
+    (the expected regime), a plain shuffle join otherwise."""
+    cc = connected_components(pairs, src, dst)
+    out = docs.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )

@@ -266,3 +266,67 @@ def test_decontaminate_shuffle_join_same_result(spark):
         map(tuple, dedup.decontaminate(corpus, bench, 4, 1, False).collect())
     )
     assert a == b and len(a) == 1
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for ms in comp.values():
+        m = min(ms)
+        for n in ms:
+            out[n] = m
+    return out
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(i, i + 1) for i in range(40)],  # chain: label-prop worst case
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(10, 11), (11, 12)],  # clique + path
+        [(3, 9), (9, 3), (7, 7), (1, 5), (5, 2), (8, 6)],  # dups/self
+    ],
+)
+def test_connected_components_vs_union_find(spark, edges):
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({x for e in edges for x in e})
+    expect = _uf_components(edges, nodes)
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == expect
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(df, max_iter=1)
+
+
+def test_dedup_clusters_singletons_and_survivors(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "doc_a long, doc_b long")
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in dedup.dedup_clusters(docs, pairs).collect()
+    }
+    assert rows == {
+        0: (0, True), 1: (1, True), 2: (2, True),
+        3: (1, False), 4: (4, True), 5: (1, False),
+    }
