@@ -572,6 +572,15 @@ def connected_components(
     not grow with iterations. Convergence is an exact edge-set check
     (two counts + one anti-join probe per round, cheap next to the
     round itself).
+
+    Skew note: each half-round materializes one ``collect_set`` per
+    node, so per-task memory scales with the hottest node's CURRENT
+    degree. Fed from this module's pair generators that degree is
+    bounded at the source — ``lsh_candidate_pairs``' bucket cap and
+    ``ngram_jaccard_pairs``' max_df cap bound any doc's pair fan-out —
+    and large-star itself contracts high-degree stars toward the
+    component min. Arbitrary uncapped edge lists with 10^8-degree
+    super-nodes would need a hot-node split this v1 does not implement.
     """
     e = (
         pairs.select(
