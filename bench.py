@@ -226,6 +226,8 @@ def run_suite() -> dict:
             "simhash",
             "ann_cosine_topk",
             "dedup_exact",
+            "decontaminate",
+            "dedup_clusters",
             "quality_score",
             "events_hourly",
         ]:
