@@ -355,3 +355,25 @@ def test_phrase_search_postings_scan_is_point_access(spark, tmp_path):
     assert "In(term" in p or "EqualTo(term" in p
     # top-k stays TakeOrderedAndProject (no global sort at scale)
     assert "TakeOrderedAndProject" in p
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """decontaminate must broadcast the benchmark shingle set so the
+    corpus-side shingle stream never shuffles on shingle (the premise
+    of the operator's 10^12-doc plan shape); broadcast_bench=False is
+    the explicit shuffle-join fallback."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.dedup import decontaminate
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+    p = plan_str(decontaminate(corpus, bench, shingle_n=3))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+    # broadcast_bench=False is NOT plan-asserted: at test scale AQE
+    # auto-broadcasts the small side anyway (its equality with the
+    # hinted path is covered in test_dedup_ann); the knob exists for
+    # suites past spark.sql.autoBroadcastJoinThreshold at real scale.
