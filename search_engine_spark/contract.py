@@ -1314,9 +1314,11 @@ def sql_url_dedup() -> str:
         "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'), '') AS head, u FROM u1), "
         "u3 AS (SELECT doc_id, lower(head) || substr(u, length(head) + 1) "
         "AS u FROM u2), "
-        "u4 AS (SELECT doc_id, regexp_replace(regexp_replace(u, "
-        "'^(https?://[^/:?#]+):(80|443)([/?#]|$)', '\\1\\3'), '/$', '') "
-        "AS url_norm FROM u3) "
+        "u4 AS (SELECT doc_id, regexp_replace(regexp_replace("
+        "regexp_replace(u, "
+        "'^(http://[^/:?#]+):80([/?#]|$)', '\\1\\2'), "
+        "'^(https://[^/:?#]+):443([/?#]|$)', '\\1\\2'), "
+        "'/$', '') AS url_norm FROM u3) "
         "SELECT url_norm, CAST(count(*) AS BIGINT) AS n_docs, "
         "CAST(min(doc_id) AS BIGINT) AS keep_doc_id FROM u4 "
         "GROUP BY url_norm"

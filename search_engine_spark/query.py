@@ -2050,8 +2050,21 @@ class QueryEngine:
         index, prune the bucket-partitioned postings side table to the
         query terms (partition pruning + IN(term) pushdown = point
         access), and pivot to one row per candidate doc with ``_p{i}``
-        (positions) / ``_tf{i}`` columns per distinct term — shuffled
-        rows bounded by the terms' total df, never the corpus.
+        (positions) / ``_tf{i}`` columns per distinct term.
+
+        Rarest-term-first pruning: before the groupBy(doc_id) pivot,
+        every term's postings are LEFT-SEMI-joined against the
+        minimum-df term's doc set (a one-term bucket-pruned point
+        scan). A doc missing the rarest term can never satisfy the
+        all-terms-present predicate, so the semi-join is lossless —
+        and it bounds the pivot's shuffle input by ``n_terms *
+        df_min`` instead of ``sum(df)``. That is the difference
+        between a web-scale phrase containing a stop word shuffling
+        ~df("the") rows and shuffling only the selective term's df.
+        The rare doc set is BROADCAST below KEYS_BROADCAST_CAP (the
+        common case — real phrases almost always contain one
+        selective term); above the cap it falls back to a shuffle
+        semi-join on doc_id whose exchange the pivot then reuses.
 
         Returns an empty result DataFrame directly for degenerate
         queries (no tokens / unindexed term), else the tuple
@@ -2078,6 +2091,20 @@ class QueryEngine:
         pos = pos.where(F.col("term").isin(uniq))
         if self.has_deletes:
             pos = self._alive_df(pos)
+        if len(uniq) > 1:
+            t_min = min(uniq, key=lambda t: lex[t]["df"])
+            rare = self._stage_df("postings")
+            if "bucket" in rare.columns:
+                rare = rare.where(
+                    F.col("bucket").isin(self._buckets([t_min]))
+                )
+            rare = rare.where(F.col("term") == t_min)
+            if self.has_deletes:
+                rare = self._alive_df(rare)
+            rare = rare.select("doc_id")
+            if lex[t_min]["df"] <= KEYS_BROADCAST_CAP:
+                rare = F.broadcast(rare)
+            pos = pos.join(rare, "doc_id", "left_semi")
         idx = {t: i for i, t in enumerate(uniq)}
         aggs = []
         for i, t in enumerate(uniq):

@@ -308,13 +308,16 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def normalize_url(col):
     """Canonical url Column: fragment stripped, scheme+authority
-    lowercased, default :80/:443 port dropped, trailing slash trimmed.
-    Pure JVM expressions (regexp_replace / regexp_extract / substr) —
+    lowercased, DEFAULT port dropped (:80 only for http, :443 only
+    for https — a non-default port like http://h:443 is a distinct
+    origin and must NOT collapse), trailing slash trimmed. Pure JVM
+    expressions (regexp_replace / regexp_extract / substr) —
     composable into any scan."""
     u = F.regexp_replace(col, "#.*$", "")
     head = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
     u = F.concat(F.lower(head), u.substr(F.length(head) + 1, F.length(u)))
-    u = F.regexp_replace(u, "^(https?://[^/:?#]+):(80|443)([/?#]|$)", "$1$3")
+    u = F.regexp_replace(u, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
+    u = F.regexp_replace(u, "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
     return F.regexp_replace(u, "/$", "")
 
 

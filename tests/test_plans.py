@@ -357,6 +357,38 @@ def test_phrase_search_postings_scan_is_point_access(spark, tmp_path):
     assert "TakeOrderedAndProject" in p
 
 
+def test_phrase_pivot_prunes_on_rarest_term(spark, tmp_path):
+    """The positional pivot must semi-join every term's postings
+    against the RAREST term's doc set before the groupBy(doc_id)
+    exchange — bounding the shuffle by df_min, not sum(df). On a
+    phrase containing a stop word (df = corpus size) the difference
+    at web scale is ~the whole corpus. Below KEYS_BROADCAST_CAP the
+    rare doc set broadcasts, so the prune is map-side."""
+    import numpy as np
+
+    rows = [(i, f"u{i}", f"the filler{i} the words") for i in range(60)]
+    rows.append((60, "u60", "the zanzibar stone"))  # adjacent match
+    rows.append((61, "u61", "zanzibar drum the"))  # both terms, not adjacent
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    d = str(tmp_path / "rare_idx")
+    IndexBuilder(
+        spark, d, n_salts=2, bucket_count=4, store_positions=True
+    ).build(docs, resume=False)
+    qe = QueryEngine(spark, d)
+    df = qe.phrase_search("the zanzibar", dtype=np.float64)
+    p = plan_str(df)
+    # the rare-term prune is the only join in the plan: a broadcast
+    # LEFT SEMI on doc_id upstream of the pivot's hash aggregate
+    assert "LeftSemi" in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+    got = [r["doc_id"] for r in df.collect()]
+    assert got == [60]
+    # proximity shares the same candidate front half
+    prox = qe.proximity_search("the zanzibar", window=3, dtype=np.float64)
+    assert "LeftSemi" in plan_str(prox)
+    assert sorted(r["doc_id"] for r in prox.collect()) == [60, 61]
+
+
 def test_decontaminate_broadcasts_benchmark_side(spark):
     """decontaminate must broadcast the benchmark shingle set so the
     corpus-side shingle stream never shuffles on shingle (the premise

@@ -206,6 +206,17 @@ def test_phrase_duplicate_term(phrase_engine):
     assert set(ids(qe.phrase_search("echo foxtrot echo"))) == set()
 
 
+def test_phrase_rare_prune_shuffle_fallback(phrase_engine, monkeypatch):
+    """Above KEYS_BROADCAST_CAP the rarest-term semi-join falls back
+    to a shuffle semi-join — results must be identical either way."""
+    import search_engine_spark.query as qmod
+
+    qe = phrase_engine
+    want = set(ids(qe.phrase_search("alpha beta")))
+    monkeypatch.setattr(qmod, "KEYS_BROADCAST_CAP", 0)
+    assert set(ids(qe.phrase_search("alpha beta"))) == want == {0, 2}
+
+
 def test_phrase_missing_term_and_empty(phrase_engine):
     qe = phrase_engine
     assert ids(qe.phrase_search("alpha zzzabsent")) == []

@@ -219,3 +219,29 @@ def test_url_dedup_normalization(spark):
     assert got["http://example.com/other"] == (2, 3)
     assert got["https://example.com:8443/Page/1"] == (1, 5)
     assert len(got) == 3
+
+
+def test_url_dedup_port_strip_is_scheme_aware(spark):
+    """:443 is only a default port for https, :80 only for http — a
+    cross-scheme port is a distinct origin and must NOT collapse into
+    the portless url's dedup group."""
+    docs = spark.createDataFrame(
+        [
+            (0, "http://h/x"),
+            (1, "http://h:443/x"),  # NON-default port on http
+            (2, "https://h/x"),
+            (3, "https://h:80/x"),  # NON-default port on https
+            (4, "http://h:80/x"),  # default -> collapses into 0
+            (5, "https://h:443/x"),  # default -> collapses into 2
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["url_norm"]: (r["n_docs"], r["keep_doc_id"])
+        for r in textstats.url_dedup(docs).collect()
+    }
+    assert got["http://h/x"] == (2, 0)
+    assert got["http://h:443/x"] == (1, 1)
+    assert got["https://h/x"] == (2, 2)
+    assert got["https://h:80/x"] == (1, 3)
+    assert len(got) == 4
