@@ -218,6 +218,68 @@ def run_suite() -> dict:
             shutil.rmtree(pos_dir, ignore_errors=True)
             shutil.rmtree(pos_dir2, ignore_errors=True)
 
+        # maintenance lifecycle + multi-segment serving — the write
+        # path on the clock: a tombstoned index's compaction rewrite,
+        # a url upsert (delta tokenize + map-only merge; the cost that
+        # replaces a full rebuild), and LSM scatter-gather serving
+        # over base + 2 delta segments (thread-parallel per-segment
+        # jobs, latency ~ max-of-segments).
+        from pyspark.sql import functions as F
+
+        from search_engine_spark import maintenance
+        from search_engine_spark.query import MultiIndexQueryEngine
+
+        work = tempfile.mkdtemp(prefix="se_bench_maint_")
+        try:
+            dels = docs.where(F.col("doc_id") % 10 == 3).select("doc_id")
+            tomb = os.path.join(work, "tomb")
+            shutil.copytree(index_dir, tomb)
+            maintenance.delete_docs(spark, tomb, dels)
+            best = float("inf")
+            for i in range(2):
+                t0 = time.time()
+                maintenance.compact_index(
+                    spark, tomb, os.path.join(work, f"compact{i}")
+                )
+                best = min(best, time.time() - t0)
+            timings["compact"] = best
+
+            upd = docs.where(F.col("doc_id") % 17 == 5).withColumn(
+                "text", F.concat("text", F.lit(" v2"))
+            )
+            best = float("inf")
+            for i in range(2):
+                b = os.path.join(work, f"upbase{i}")
+                shutil.copytree(index_dir, b)
+                t0 = time.time()
+                maintenance.upsert_docs(
+                    spark,
+                    b,
+                    upd,
+                    os.path.join(work, f"upout{i}"),
+                    delta_dir=os.path.join(work, f"updelta{i}"),
+                )
+                best = min(best, time.time() - t0)
+            timings["upsert"] = best
+
+            deltas = []
+            for i, mod in enumerate((31, 37)):
+                d = os.path.join(work, f"lsmdelta{i}")
+                IndexBuilder(
+                    spark, d, bucket_count=16, materialize_postings=False
+                ).build(docs.where(F.col("doc_id") % mod == 1))
+                deltas.append(d)
+            mqe = MultiIndexQueryEngine(spark, [index_dir] + deltas)
+            mqe.search(DISJ_QUERIES[0], "disjunctive").collect()  # warm
+
+            def lsm_3q():
+                for q in DISJ_QUERIES[1:4]:
+                    mqe.search(q, "disjunctive").collect()
+
+            timings["lsm_serve_3q"] = _min_of(lsm_3q)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
         for name in [
             "bm25_disjunctive",
             "bm25_conjunctive",

@@ -569,9 +569,13 @@ def connected_components(
     label propagation whose round count is the graph diameter
     (unbounded on chain-shaped duplicate runs, e.g. crawl snapshots).
     Per-round ``localCheckpoint`` truncates lineage so the plan does
-    not grow with iterations. Convergence is an exact edge-set check
-    (two counts + one anti-join probe per round, cheap next to the
-    round itself).
+    not grow with iterations. Convergence is ONE aggregate per round:
+    (count, bit_xor of xxhash64(u,v)) — an order-independent edge-set
+    fingerprint compared against the previous round's (cached on the
+    driver, so no job re-reads the old edges). Distinct edge sets
+    colliding on both count and the 64-bit xor is a ~2^-64 event;
+    the earlier exact exceptAll probe cost two extra jobs per round
+    for protection below any hardware error rate.
 
     Skew note: each half-round materializes one ``collect_set`` per
     node, so per-task memory scales with the hottest node's CURRENT
@@ -596,19 +600,36 @@ def connected_components(
             F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
         )
 
-    def _min_closed(nb):
-        # min over the closed neighborhood {u} ∪ N(u)
-        return F.array_min(F.array_union("vs", F.array("u"))).alias("m")
+    def _nb(edges):
+        # per-node neighborhood + min over the CLOSED neighborhood
+        # {u} ∪ N(u). m must be computed INSIDE the aggregate: a
+        # post-agg array_min(array_union(vs, ...)) projection gets
+        # collapsed by Catalyst through the explode Generate below and
+        # re-evaluates per exploded row — O(degree^2) on a hot node
+        # (measured: a 100k-degree hub turned one task into minutes).
+        # As a min over the group it is one scalar per node, and the
+        # per-row work after the Generate stays O(1).
+        return edges.groupBy("u").agg(
+            F.collect_set("v").alias("vs"),
+            F.least(F.min("v"), F.col("u")).alias("m"),
+        )
 
+    def _edge_stats(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    stats = _edge_stats(e)
     converged = False
     for _ in range(max_iter):
         # large-star over the SYMMETRIZED edge set
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        nb = sym.groupBy("u").agg(F.collect_set("v").alias("vs"))
         large = (
-            nb.select(
-                "u",
-                _min_closed(nb),
+            _nb(sym)
+            .select(
+                "m",
                 F.explode(
                     F.filter("vs", lambda x: x > F.col("u"))
                 ).alias("w"),
@@ -621,11 +642,10 @@ def connected_components(
         directed = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
-        nb2 = directed.groupBy("u").agg(F.collect_set("v").alias("vs"))
         e_new = (
-            nb2.select(
-                "u",
-                _min_closed(nb2),
+            _nb(directed)
+            .select(
+                "m",
                 F.explode(F.array_union("vs", F.array("u"))).alias("w"),
             )
             .select(F.col("w").alias("u"), F.col("m").alias("v"))
@@ -633,12 +653,14 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
-        # exact fixpoint test: same count and no edge outside the old set
-        if e_new.count() == e.count() and e_new.exceptAll(e).isEmpty():
-            e = e_new
+        # fixpoint test: one agg job — count + order-independent xor
+        # fingerprint vs the PREVIOUS round's driver-cached stats
+        new_stats = _edge_stats(e_new)
+        e = e_new
+        if new_stats == stats:
             converged = True
             break
-        e = e_new
+        stats = new_stats
     if not converged:
         # silent non-convergence would hand back WRONG cluster ids
         raise RuntimeError(

@@ -2268,9 +2268,14 @@ class MultiIndexQueryEngine:
     Topology: scatter-gather. Each segment answers its own top-k with
     global stats (a doc lives in exactly one segment, so per-segment
     scores are exact and conjunctive semantics hold); the driver
-    merges <= n_segments*k rows. On a cluster the per-segment
-    searches are independent Spark jobs — submit them from threads to
-    overlap; this v1 runs them sequentially.
+    merges <= n_segments*k rows. The per-segment searches are
+    INDEPENDENT Spark jobs submitted from a thread pool (Spark
+    supports concurrent job submission from one driver), so serve
+    latency is max-of-segments, not sum-of-segments. Under the
+    default FIFO scheduler concurrent jobs still share the cluster
+    fairly when each job's stage count is small; set
+    ``spark.scheduler.mode=FAIR`` on a shared serving cluster so one
+    fat segment cannot head-of-line-block the others' stages.
 
     ``offsets``: per-segment doc-id translation applied to RESULT
     ids only (scores never depend on ids). Default "stack" relocates
@@ -2338,10 +2343,29 @@ class MultiIndexQueryEngine:
         if not terms:
             return self.spark.createDataFrame([], schema)
         self._set_global_df(terms)
+
+        def _one(pair):
+            e, off = pair
+            return [
+                (int(r["doc_id"]) + off, float(r["score"]))
+                for r in e.search(
+                    query, mode=mode, k=k, dtype=dtype
+                ).collect()
+            ]
+
         rows: list[tuple[int, float]] = []
-        for e, off in zip(self.engines, self.offsets):
-            for r in e.search(query, mode=mode, k=k, dtype=dtype).collect():
-                rows.append((int(r["doc_id"]) + off, float(r["score"])))
+        if len(self.engines) == 1:
+            rows = _one((self.engines[0], self.offsets[0]))
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(len(self.engines), 8)
+            ) as pool:
+                for part in pool.map(
+                    _one, zip(self.engines, self.offsets)
+                ):
+                    rows += part
         rows.sort(key=lambda x: (-x[1], x[0]))
         return self.spark.createDataFrame(rows[:k], schema)
 

@@ -313,6 +313,21 @@ def test_connected_components_vs_union_find(spark, edges):
     assert got == expect
 
 
+def test_connected_components_degree_skew_hub(spark):
+    """One node in 1e5 pairs — documents where the collect_set bound
+    actually sits: per-task memory scales with the hottest node's
+    CURRENT degree (1e5 longs here, <1 MB in a collect_set buffer),
+    and large-star contracts the hub's star toward the component min
+    in one round, so the skew never compounds across rounds."""
+    pairs = spark.range(1, 100_001).select(
+        F.lit(0).cast("long").alias("doc_a"),
+        F.col("id").cast("long").alias("doc_b"),
+    )
+    got = dedup.connected_components(pairs)
+    assert got.where(F.col("cluster_id") != 0).count() == 0
+    assert got.count() == 100_001
+
+
 def test_connected_components_nonconvergence_raises(spark):
     df = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="converge"):
