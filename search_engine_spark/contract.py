@@ -1325,6 +1325,110 @@ def sql_url_dedup() -> str:
     )
 
 
+def spark_multimodal_features(spark, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction through the REAL Arrow/mapInPandas
+    plumbing, HARD-ORACLED: per-doc media payloads are synthesized
+    (md5-derived bytes, the module's deterministic fake-pixel
+    convention), ``extract_features(decoder="fake")`` pools the md5
+    hex-keystream samples into FEATURE_DIM means, and the result is
+    exploded to (media_id, media_type, n_bytes, pos, fsum) with
+    ``fsum = round(feature * 1024)`` — exactly the integer 4-block
+    byte sum the DuckDB twin recomputes from md5 STRINGS alone (the
+    fake decoder is hex-string-keyed precisely so an engine without
+    blob md5 can reproduce it; see multimodal._fake_decode). The
+    x1024 lift is exact: features are s/1024 rounded to 6 decimals,
+    so |1024*f - s| <= 0.000512 and round() recovers s."""
+    from .multimodal import extract_features
+
+    _prepare(spark, sf_dir)
+    docs = spark.table("documents")
+    one = F.unhex(
+        F.md5(F.concat(F.lit("media-"), F.col("doc_id").cast("string")))
+    )
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(*([one] * 8)).alias("payload"),
+    )
+    feats = extract_features(media, decoder="fake")
+    ex = feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.posexplode("features").alias("pos", "fval"),
+    )
+    return ex.select(
+        "media_id",
+        "media_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("pos").cast("int").alias("pos"),
+        F.round(F.col("fval") * 1024).cast("long").alias("fsum"),
+    )
+
+
+def sql_multimodal_features() -> str:
+    nib = "strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1"
+    b_hi = nib.format(p="2*j.j + 1")
+    b_lo = nib.format(p="2*j.j + 2")
+    return (
+        "WITH k AS (SELECT CAST(doc_id AS BIGINT) AS media_id, "
+        "'image' AS media_type, "
+        "repeat(md5('media-' || CAST(doc_id AS VARCHAR)), 8) AS key "
+        "FROM documents), "
+        "h AS (SELECT media_id, media_type, "
+        "md5(key || ':' || CAST(b.b AS VARCHAR)) AS hx "
+        "FROM k, unnest(generate_series(0, 3)) b(b)), "
+        "bytes AS (SELECT media_id, media_type, CAST(j.j AS INT) AS pos, "
+        f"({b_hi}) * 16 + ({b_lo}) AS byte "
+        "FROM h, unnest(generate_series(0, 15)) j(j)) "
+        "SELECT media_id, media_type, CAST(128 AS BIGINT) AS n_bytes, "
+        "pos, CAST(sum(byte) AS BIGINT) AS fsum "
+        "FROM bytes GROUP BY media_id, media_type, pos"
+    )
+
+
+def spark_multimodal_frames(spark, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out through the REAL mapInPandas
+    plumbing, HARD-ORACLED on the relational surface: doc-derived
+    durations, one frame row per started second, (frame_idx,
+    frame_ts_ms, 64-byte fake frame). The frame BYTES are the fake
+    decoder's (pytest-covered); the oracle pins the fan-out shape a
+    1000-executor video pipeline depends on."""
+    from .multimodal import frame_sample
+
+    _prepare(spark, sf_dir)
+    docs = spark.table("documents")
+    one = F.unhex(
+        F.md5(F.concat(F.lit("media-"), F.col("doc_id").cast("string")))
+    )
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.concat(*([one] * 8)).alias("payload"),
+        (F.lit(1500) + F.lit(700) * (F.col("doc_id") % 5))
+        .cast("long")
+        .alias("duration_ms"),
+    )
+    out = frame_sample(media, every_ms=1000, decoder="fake")
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        F.length("frame").cast("long").alias("n_frame_bytes"),
+    )
+
+
+def sql_multimodal_frames() -> str:
+    return (
+        "WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, "
+        "1500 + 700 * (doc_id % 5) AS dur FROM documents) "
+        "SELECT media_id, CAST(u.j AS INT) AS frame_idx, "
+        "CAST(u.j * 1000 AS BIGINT) AS frame_ts_ms, "
+        "CAST(64 AS BIGINT) AS n_frame_bytes "
+        "FROM m, unnest(generate_series(0, "
+        "CAST(ceil(dur / 1000.0) AS BIGINT) - 1)) u(j)"
+    )
+
+
 def spark_index_e2e_topk(spark, sf_dir: str) -> DataFrame:
     """Full-engine path, HARD-ORACLED: build the real chunked index
     (tokenize -> doc-major inversion -> delta+Simple9 chunks -> lexicon)
@@ -1968,6 +2072,16 @@ def _registry() -> dict:
     # curation: PII redaction + URL-level dedup (synthesized inputs)
     q["pii_redact"] = {"spark": spark_pii_redact, "sql": sql_pii_redact()}
     q["url_dedup"] = {"spark": spark_url_dedup, "sql": sql_url_dedup()}
+    # multimodal plumbing: feature extraction + frame fan-out (fake
+    # decoder; md5 hex-keystream is recomputed by the SQL twin)
+    q["multimodal_features"] = {
+        "spark": spark_multimodal_features,
+        "sql": sql_multimodal_features(),
+    }
+    q["multimodal_frames"] = {
+        "spark": spark_multimodal_frames,
+        "sql": sql_multimodal_frames(),
+    }
     q["winnow_fingerprints"] = {
         "spark": spark_winnow,
         "sql": sql_winnow_duckdb(),

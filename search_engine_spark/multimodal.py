@@ -51,23 +51,23 @@ FEATURE_DIM = 16
 
 
 def _fake_decode(payload: bytes, out_len: int) -> np.ndarray:
-    """Deterministic stand-in decode: md5-keystream bytes -> float array
-    in [0, 1). Stable across engines/platforms."""
+    """Deterministic stand-in decode: an md5 HEX-STRING keystream ->
+    float array in [0, 1). Block ``b``'s 16 bytes are the hex-pair
+    values of ``md5("<payload.hex()>:<b>")``. Every intermediate value
+    is an ASCII string (never raw digest bytes), so the exact stream
+    is reproducible in any engine whose md5() takes strings — the
+    DuckDB contract oracle (``multimodal_features``) recomputes it in
+    SQL. Stable across engines/platforms."""
     if payload is None:
         payload = b""
-    out = np.empty(out_len, dtype=np.float64)
-    seed = hashlib.md5(payload).digest()
-    blocks = []
-    counter = 0
-    need = out_len
-    while need > 0:
-        b = hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
-        blocks.append(np.frombuffer(b, dtype=np.uint8))
-        need -= 16
-        counter += 1
-    stream = np.concatenate(blocks)[:out_len]
-    out[:] = stream / 256.0
-    return out
+    key = payload.hex()
+    vals: list[int] = []
+    b = 0
+    while len(vals) < out_len:
+        h = hashlib.md5(f"{key}:{b}".encode()).hexdigest()
+        vals.extend(int(h[j : j + 2], 16) for j in range(0, 32, 2))
+        b += 1
+    return np.array(vals[:out_len], dtype=np.float64) / 256.0
 
 
 def decode_media(payload: bytes, media_type: str, decoder: str = "stub") -> np.ndarray:
