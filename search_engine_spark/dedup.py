@@ -577,14 +577,17 @@ def connected_components(
     the earlier exact exceptAll probe cost two extra jobs per round
     for protection below any hardware error rate.
 
-    Skew note: each half-round materializes one ``collect_set`` per
-    node, so per-task memory scales with the hottest node's CURRENT
-    degree. Fed from this module's pair generators that degree is
-    bounded at the source — ``lsh_candidate_pairs``' bucket cap and
-    ``ngram_jaccard_pairs``' max_df cap bound any doc's pair fan-out —
-    and large-star itself contracts high-degree stars toward the
-    component min. Arbitrary uncapped edge lists with 10^8-degree
-    super-nodes would need a hot-node split this v1 does not implement.
+    Skew note: each half-round is expressed WITHOUT any per-node
+    neighborhood materialization — a tiny (node, closed-neighborhood
+    min) aggregate joined back against the edge stream. min() is a
+    constant-size aggregation buffer regardless of degree, and the
+    join is a shape AQE's skew-join can split across tasks, so a
+    10^8-degree super-node costs no more per task than any other key
+    (the earlier collect_set formulation pinned the hottest node's
+    whole neighborhood in one task's memory — and a post-agg
+    array-min projection Catalyst collapsed through the explode made
+    it O(degree^2) per round; both are gone). Arbitrary uncapped edge
+    lists are safe.
     """
     e = (
         pairs.select(
@@ -600,18 +603,13 @@ def connected_components(
             F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
         )
 
-    def _nb(edges):
-        # per-node neighborhood + min over the CLOSED neighborhood
-        # {u} ∪ N(u). m must be computed INSIDE the aggregate: a
-        # post-agg array_min(array_union(vs, ...)) projection gets
-        # collapsed by Catalyst through the explode Generate below and
-        # re-evaluates per exploded row — O(degree^2) on a hot node
-        # (measured: a 100k-degree hub turned one task into minutes).
-        # As a min over the group it is one scalar per node, and the
-        # per-row work after the Generate stays O(1).
+    def _mins(edges):
+        # (node, min over the CLOSED neighborhood {u} ∪ N(u)): a
+        # constant-buffer min aggregate — NOT collect_set, whose
+        # buffer (and task memory) grows with the hottest node's
+        # degree. One tiny row per node, joined back to the edges.
         return edges.groupBy("u").agg(
-            F.collect_set("v").alias("vs"),
-            F.least(F.min("v"), F.col("u")).alias("m"),
+            F.least(F.min("v"), F.col("u")).alias("m")
         )
 
     def _edge_stats(df):
@@ -624,31 +622,27 @@ def connected_components(
     stats = _edge_stats(e)
     converged = False
     for _ in range(max_iter):
-        # large-star over the SYMMETRIZED edge set
+        # large-star over the SYMMETRIZED edge set: hang every
+        # neighbor LARGER than u off m(u) — edges-join-mins, no
+        # neighborhood arrays anywhere
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         large = (
-            _nb(sym)
-            .select(
-                "m",
-                F.explode(
-                    F.filter("vs", lambda x: x > F.col("u"))
-                ).alias("w"),
-            )
-            .select(F.col("w").alias("u"), F.col("m").alias("v"))
+            sym.where(F.col("v") > F.col("u"))
+            .join(_mins(sym), "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        # small-star over edges oriented max -> min
+        # small-star over edges oriented max -> min: re-hang the
+        # smaller neighbors AND u itself onto m(u)
         directed = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
+        mins2 = _mins(directed)
         e_new = (
-            _nb(directed)
-            .select(
-                "m",
-                F.explode(F.array_union("vs", F.array("u"))).alias("w"),
-            )
-            .select(F.col("w").alias("u"), F.col("m").alias("v"))
+            directed.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()
