@@ -1960,9 +1960,11 @@ class QueryEngine:
            to the phrase terms' buckets + an ``IN(term)`` pushdown —
            partition pruning plus term-sorted row groups make this a
            point access, never a corpus scan;
-        2. one ``groupBy(doc_id)`` pivots each candidate doc's per-term
-           (positions, tf) — shuffled rows are bounded by the phrase
-           terms' total df, not the corpus;
+        2. a left-semi join against the RAREST term's doc set prunes
+           every other term's postings, then one ``groupBy(doc_id)``
+           pivots each candidate doc's per-term (positions, tf) —
+           shuffled rows are bounded by ``n_terms * df_min``, not the
+           terms' total df (see _positional_candidates);
         3. adjacency is a codegen'd ``exists(p_first, p ->
            array_contains(p_j, p + j) AND ...)``, duplicate phrase
            terms sharing one array;
