@@ -2108,7 +2108,12 @@ class QueryEngine:
                 rare = F.broadcast(rare)
             pos = pos.join(rare, "doc_id", "left_semi")
         idx = {t: i for i, t in enumerate(uniq)}
-        aggs = []
+        # doc_length is functionally dependent on doc_id, so carry it
+        # as first() instead of a grouping key: grouping on doc_id
+        # alone lets the fallback (non-broadcast) semi-join's
+        # hashpartitioning(doc_id) exchange be reused by the pivot —
+        # one shuffle total on that path, same as the broadcast path
+        aggs = [F.first("doc_length").alias("doc_length")]
         for i, t in enumerate(uniq):
             is_t = F.col("term") == t
             # exactly one (term, doc_id) row per group -> first non-null
@@ -2120,7 +2125,7 @@ class QueryEngine:
                 F.first(F.when(is_t, F.col("tf")), ignorenulls=True)
                 .alias(f"_tf{i}")
             )
-        per_doc = pos.groupBy("doc_id", "doc_length").agg(*aggs)
+        per_doc = pos.groupBy("doc_id").agg(*aggs)
         all_present = F.lit(True)
         for i in range(len(uniq)):
             all_present = all_present & F.col(f"_p{i}").isNotNull()
