@@ -292,6 +292,9 @@ def run_suite() -> dict:
             "dedup_clusters",
             "quality_score",
             "events_hourly",
+            "multimodal_features",
+            "pii_redact",
+            "url_dedup",
         ]:
             fn = contract.queries()[name]
             timings[name] = _min_of(lambda: fn(spark, SF_DIR).collect())

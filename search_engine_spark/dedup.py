@@ -645,7 +645,9 @@ def connected_components(
             .union(mins2.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            # lazy: the fixpoint agg below materializes the checkpoint
+            # in the SAME job — one action per round total
+            .localCheckpoint(eager=False)
         )
         # fixpoint test: one agg job — count + order-independent xor
         # fingerprint vs the PREVIOUS round's driver-cached stats
