@@ -2325,12 +2325,27 @@ class MultiIndexQueryEngine:
 
     def _set_global_df(self, terms: list[str]) -> dict[str, int]:
         """Sum per-term df across segment lexicons and install it as
-        every segment's df override (two tiny driver lookups per
-        segment; lexicon scans are bucket+term pruned)."""
-        df_map: dict[str, int] = {}
-        for e in self.engines:
+        every segment's df override. The per-segment lexicon lookups
+        are independent bucket+term-pruned point jobs — submitted from
+        the same thread pool as the searches, so stats collection is
+        max-of-segments too."""
+
+        def _lookup(e):
             e._df_override = {}
-            for t, entry in e.lexicon_lookup(terms).items():
+            return e.lexicon_lookup(terms)
+
+        if len(self.engines) == 1:
+            looks = [_lookup(self.engines[0])]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(len(self.engines), 8)
+            ) as pool:
+                looks = list(pool.map(_lookup, self.engines))
+        df_map: dict[str, int] = {}
+        for lk in looks:
+            for t, entry in lk.items():
                 df_map[t] = df_map.get(t, 0) + entry["df"]
         for e in self.engines:
             e._df_override = df_map
