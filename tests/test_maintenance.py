@@ -349,6 +349,29 @@ def test_phrase_search_respects_tombstones(spark, corpus, tmp_path_factory):
     assert base[0][0] not in {d for d, _ in pr}
 
 
+def test_phrase_rare_term_fully_tombstoned(spark, tmp_path_factory):
+    """When every doc carrying the phrase's RAREST term is tombstoned,
+    the rarest-term semi-join prunes to an empty candidate set — the
+    result must be empty, not an error, and the stop-wordy other term
+    must not resurrect candidates (the prune and the all-present
+    filter both respect _alive_df)."""
+    rows = [(i, f"u{i}", "the common words here") for i in range(20)]
+    rows.append((20, "u20", "the zebra fact"))
+    rows.append((21, "u21", "a zebra the end"))
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    index_dir = str(tmp_path_factory.mktemp("idx_rare_del"))
+    IndexBuilder(
+        spark, index_dir, n_salts=2, bucket_count=8, store_positions=True
+    ).build(docs, resume=False)
+    qe0 = QueryEngine(spark, index_dir)
+    assert {r["doc_id"] for r in qe0.phrase_search("the zebra").collect()} \
+        == {20}
+    maintenance.delete_docs(spark, index_dir, [20, 21])
+    qe = QueryEngine(spark, index_dir)
+    assert qe.phrase_search("the zebra").collect() == []
+    assert qe.proximity_search("the zebra", window=4).collect() == []
+
+
 def test_upsert_matches_fresh_build_over_updated_corpus(
     spark, corpus, base_index, tmp_path_factory
 ):
