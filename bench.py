@@ -262,14 +262,35 @@ def run_suite() -> dict:
                 best = min(best, time.time() - t0)
             timings["upsert"] = best
 
-            deltas = []
-            for i, mod in enumerate((31, 37)):
-                d = os.path.join(work, f"lsmdelta{i}")
-                IndexBuilder(
-                    spark, d, bucket_count=16, materialize_postings=False
-                ).build(docs.where(F.col("doc_id") % mod == 1))
-                deltas.append(d)
-            mqe = MultiIndexQueryEngine(spark, [index_dir] + deltas)
+            # serve base + 2 upsert deltas WITHOUT merging — the LSM
+            # freshness case. Segments are disjoint (one segment per
+            # alive doc, the engine's precondition): wave 1 is the
+            # timed upsert above (upbase0 tombstoned for doc_id%17==5,
+            # its delta at updelta0); wave 2 tombstones a DISJOINT
+            # slice (%17==6) by url and builds its delta, untimed.
+            base_seg = os.path.join(work, "upbase0")
+            from search_engine_spark.maintenance import read_stage_parquet
+
+            upd2 = docs.where(F.col("doc_id") % 17 == 6).withColumn(
+                "text", F.concat("text", F.lit(" v3"))
+            )
+            dt = read_stage_parquet(
+                spark, os.path.join(base_seg, "doc_table"), "doc_table"
+            )
+            maintenance.delete_docs(
+                spark,
+                base_seg,
+                dt.join(upd2.select("url").distinct(), "url").select(
+                    "doc_id"
+                ),
+            )
+            d2 = os.path.join(work, "lsmdelta2")
+            IndexBuilder(
+                spark, d2, bucket_count=16, materialize_postings=False
+            ).build(upd2)
+            mqe = MultiIndexQueryEngine(
+                spark, [base_seg, os.path.join(work, "updelta0"), d2]
+            )
             mqe.search(DISJ_QUERIES[0], "disjunctive").collect()  # warm
 
             def lsm_3q():

@@ -2100,10 +2100,11 @@ class QueryEngine:
                 rare = rare.where(
                     F.col("bucket").isin(self._buckets([t_min]))
                 )
-            rare = rare.where(F.col("term") == t_min)
-            if self.has_deletes:
-                rare = self._alive_df(rare)
-            rare = rare.select("doc_id")
+            # no _alive_df here: `pos` is already tombstone-filtered,
+            # so a deleted id in `rare` cannot resurrect a candidate —
+            # filtering the rare side would only pay an extra anti-join
+            # to shrink the broadcast by the deleted fraction
+            rare = rare.where(F.col("term") == t_min).select("doc_id")
             if lex[t_min]["df"] <= KEYS_BROADCAST_CAP:
                 rare = F.broadcast(rare)
             pos = pos.join(rare, "doc_id", "left_semi")
@@ -2323,6 +2324,17 @@ class MultiIndexQueryEngine:
             for d in self.index_dirs
         ]
 
+    def _pmap(self, fn, items: list) -> list:
+        """Run ``fn`` over ``items`` on the scatter-gather thread pool
+        (concurrent Spark job submission; latency = max-of-items).
+        Single-item lists bypass the pool."""
+        if len(items) == 1:
+            return [fn(items[0])]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(items), 8)) as pool:
+            return list(pool.map(fn, items))
+
     def _set_global_df(self, terms: list[str]) -> dict[str, int]:
         """Sum per-term df across segment lexicons and install it as
         every segment's df override. The per-segment lexicon lookups
@@ -2334,15 +2346,7 @@ class MultiIndexQueryEngine:
             e._df_override = {}
             return e.lexicon_lookup(terms)
 
-        if len(self.engines) == 1:
-            looks = [_lookup(self.engines[0])]
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(
-                max_workers=min(len(self.engines), 8)
-            ) as pool:
-                looks = list(pool.map(_lookup, self.engines))
+        looks = self._pmap(_lookup, self.engines)
         df_map: dict[str, int] = {}
         for lk in looks:
             for t, entry in lk.items():
@@ -2376,18 +2380,8 @@ class MultiIndexQueryEngine:
             ]
 
         rows: list[tuple[int, float]] = []
-        if len(self.engines) == 1:
-            rows = _one((self.engines[0], self.offsets[0]))
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(
-                max_workers=min(len(self.engines), 8)
-            ) as pool:
-                for part in pool.map(
-                    _one, zip(self.engines, self.offsets)
-                ):
-                    rows += part
+        for part in self._pmap(_one, list(zip(self.engines, self.offsets))):
+            rows += part
         rows.sort(key=lambda x: (-x[1], x[0]))
         return self.spark.createDataFrame(rows[:k], schema)
 
