@@ -25,13 +25,25 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# spark-submit runs this file as a BARE SCRIPT (no package context), so
+# imports of our own package must be absolute; the --py-files zip puts
+# `search_engine_spark` on sys.path. When the script is launched from a
+# source checkout WITHOUT --py-files (local smoke runs), fall back to
+# the checkout root.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+try:  # pragma: no cover - trivial import guard
+    import search_engine_spark  # noqa: F401
+except ImportError:  # running as a script from a checkout
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def _spark():
     # under spark-submit the session carries the submitted conf; local
     # runs get the tuned defaults
-    from .runtime import get_spark
+    from search_engine_spark.runtime import get_spark
 
     return get_spark(app_name="search_engine_spark-cli")
 
@@ -58,8 +70,8 @@ def cmd_zip(args) -> int:
 
 
 def cmd_build(args) -> int:
-    from .build import IndexBuilder
-    from .corpus import load_documents
+    from search_engine_spark.build import IndexBuilder
+    from search_engine_spark.corpus import load_documents
 
     spark = _spark()
     if args.docs.endswith(".parquet"):
@@ -81,7 +93,7 @@ def cmd_build(args) -> int:
 
 
 def cmd_query(args) -> int:
-    from .query import QueryEngine
+    from search_engine_spark.query import QueryEngine
 
     spark = _spark()
     qe = QueryEngine(spark, args.index_dir)

@@ -1,0 +1,103 @@
+"""The north rule's shipping path, executed for real: package the
+library with `python -m search_engine_spark zip`, then drive a cluster
+build + query through vanilla `spark-submit --py-files` in FRESH JVMs
+(no pytest session reuse, cwd outside the checkout) and check
+rank-identity against the in-process engine over the same index.
+
+This is the path that regressed silently before round 5: __main__.py
+ran as a bare script under spark-submit, where relative imports have
+no parent package.
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+SF_DIR = os.environ.get("SE_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_py_files_build_and_query(spark, tmp_path):
+    zip_path = str(tmp_path / "se.zip")
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_spark", "zip", "--out", zip_path],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(zip_path)
+
+    idx = str(tmp_path / "idx")
+    script = os.path.join(REPO, "search_engine_spark", "__main__.py")
+    env = dict(os.environ)
+    # the zip alone must make the package importable in the submitted
+    # driver and its executors — no checkout on the path
+    env.pop("PYTHONPATH", None)
+    base = [
+        SPARK_SUBMIT,
+        "--master",
+        "local[2]",
+        "--conf",
+        "spark.ui.enabled=false",
+        "--py-files",
+        zip_path,
+        script,
+    ]
+    r = subprocess.run(
+        base
+        + ["build", "--docs", SF_DIR, "--index-dir", idx, "--no-resume"],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert '"lexicon"' in r.stdout, r.stdout[-500:]
+
+    r = subprocess.run(
+        base
+        + [
+            "query",
+            "--index-dir",
+            idx,
+            "--query",
+            "table scan",
+            "--mode",
+            "conjunctive",
+            "-k",
+            "5",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    got = []
+    for line in r.stdout.strip().splitlines():
+        if "\t" in line:
+            d, s = line.split("\t")
+            got.append((int(d), round(float(s), 5)))
+    assert len(got) == 5
+
+    # rank-identity: the submitted JVM's answers == the in-process
+    # engine's over the index the subprocess built
+    from search_engine_spark.query import QueryEngine
+
+    qe = QueryEngine(spark, idx)
+    want = [
+        (int(r["doc_id"]), round(float(r["score"]), 5))
+        for r in qe.search("table scan", mode="conjunctive", k=5).collect()
+    ]
+    assert got == want
