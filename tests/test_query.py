@@ -206,6 +206,69 @@ def test_phrase_duplicate_term(phrase_engine):
     assert set(ids(qe.phrase_search("echo foxtrot echo"))) == set()
 
 
+def test_positional_ops_match_python_oracle(spark, tmp_path_factory):
+    """Randomized (seeded) corpus, 25 generated phrase/NEAR queries,
+    each checked set-exact against a brute-force pure-Python oracle —
+    guards the adjacency/window HOF expressions and the rarest-term
+    prune across duplicate terms, absent terms, and window edges."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> heavy overlap
+    rows = []
+    for d in range(120):
+        n = rng.randint(0, 14)
+        rows.append(
+            (d, f"u{d}", " ".join(rng.choice(vocab) for _ in range(n)))
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    d = str(tmp_path_factory.mktemp("idx_prop"))
+    IndexBuilder(
+        spark, d, n_salts=2, bucket_count=4, store_positions=True
+    ).build(docs, resume=False)
+    qe = QueryEngine(spark, d)
+    texts = {r[0]: r[2].split() for r in rows}
+
+    def phrase_docs(seq):
+        out = set()
+        for did, toks in texts.items():
+            for s in range(len(toks) - len(seq) + 1):
+                if toks[s : s + len(seq)] == seq:
+                    out.add(did)
+                    break
+        return out
+
+    def prox_docs(terms, w):
+        uniq = sorted(set(terms))
+        out = set()
+        for did, toks in texts.items():
+            pos = {
+                t: [i for i, x in enumerate(toks) if x == t] for t in uniq
+            }
+            if any(not v for v in pos.values()):
+                continue
+            anchors = sorted({p for v in pos.values() for p in v})
+            for s in anchors:
+                if all(
+                    any(s <= q < s + w for q in pos[t]) for t in uniq
+                ):
+                    out.add(did)
+                    break
+        return out
+
+    for _ in range(25):
+        seq = [rng.choice(vocab) for _ in range(rng.randint(2, 3))]
+        q = " ".join(seq)
+        got = {r["doc_id"] for r in qe.phrase_search(q, k=1000).collect()}
+        assert got == phrase_docs(seq), (q, got, phrase_docs(seq))
+        w = rng.randint(1, 6)
+        gotp = {
+            r["doc_id"]
+            for r in qe.proximity_search(q, window=w, k=1000).collect()
+        }
+        assert gotp == prox_docs(seq, w), (q, w, gotp, prox_docs(seq, w))
+
+
 def test_phrase_rare_prune_shuffle_fallback(phrase_engine, monkeypatch):
     """Above KEYS_BROADCAST_CAP the rarest-term semi-join falls back
     to a shuffle semi-join — results must be identical either way."""
