@@ -116,6 +116,34 @@ def test_tombstones_filter_every_query_path(spark, corpus, deleted_index):
     assert not (got_ids & victims)
 
 
+def test_distributed_tombstone_fallback_query_paths(
+    spark, corpus, deleted_index, monkeypatch
+):
+    """Above DELETED_DRIVER_CAP the tombstone set stays a DataFrame
+    (anti-join masking). Force cap=0 and check the Spark query paths
+    still mask identically, while the driver-local path refuses
+    loudly (its documented NotImplementedError)."""
+    _docs_df, rows = corpus
+    index_dir, victims = deleted_index
+    orig = maintenance.load_deleted_array
+    monkeypatch.setattr(
+        maintenance,
+        "load_deleted_array",
+        lambda spark, d, cap=0: orig(spark, d, cap=0),
+    )
+    qe = QueryEngine(spark, index_dir)
+    assert qe._deleted is None and qe._deleted_df is not None
+
+    oracle = OracleIndex(rows)
+    for mode, q in (("disjunctive", QUERY), ("conjunctive", CONJ_QUERY)):
+        got = _topk(qe.search(q, mode=mode, k=10))
+        assert not ({d for d, _ in got} & victims)
+        want = _oracle_alive(oracle, q, victims, mode=mode)
+        assert [d for d, _ in got] == [d for d, _ in want]
+    with pytest.raises(NotImplementedError, match="driver cap"):
+        qe.search_local(QUERY)
+
+
 def test_meta_theta_fast_path_disabled_under_tombstones(
     spark, deleted_index
 ):
