@@ -545,17 +545,31 @@ def decontaminate(
     )
 
 
+CC_DRIVER_CAP = 2_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    driver_cap: int = CC_DRIVER_CAP,
 ) -> DataFrame:
     """Connected components over a candidate-pair edge list — the
     clustering step that turns near-dup PAIRS (lsh_candidate_pairs /
     ngram_jaccard_pairs / embedding_neardup_pairs) into dedup GROUPS.
     Returns (doc_id, cluster_id) for every doc appearing in ``pairs``,
     cluster_id = the component's minimum doc_id (deterministic).
+
+    Two paths, identical output, picked by the DISTINCT edge count
+    (the same cap pattern as METADATA_CAP / DELETED_DRIVER_CAP):
+    at or below ``driver_cap`` edges the set collects to the driver
+    and a union-find labels it in-process — one Spark job instead of
+    ~5 shuffles x O(log^2 n) rounds, which is what dominates when the
+    near-dup pair list is sparse (the expected regime: dedup
+    candidates are a sliver of the corpus). Above the cap, the
+    distributed star rounds below take over; ``driver_cap=0`` forces
+    them (tests do this).
 
     Algorithm: alternating large-star / small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond" — public paper, no
@@ -598,9 +612,35 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    if e.isEmpty():
+    n_edges = e.count()
+    if n_edges == 0:
         return e.select(
             F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+        )
+    if n_edges <= driver_cap:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes: set[int] = set()
+        for row in e.collect():
+            a, b = int(row["u"]), int(row["v"])
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by id: larger root hangs under smaller, so the
+                # final root IS the component minimum
+                parent[max(ra, rb)] = min(ra, rb)
+        return pairs.sparkSession.createDataFrame(
+            sorted((x, find(x)) for x in nodes),
+            "doc_id long, cluster_id long",
         )
 
     def _mins(edges):

@@ -301,14 +301,19 @@ def _uf_components(edges, nodes):
         [(3, 9), (9, 3), (7, 7), (1, 5), (5, 2), (8, 6)],  # dups/self
     ],
 )
-def test_connected_components_vs_union_find(spark, edges):
+@pytest.mark.parametrize("driver_cap", [0, dedup.CC_DRIVER_CAP])
+def test_connected_components_vs_union_find(spark, edges, driver_cap):
+    # driver_cap=0 forces the distributed star rounds; the default
+    # takes the driver union-find fast path — identical output required
     edges = [(a, b) for a, b in edges if a != b]
     nodes = sorted({x for e in edges for x in e})
     expect = _uf_components(edges, nodes)
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in dedup.connected_components(df).collect()
+        for r in dedup.connected_components(
+            df, driver_cap=driver_cap
+        ).collect()
     }
     assert got == expect
 
@@ -323,7 +328,7 @@ def test_connected_components_degree_skew_hub(spark):
         F.lit(0).cast("long").alias("doc_a"),
         F.col("id").cast("long").alias("doc_b"),
     )
-    got = dedup.connected_components(pairs)
+    got = dedup.connected_components(pairs, driver_cap=0)
     assert got.where(F.col("cluster_id") != 0).count() == 0
     assert got.count() == 100_001
 
@@ -331,7 +336,7 @@ def test_connected_components_degree_skew_hub(spark):
 def test_connected_components_nonconvergence_raises(spark):
     df = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="converge"):
-        dedup.connected_components(df, max_iter=1)
+        dedup.connected_components(df, max_iter=1, driver_cap=0)
 
 
 def test_dedup_clusters_singletons_and_survivors(spark):
