@@ -792,7 +792,10 @@ def spark_dedup_clusters(spark, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     pairs = lsh_candidate_pairs(docs, n_hashes=N_MINHASH, band_rows=4)
-    return dedup_clusters(docs, pairs)
+    # driver_cap=0 forces the DISTRIBUTED star rounds so the hash gate
+    # certifies the at-scale algorithm, not the driver fast path (the
+    # property tests cover both paths' equality)
+    return dedup_clusters(docs, pairs, driver_cap=0)
 
 
 def sql_dedup_clusters(engine: str) -> str:

@@ -713,7 +713,11 @@ def connected_components(
 
 
 def dedup_clusters(
-    docs: DataFrame, pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+    docs: DataFrame,
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    driver_cap: int = CC_DRIVER_CAP,
 ) -> DataFrame:
     """(doc_id, cluster_id, is_survivor) for EVERY doc: component min
     doc_id as cluster id (docs in no pair are their own singleton
@@ -721,7 +725,7 @@ def dedup_clusters(
     policy a dedup pipeline applies after candidate generation. One
     broadcast-size join against the component map when pairs are rare
     (the expected regime), a plain shuffle join otherwise."""
-    cc = connected_components(pairs, src, dst)
+    cc = connected_components(pairs, src, dst, driver_cap=driver_cap)
     out = docs.select("doc_id").join(cc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
