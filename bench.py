@@ -310,6 +310,7 @@ def run_suite() -> dict:
             "ann_cosine_topk",
             "dedup_exact",
             "decontaminate",
+            "span_dedup",
             "dedup_clusters",
             "quality_score",
             "events_hourly",

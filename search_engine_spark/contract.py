@@ -772,6 +772,47 @@ def spark_decontaminate(spark, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, bench, shingle_n=3, min_overlap=2)
 
 
+SPAN_N = 5
+SPAN_MIN_DUP = 2
+
+
+def spark_span_dedup(spark, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal (Lee-et-al-style substring dedup
+    at token granularity): 5-grams occurring in >= 2 distinct docs are
+    masked and the surviving text reconstructed — 71 of sf0.01's 500
+    docs lose at least one span, so the result is non-trivial."""
+    from .dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), n=SPAN_N, min_dup=SPAN_MIN_DUP)
+
+
+def sql_span_dedup(engine: str) -> str:
+    n, min_dup = SPAN_N, SPAN_MIN_DUP
+    grams = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n))
+    return (
+        f"WITH {_toks_cte(engine)}, "
+        f"g AS (SELECT doc_id, i - 1 AS pos, {grams} AS gram "
+        f"FROM toks, unnest(range(1, len(ts)-{n - 2})) AS r(i) "
+        f"WHERE len(ts) >= {n}), "
+        "dup AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g) "
+        f"GROUP BY gram HAVING count(*) >= {min_dup}), "
+        "cov AS (SELECT DISTINCT g.doc_id, g.pos + k.k AS tpos "
+        f"FROM g JOIN dup USING (gram), unnest(range(0, {n})) AS k(k)), "
+        "tokpos AS (SELECT doc_id, ts[i] AS tok, i - 1 AS tpos FROM toks, "
+        "unnest(range(1, len(ts) + 1)) AS r(i)), "
+        "kept AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.tpos) "
+        "AS ct FROM tokpos t ANTI JOIN cov c "
+        "ON t.doc_id = c.doc_id AND t.tpos = c.tpos GROUP BY t.doc_id), "
+        "nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nr "
+        "FROM cov GROUP BY doc_id) "
+        "SELECT toks.doc_id, coalesce(kept.ct, '') AS clean_text, "
+        "CAST(len(ts) AS BIGINT) AS n_tokens, "
+        "CAST(coalesce(nrem.nr, 0) AS BIGINT) AS n_removed "
+        "FROM toks LEFT JOIN kept USING (doc_id) "
+        "LEFT JOIN nrem USING (doc_id)"
+    )
+
+
 def sql_decontaminate(engine: str) -> str:
     return (
         f"WITH {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "
@@ -1985,6 +2026,7 @@ def _registry() -> dict:
         "lsh_bucket_stats": (spark_lsh_bucket_stats, sql_lsh_bucket_stats),
         "ngram_jaccard_pairs": (spark_ngram_jaccard, sql_ngram_jaccard),
         "decontaminate": (spark_decontaminate, sql_decontaminate),
+        "span_dedup": (spark_span_dedup, sql_span_dedup),
         "dedup_clusters": (spark_dedup_clusters, sql_dedup_clusters),
         "simhash": (spark_simhash, sql_simhash),
         "langid": (spark_langid, sql_langid),

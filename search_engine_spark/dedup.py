@@ -545,6 +545,92 @@ def decontaminate(
     )
 
 
+def span_dedup(
+    docs: DataFrame,
+    n: int = 5,
+    min_dup: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN removal at token granularity — the
+    substring-level dedup pass (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better") that doc-level
+    exact/fuzzy dedup cannot express: boilerplate repeated INSIDE
+    otherwise-unique pages (headers, license blocks, navboxes) is
+    masked out while the unique remainder of each doc survives. No
+    reference counterpart (LLM-pipeline extension).
+
+    A token ``n``-gram is duplicated iff it occurs in >= ``min_dup``
+    DISTINCT docs (within-doc repeats alone don't trigger removal). A
+    token is removed iff it is covered by at least one duplicated
+    n-gram occurrence. Returns one row per input doc:
+    (doc_id, clean_text, n_tokens, n_removed) where ``clean_text`` is
+    the surviving tokens joined by ' ' ('' when the whole doc is
+    boilerplate) — deterministic, no sampling, so it hash-matches the
+    DuckDB oracle exactly.
+
+    Plan shape at 10^12 docs: the positional gram stream is the same
+    whole-stage-codegen projection as :func:`shingle_stream` (explode
+    the position sequence, ``element_at``+``concat_ws``); it feeds
+    (1) the duplicate-gram census — map-side-combinable
+    distinct(gram, doc) then a count per gram, ONE shuffle keyed on
+    the gram — and (2) a semi-join back against the duplicated set.
+    Covered positions aggregate per doc (second shuffle, doc-keyed)
+    and the reconstruction is a per-row index-filter over the cached
+    token array — no window functions, nothing driver-side. Grams are
+    keyed by their raw string so the result is collision-free and
+    oracle-exact; at 100 TB swap the key for ``xxhash64(gram)``
+    (8-byte shuffle rows, 2^-64 per-pair collision odds — the
+    standard production trade, same as Lee et al.'s hashed suffix
+    work). The per-token ``array_contains`` filter is O(covered) per
+    token — quadratic only in the per-DOC cover size, which is
+    bounded by doc length, not corpus size.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens_df(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    gram = F.concat_ws(
+        " ", *[F.element_at("ts", F.col("i") + (j + 1)) for j in range(n)]
+    )
+    g = (
+        toks.where(F.size("ts") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("ts") - n)).alias("i"),
+            "ts",
+        )
+        .select("doc_id", "i", gram.alias("gram"))
+    )
+    dup = (
+        g.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= int(min_dup))
+        .select("gram")
+    )
+    cov = (
+        g.join(dup, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("_cov"))
+    )
+    covered = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        "ts", lambda t, i: ~F.array_contains(covered, i.cast("int"))
+    )
+    return (
+        toks.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size("ts").cast("long").alias("n_tokens"),
+            F.size(covered).cast("long").alias("n_removed"),
+        )
+    )
+
+
 CC_DRIVER_CAP = 2_000_000
 
 

@@ -251,6 +251,39 @@ def test_decontaminate_exact_counts(spark):
     ] == [(1, 3)]
 
 
+def test_span_dedup_masks_cross_doc_spans_only(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # shares "c d e" with doc 2
+            (2, "x y c d e z"),
+            (3, "p q"),                # shorter than n: untouched
+            (4, "m n o m n o"),        # byte-identical pair: fully masked
+            (5, "m n o m n o"),
+            (6, "r s t u r s t u"),    # WITHIN-doc repeat only: untouched
+            (7, ""),                   # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in dedup.span_dedup(docs, n=3, min_dup=2).collect()
+    }
+    assert got == {
+        1: ("a b f", 6, 3),
+        2: ("x y z", 6, 3),
+        3: ("p q", 2, 0),
+        4: ("", 6, 6),
+        5: ("", 6, 6),
+        6: ("r s t u r s t u", 8, 0),
+        7: ("", 0, 0),
+    }
+    # raising min_dup above the duplicate count leaves everything intact
+    untouched = dedup.span_dedup(docs, n=3, min_dup=3)
+    assert untouched.where(F.col("n_removed") > 0).count() == 0
+    with pytest.raises(ValueError):
+        dedup.span_dedup(docs, n=0)
+
+
 def test_decontaminate_shuffle_join_same_result(spark):
     corpus = spark.createDataFrame(
         [(1, "a b c d e f g h"), (2, "x y z w v u t s")],
