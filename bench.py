@@ -313,6 +313,8 @@ def run_suite() -> dict:
             "span_dedup",
             "dedup_clusters",
             "quality_score",
+            "lm_score",
+            "semantic_dedup",
             "events_hourly",
             "multimodal_features",
             "pii_redact",

@@ -243,3 +243,72 @@ def ivf_topk(
     return pairs.withColumn("rank", F.row_number().over(w).cast("int")).where(
         F.col("rank") <= k
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_cells: int = 16,
+    tau: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space near-duplicate
+    removal scoped to k-means cells — cluster the corpus, then compare
+    vectors pairwise ONLY within their cell and drop all but one
+    representative of every cos >= ``tau`` group. The cell scoping is
+    what makes semantic dedup tractable: the quadratic pair cost is
+    per-CELL (paper: 50k clusters over LAION), not per-corpus. No
+    reference counterpart (LLM-pipeline extension).
+
+    Deterministic keep rule: a vector is a duplicate iff a SMALLER-id
+    vector in its cell is cos >= ``tau`` similar (same min-id
+    canonical convention as :func:`dedup.exact_duplicates`; the
+    paper's farthest-from-centroid rule is a one-line swap of the
+    ``min`` key and trades reproducibility for marginal quality).
+    Pairwise cosines are rounded to 4 dp before the threshold so the
+    predicate is reproducible across engines.
+
+    Returns one row per vector: (vec_id, cell, dup_of, is_dup) where
+    ``dup_of`` is the smallest qualifying smaller id (null when kept).
+    Plan shape at 10^9 vectors: centroids broadcast for assignment
+    (max_by hash-agg, no window), the self-join shuffles both sides
+    once on ``cell``, and per-task memory is bounded by cell size —
+    size ``n_cells`` ~ N/10k so cells stay cache-sized, and AQE
+    skew-splits any hot cell. ``codebook=None`` uses the
+    deterministic first-ids codebook (engine-reproducible, used by
+    the contract oracle); pass :func:`kmeans_codebook` output for
+    production recall."""
+    if codebook is None:
+        codebook = default_codebook(emb, n_cells, id_col, vec_col)
+    slim = emb.select(id_col, vec_col)
+    # the assignment feeds both self-join sides AND the final left
+    # join — persist so the broadcast-assign runs once, not three times
+    from pyspark import StorageLevel
+
+    a = assign_cells(slim, codebook, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cos = _dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")) / (
+        _norm(F.col(f"x.{vec_col}")) * _norm(F.col(f"y.{vec_col}"))
+    )
+    dup = (
+        a.alias("x")
+        .join(
+            a.alias("y"),
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}")),
+        )
+        .where(F.round(cos, 4) >= tau)
+        .groupBy(F.col(f"x.{id_col}").alias(id_col))
+        .agg(F.min(F.col(f"y.{id_col}")).alias("dup_of"))
+    )
+    return (
+        a.join(dup, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )

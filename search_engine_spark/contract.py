@@ -886,6 +886,26 @@ def spark_quality(spark, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir), stopwords=STOPWORDS)
 
 
+def spark_lm_score(spark, sf_dir: str) -> DataFrame:
+    from .textstats import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
+def sql_lm_score(engine: str) -> str:
+    return (
+        f"WITH {_toks_cte(engine)}, {_tok_cte(engine)}, "
+        "tf AS (SELECT doc_id, term, count(*) AS tf "
+        "FROM tok GROUP BY doc_id, term), "
+        "ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term), "
+        "tot AS (SELECT sum(ctf) AS total FROM ctf) "
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
+        "round(sum(tf * -ln(CAST(ctf AS DOUBLE) / total)) / sum(tf), 4) "
+        "AS lm_score "
+        "FROM tf JOIN ctf USING (term), tot GROUP BY doc_id"
+    )
+
+
 def spark_token_count_bpe(spark, sf_dir: str) -> DataFrame:
     from .textstats import token_counts
 
@@ -1034,6 +1054,54 @@ def spark_ann_ivf(spark, sf_dir: str) -> DataFrame:
         k=ANN_K,
         n_cells=16,
         nprobe=4,
+    )
+
+
+SEMANTIC_TAU = 0.4  # synthetic embeddings max out near cos 0.51
+
+
+def spark_semantic_dedup(spark, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: 16 deterministic cells,
+    within-cell cos >= 0.4 collapses to the smallest id — 11 of
+    sf0.01's 500 vectors are flagged."""
+    from .ann import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), n_cells=16, tau=SEMANTIC_TAU)
+
+
+def sql_semantic_dedup(engine: str) -> str:
+    n_cells, tau = 16, SEMANTIC_TAU
+    dot = (
+        "list_sum(list_transform(range(1, len({x}) + 1), "
+        "i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform({x}, "
+        "p -> CAST(p AS DOUBLE) * CAST(p AS DOUBLE))))"
+    )
+
+    def cos(x, y):
+        return (
+            f"{dot.format(x=x, y=y)} / ({nrm.format(x=x)} * {nrm.format(x=y)})"
+        )
+
+    return (
+        f"WITH cb AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS cv "
+        f"FROM embeddings WHERE vec_id < {n_cells}), "
+        "sc AS (SELECT e.vec_id, c.cell, "
+        f"{cos('e.embedding', 'c.cv')} AS c0 FROM embeddings e, cb c), "
+        "a AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() "
+        "OVER (PARTITION BY vec_id ORDER BY c0 DESC, cell ASC) AS rn "
+        "FROM sc) WHERE rn = 1), "
+        "dup AS (SELECT x.vec_id, min(y.vec_id) AS dup_of "
+        "FROM a x JOIN a y ON x.cell = y.cell AND y.vec_id < x.vec_id "
+        "JOIN embeddings ex ON ex.vec_id = x.vec_id "
+        "JOIN embeddings ey ON ey.vec_id = y.vec_id "
+        f"WHERE round({cos('ex.embedding', 'ey.embedding')}, 4) >= {tau} "
+        "GROUP BY x.vec_id) "
+        "SELECT a.vec_id, a.cell, dup.dup_of, "
+        "dup.dup_of IS NOT NULL AS is_dup "
+        "FROM a LEFT JOIN dup ON a.vec_id = dup.vec_id"
     )
 
 
@@ -2031,6 +2099,7 @@ def _registry() -> dict:
         "simhash": (spark_simhash, sql_simhash),
         "langid": (spark_langid, sql_langid),
         "quality_score": (spark_quality, sql_quality),
+        "lm_score": (spark_lm_score, sql_lm_score),
         "token_count_bpe": (spark_token_count_bpe, sql_token_count_bpe),
         "rolling_min_hash": (spark_rolling_min_hash, sql_rolling_min_hash),
         "repetition_ratio": (spark_repetition_ratio, sql_repetition_ratio),
@@ -2038,6 +2107,7 @@ def _registry() -> dict:
         "stratified_sample": (spark_stratified_sample, sql_stratified_sample),
         "ann_cosine_topk": (spark_ann_bruteforce, sql_ann_cosine),
         "ann_ivf_topk": (spark_ann_ivf, sql_ann_ivf),
+        "semantic_dedup": (spark_semantic_dedup, sql_semantic_dedup),
         "embedding_neardup_exact": (
             spark_embedding_neardup_exact,
             sql_embedding_neardup,

@@ -65,6 +65,52 @@ def quality_score(docs: DataFrame, stopwords=STOPWORDS) -> DataFrame:
     )
 
 
+def lm_score(docs: DataFrame) -> DataFrame:
+    """Unigram-LM cross-entropy per doc — the distributed analog of
+    CCNet's KenLM-perplexity quality bucket (Wenzek et al. 2020): fit
+    p(t) = corpus_tf(t) / total_tokens on the corpus itself, then
+    score each doc by the mean surprisal of its token occurrences,
+    ``lm_score = sum_t tf_d(t) * -ln p(t) / len(d)``. Low = built
+    from common corpus vocabulary (head-like text), high = rare-token
+    docs (gibberish, boilerplate codes, wrong-language) — the standard
+    tails-both-ways filter signal. No reference counterpart
+    (LLM-pipeline extension).
+
+    Returns (doc_id, n_tokens, lm_score) for docs with >= 1 token
+    (same convention as :func:`quality_score`; p > 0 always because
+    the LM is fit on the corpus being scored). Plan at 10^12 docs:
+    per-(doc, term) tf (one shuffle, map-side combinable) is persisted
+    and feeds both the corpus-tf aggregation (term-keyed shuffle) and
+    the scoring join; the scalar total joins back as a broadcast, so
+    nothing is collected driver-side and the vocabulary table is never
+    broadcast (web vocabularies exceed broadcast limits — the term
+    join is a shuffle join AQE can skew-split on stop-word terms)."""
+    from pyspark import StorageLevel
+
+    tok = docs.select(
+        "doc_id", F.explode(tokenize_col(F.col("text"))).alias("term")
+    )
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("_tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ctf = tf.groupBy("term").agg(F.sum("_tf").alias("_ctf"))
+    total = ctf.agg(F.sum("_ctf").alias("_total"))
+    surprisal = -F.log(F.col("_ctf").cast("double") / F.col("_total"))
+    return (
+        tf.join(ctf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("_tf") * surprisal) / F.sum("_tf"), 4
+            ).alias("lm_score"),
+        )
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace tokens + BPE-ish subword-class tokens per doc."""
     ws = F.size(F.split(F.trim("text"), "\\s+"))

@@ -213,6 +213,39 @@ def test_ann_kmeans_codebook_recall_and_shape(emb, spark):
     assert {(r["query_id"], r["neighbor_id"]) for r in allp} == ex
 
 
+def test_semantic_dedup_min_id_keep_rule(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # codebook cell 0
+            (1, [0.0, 1.0]),   # codebook cell 1
+            (2, [2.0, 0.0]),   # parallel to 0 -> dup_of 0
+            (3, [0.7, 0.7]),   # equidistant: tie-breaks to cell 0, kept
+            (4, [0.0, 3.0]),   # parallel to 1 -> dup_of 1
+            (5, [0.7, 0.7]),   # identical to 3 -> dup_of 3 (min id in cell)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["dup_of"], r["is_dup"])
+        for r in ann.semantic_dedup(emb, n_cells=2, tau=0.999).collect()
+    }
+    assert got == {
+        0: (0, None, False),
+        1: (1, None, False),
+        2: (0, 0, True),
+        3: (0, None, False),
+        4: (1, 1, True),
+        5: (0, 3, True),
+    }
+    # kmeans codebook path: same schema, one row per vector
+    km = ann.semantic_dedup(
+        emb,
+        tau=0.999,
+        codebook=ann.kmeans_codebook(emb, n_cells=2, n_iter=2),
+    )
+    assert km.count() == 6
+
+
 def test_simhash_bits_bound_explicit(spark):
     """bits > 60 would overflow conv(hex,16,10).cast('long') to NULL
     and silently corrupt signatures — the API bound must be explicit."""

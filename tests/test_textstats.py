@@ -44,6 +44,25 @@ def test_quality_score(docs):
     assert rows[1]["avg_token_len"] == pytest.approx((3 + 5 + 5 + 3) / 4)
 
 
+def test_lm_score_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.lm_score(df).collect()}
+    # ctf: a=2 b=2 c=1, total=5 -> p(a)=p(b)=0.4, p(c)=0.2
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["lm_score"] == pytest.approx(
+        round(-math.log(0.4), 4), abs=1e-9
+    )
+    assert rows[2]["lm_score"] == pytest.approx(
+        round((-math.log(0.4) - math.log(0.2)) / 2, 4), abs=1e-9
+    )
+    assert 3 not in rows  # empty docs produce no row (quality_score convention)
+
+
 def test_rolling_hashes_pure():
     h = textstats.rolling_hashes("abcdefghij", k=8)
     assert len(h) == 3
