@@ -4,8 +4,9 @@ oracled individually in the driver contract; this proves they CHAIN
 (schemas line up, survivors flow through, nothing recomputes the
 corpus from scratch mid-pipe):
 
-    url dedup -> PII redaction -> quality/langid gating ->
-    exact dedup -> fuzzy (LSH) dedup clustering ->
+    url dedup -> PII redaction -> span-level dedup (text rewrite) ->
+    quality/langid/LM-score gating -> exact dedup ->
+    fuzzy (LSH) dedup clustering -> semantic (embedding) dedup ->
     benchmark decontamination -> stratified sampling -> index build
     -> BM25 query over the curated corpus.
 """
@@ -13,7 +14,7 @@ corpus from scratch mid-pipe):
 import pytest
 from pyspark.sql import functions as F
 
-from search_engine_spark import dedup, textstats
+from search_engine_spark import ann, dedup, textstats
 from search_engine_spark.build import IndexBuilder
 from search_engine_spark.corpus import load_documents
 from search_engine_spark.query import QueryEngine
@@ -50,17 +51,37 @@ def test_curation_pipeline_composes(spark, corpus, tmp_path_factory):
     )
     assert docs.count() == n1
 
-    # 3. quality + langid gates (loose thresholds: keep most, drop some)
+    # 2b. span-level dedup REWRITES text: cross-doc duplicated 5-gram
+    # spans are masked out; fully-boilerplate docs drop entirely
+    spans = dedup.span_dedup(docs, n=5, min_dup=2)
+    docs = (
+        docs.drop("text")
+        .join(spans.select("doc_id", "clean_text"), "doc_id")
+        .withColumnRenamed("clean_text", "text")
+        .where(F.length(F.trim("text")) > 0)
+        .localCheckpoint()
+    )
+    n2 = docs.count()
+    assert 0 < n2 <= n1
+
+    # 3. quality + langid + LM-surprisal gates (loose thresholds:
+    # keep most, drop some)
     q = textstats.quality_score(docs)
     lang = textstats.language_id(docs)
+    lm = textstats.lm_score(docs)
     keep = (
         q.join(lang, "doc_id")
-        .where((F.col("n_tokens") >= 3) & (F.col("ascii_ratio") > 0.5))
+        .join(lm.select("doc_id", "lm_score"), "doc_id")
+        .where(
+            (F.col("n_tokens") >= 3)
+            & (F.col("ascii_ratio") > 0.5)
+            & (F.col("lm_score") < 20.0)
+        )
         .select("doc_id")
     )
     docs = docs.join(keep, "doc_id").localCheckpoint()
     n3 = docs.count()
-    assert 0 < n3 <= n1
+    assert 0 < n3 <= n2
 
     # 4. exact dedup
     exact = dedup.exact_duplicates(docs).where(~F.col("is_dup")).select(
@@ -79,6 +100,18 @@ def test_curation_pipeline_composes(spark, corpus, tmp_path_factory):
     n5 = docs.count()
     assert 0 < n5 <= n4
 
+    # 5b. semantic dedup in embedding space (vec_id == doc_id in the
+    # driver testdata): drop the cell-scoped cosine duplicates
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sem = ann.semantic_dedup(emb, n_cells=16, tau=0.4)
+    docs = docs.join(
+        sem.where("is_dup").select(F.col("vec_id").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    ).localCheckpoint()
+    n5b = docs.count()
+    assert 0 < n5b <= n5
+
     # 6. benchmark decontamination: flag docs overlapping a "benchmark"
     # carved from the corpus itself (guaranteed hits), drop them
     bench = corpus.limit(5).select(
@@ -89,7 +122,7 @@ def test_curation_pipeline_composes(spark, corpus, tmp_path_factory):
         contam.select("doc_id").distinct(), "doc_id", "left_anti"
     ).localCheckpoint()
     n6 = docs.count()
-    assert 0 < n6 <= n5
+    assert 0 < n6 <= n5b
 
     # 7. deterministic stratified rebalance on lang
     sample = textstats.stratified_sample(docs, strat_col="lang")
