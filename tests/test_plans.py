@@ -409,3 +409,47 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     # auto-broadcasts the small side anyway (its equality with the
     # hinted path is covered in test_dedup_ann); the knob exists for
     # suites past spark.sql.autoBroadcastJoinThreshold at real scale.
+
+
+def test_span_dedup_census_is_windowless_partial_agg(spark):
+    """span_dedup's duplicate-gram census must be map-side-combinable
+    hash aggregation (partial agg under every exchange) with no window
+    anywhere — the reconstruction is an index-filter over the token
+    array, not a per-token row_number sort."""
+    from search_engine_spark.dedup import span_dedup
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+    p = plan_str(span_dedup(docs, n=5, min_dup=2))
+    assert "Window" not in p
+    # gram census: distinct(gram, doc) + per-gram count both partial-agg
+    assert "partial" in p.lower()
+    # two gram-keyed exchanges max (distinct + census); the cover agg
+    # and joins key on doc_id
+    assert p.count("Exchange hashpartitioning(gram") <= 2, p
+
+
+def test_lm_score_broadcasts_scalar_not_vocab(spark):
+    """lm_score's corpus-total joins back as a broadcast (single-row
+    nested-loop), while the vocabulary census itself is never forced
+    into a broadcast exchange by the operator — at web scale the vocab
+    exceeds broadcast limits, so the term join must stay a shuffle
+    join AQE is free to re-plan."""
+    from search_engine_spark.textstats import lm_score
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+    p = plan_str(lm_score(docs))
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_semantic_dedup_windowless_broadcast_assignment(spark):
+    """semantic_dedup: centroid assignment is the broadcast max_by
+    hash-agg (no window), and the within-cell self-join introduces no
+    window either — per-task memory stays bounded by cell size."""
+    from search_engine_spark.ann import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan_str(semantic_dedup(emb, n_cells=4, tau=0.4))
+    assert "Window" not in p
+    assert "partial_max_by" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
