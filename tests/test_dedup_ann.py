@@ -317,6 +317,46 @@ def test_span_dedup_masks_cross_doc_spans_only(spark):
         dedup.span_dedup(docs, n=0)
 
 
+@pytest.mark.parametrize("seed,n,min_dup", [(1, 3, 2), (2, 2, 2), (3, 3, 3)])
+def test_span_dedup_matches_bruteforce(spark, seed, n, min_dup):
+    """Randomized corpora from a tiny vocab (dense gram collisions,
+    overlapping covers, within-doc repeats) vs a pure-Python
+    reference implementation."""
+    import random
+    from collections import defaultdict
+
+    from search_engine_spark.tokenizer import tokenize_text
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    texts = {
+        d: " ".join(rng.choices(vocab, k=rng.randint(1, 24)))
+        for d in range(20)
+    }
+    toks = {d: tokenize_text(t) for d, t in texts.items()}
+    gram_docs = defaultdict(set)
+    for d, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            gram_docs[tuple(ts[i : i + n])].add(d)
+    want = {}
+    for d, ts in toks.items():
+        cov = set()
+        for i in range(len(ts) - n + 1):
+            if len(gram_docs[tuple(ts[i : i + n])]) >= min_dup:
+                cov.update(range(i, i + n))
+        kept = [t for j, t in enumerate(ts) if j not in cov]
+        want[d] = (" ".join(kept), len(ts), len(cov))
+
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in dedup.span_dedup(df, n=n, min_dup=min_dup).collect()
+    }
+    assert got == want
+
+
 def test_decontaminate_shuffle_join_same_result(spark):
     corpus = spark.createDataFrame(
         [(1, "a b c d e f g h"), (2, "x y z w v u t s")],
