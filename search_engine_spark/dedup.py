@@ -41,7 +41,9 @@ def tokens_df(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", tokenize_col(F.col("text")).alias("ts"))
 
 
-def shingle_stream(toks: DataFrame, n: int = 3) -> DataFrame:
+def shingle_stream(
+    toks: DataFrame, n: int = 3, keep_pos: bool = False
+) -> DataFrame:
     """RAW (non-distinct) word n-gram shingle stream per doc.
 
     Pure whole-stage-codegen shape: explode the position sequence, then
@@ -49,10 +51,16 @@ def shingle_stream(toks: DataFrame, n: int = 3) -> DataFrame:
     higher-order array lambdas anywhere (Spark evaluates those
     interpreted — measured 1.6x slower end-to-end for minhash at
     sf0.1), and no dedup: every consumer below either tolerates
-    duplicates (min is idempotent) or dedups in its own aggregation."""
+    duplicates (min is idempotent) or dedups in its own aggregation.
+    ``keep_pos`` retains the 0-based start position as column ``i``
+    (:func:`span_dedup` needs it to map duplicated grams back to the
+    token positions they cover)."""
     grams = F.concat_ws(
         " ", *[F.element_at("ts", F.col("i") + (j + 1)) for j in range(n)]
     )
+    cols = (["doc_id", "i"] if keep_pos else ["doc_id"]) + [
+        grams.alias("shingle")
+    ]
     return (
         toks.where(F.size("ts") >= n)
         .select(
@@ -60,7 +68,7 @@ def shingle_stream(toks: DataFrame, n: int = 3) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.size("ts") - n)).alias("i"),
             "ts",
         )
-        .select("doc_id", grams.alias("shingle"))
+        .select(*cols)
     )
 
 
@@ -586,29 +594,23 @@ def span_dedup(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if min_dup < 2:
+        # min_dup <= 1 would mask EVERY gram occurrence (the census
+        # predicate is trivially true), silently emptying the corpus
+        # and breaking the documented within-doc-repeats-survive rule
+        raise ValueError(f"min_dup must be >= 2, got {min_dup}")
     toks = tokens_df(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    gram = F.concat_ws(
-        " ", *[F.element_at("ts", F.col("i") + (j + 1)) for j in range(n)]
-    )
-    g = (
-        toks.where(F.size("ts") >= n)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.size("ts") - n)).alias("i"),
-            "ts",
-        )
-        .select("doc_id", "i", gram.alias("gram"))
-    )
+    g = shingle_stream(toks, n, keep_pos=True)
     dup = (
-        g.select("gram", "doc_id")
+        g.select("shingle", "doc_id")
         .distinct()
-        .groupBy("gram")
+        .groupBy("shingle")
         .agg(F.count("*").alias("_nd"))
         .where(F.col("_nd") >= int(min_dup))
-        .select("gram")
+        .select("shingle")
     )
     cov = (
-        g.join(dup, "gram", "left_semi")
+        g.join(dup, "shingle", "left_semi")
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("p"),

@@ -315,6 +315,8 @@ def test_span_dedup_masks_cross_doc_spans_only(spark):
     assert untouched.where(F.col("n_removed") > 0).count() == 0
     with pytest.raises(ValueError):
         dedup.span_dedup(docs, n=0)
+    with pytest.raises(ValueError):  # would mask every gram occurrence
+        dedup.span_dedup(docs, min_dup=1)
 
 
 @pytest.mark.parametrize("seed,n,min_dup", [(1, 3, 2), (2, 2, 2), (3, 3, 3)])

@@ -101,9 +101,15 @@ def test_curation_pipeline_composes(spark, corpus, tmp_path_factory):
     assert 0 < n5 <= n4
 
     # 5b. semantic dedup in embedding space (vec_id == doc_id in the
-    # driver testdata): drop the cell-scoped cosine duplicates
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    sem = ann.semantic_dedup(emb, n_cells=16, tau=0.4)
+    # driver testdata), scoped to the SURVIVING docs so the keep rule
+    # always retains a representative that is actually still in the
+    # pipe; kmeans codebook seeds from the smallest surviving ids
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    sem = ann.semantic_dedup(
+        emb, tau=0.4, codebook=ann.kmeans_codebook(emb, n_cells=8, n_iter=2)
+    )
     docs = docs.join(
         sem.where("is_dup").select(F.col("vec_id").alias("doc_id")),
         "doc_id",
