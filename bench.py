@@ -13,6 +13,13 @@ line: {"metric": ..., "value": <total sec>, "unit": "sec",
                replicated input; minima + efficiency written to
                BENCH/BASELINE.md — the sandbox stand-in for the north
                rule's N vs 4N executor clusters.
+--serve-only : timed 20-query batch serve against a prebuilt index at
+               $SPARK_GRAFT_INDEX_DIR (used by --query-scaling).
+--query-scaling : the serving twin of --scaling: build one index over
+               the replicated corpus (untimed), then serve the same
+               query batch at local[N] and local[4N] in fresh JVMs;
+               appends the section to BENCH/BASELINE.md (run AFTER
+               --scaling, which rewrites that file).
 """
 
 from __future__ import annotations
@@ -410,6 +417,189 @@ def run_build_only() -> dict:
     }
 
 
+def _ensure_scale_corpus(replicate: int) -> str:
+    """Synthesize (or reuse, keyed by replicate factor) the
+    deterministic replicated corpus the scaling runs build over."""
+    corpus_dir = os.path.join(
+        tempfile.gettempdir(), f"se_scale_corpus_x{replicate}"
+    )
+    marker = os.path.join(corpus_dir, "documents.parquet", "_SUCCESS")
+    if not os.path.exists(marker):
+        print(
+            f"synthesizing {replicate}x corpus at {corpus_dir}",
+            file=sys.stderr,
+        )
+        synthesize_corpus(corpus_dir, replicate)
+    return corpus_dir
+
+
+def run_serve_only() -> dict:
+    """Timed BM25 serving against a PREBUILT index (used by the
+    --query-scaling subprocesses): fresh ``local[CPUS]`` JVM pointed at
+    $SPARK_GRAFT_INDEX_DIR, one untimed warm batch (JIT + Python
+    workers + OS page cache for the posting files), then min-of-2
+    timed passes over the 20 bench queries through the batch engine
+    (10 disjunctive + 10 conjunctive, block-max WAND both modes)."""
+    from search_engine_spark.query import QueryEngine
+    from search_engine_spark.runtime import get_spark
+
+    index_dir = os.environ["SPARK_GRAFT_INDEX_DIR"]
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    try:
+        _warm_python_workers(spark)
+        qe = QueryEngine(spark, index_dir)
+        qe.batch_search(
+            list(enumerate(DISJ_QUERIES)), mode="disjunctive"
+        ).collect()
+
+        def work():
+            qe.batch_search(
+                list(enumerate(DISJ_QUERIES)), mode="disjunctive"
+            ).collect()
+            qe.batch_search(
+                list(enumerate(CONJ_QUERIES)), mode="conjunctive"
+            ).collect()
+
+        secs = _min_of(work, reps=2)
+    finally:
+        spark.stop()
+    nq = len(DISJ_QUERIES) + len(CONJ_QUERIES)
+    return {
+        "metric": "serve_seconds",
+        "value": round(secs, 3),
+        "unit": "sec",
+        "queries": {"batch_20q": round(secs, 3)},
+        "cpus": CPUS,
+        "queries_per_sec": round(nq / secs, 2),
+    }
+
+
+def run_query_scaling(replicate: int = 800, reps: int = 2) -> None:
+    """N vs 4N scaling evidence for the QUERY/serving side — the
+    BM25 half of the north metric (the build half is --scaling).
+
+    One index is built (or resumed) over the replicated corpus,
+    untimed, at full width; then fresh ``local[N]`` JVMs serve the
+    same 20-query batch workload against that index at each
+    parallelism level, alternating ``reps`` times, minima reported
+    (same interference rationale as --scaling). Appends a section to
+    BENCH/BASELINE.md — run it AFTER --scaling, which rewrites that
+    file from its own header + HISTORY.md."""
+    levels = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")
+    ]
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", replicate))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", reps))
+    corpus_dir = _ensure_scale_corpus(replicate)
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"se_qscale_idx_x{replicate}"
+    )
+
+    from search_engine_spark.build import IndexBuilder
+    from search_engine_spark.corpus import load_documents
+    from search_engine_spark.runtime import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    try:
+        docs = load_documents(spark, corpus_dir)
+        n_docs = docs.count()
+        # resume=True: a completed manifest from a prior run skips the
+        # whole build — the serve measurement is index-identical across
+        # reruns by construction
+        IndexBuilder(
+            spark, index_dir, bucket_count=16, materialize_postings=False
+        ).build(docs, resume=True)
+    finally:
+        spark.stop()
+
+    best: dict[int, dict] = {}
+    for rep in range(reps):
+        for n in levels:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(n),
+                SPARK_GRAFT_SF_DIR=SF_DIR,
+                SPARK_GRAFT_INDEX_DIR=index_dir,
+            )
+            env.setdefault("SPARK_GRAFT_GC", "parallel")
+            r = None
+            for attempt in range(2):
+                out = subprocess.run(
+                    [sys.executable, __file__, "--serve-only"],
+                    capture_output=True,
+                    text=True,
+                    env=env,
+                )
+                lines = [
+                    l
+                    for l in out.stdout.strip().splitlines()
+                    if l.startswith("{")
+                ]
+                if out.returncode == 0 and lines:
+                    r = json.loads(lines[-1])
+                    break
+                print(
+                    f"rep{rep} serve local[{n}] attempt{attempt} failed "
+                    f"(rc={out.returncode}): {out.stderr[-500:]}",
+                    file=sys.stderr,
+                )
+            if r is None:
+                continue
+            print(f"rep{rep} serve local[{n}]: {r['value']}s", file=sys.stderr)
+            if n not in best or r["value"] < best[n]["value"]:
+                best[n] = r
+
+    missing = [n for n in levels if n not in best]
+    if missing:
+        sys.exit(
+            "query-scaling run failed: no successful serve at parallelism "
+            f"level(s) {missing} (see stderr above for per-attempt errors)"
+        )
+    lo, hi = levels[0], levels[-1]
+    t_lo, t_hi = best[lo]["value"], best[hi]["value"]
+    q_lo, q_hi = best[lo]["queries_per_sec"], best[hi]["queries_per_sec"]
+    ratio = hi // lo
+    eff = (t_lo / t_hi) / ratio
+    md = f"""
+
+## Query-side scaling (N vs 4N, serving)
+
+The BM25 half of the north metric, measured like the build half:
+fresh `local[N]` JVMs serving the SAME 20-query bench batch (10
+disjunctive + 10 conjunctive, block-max WAND both modes, batch
+engine) against ONE prebuilt index over the {replicate}x replicated
+corpus ({n_docs} docs). Each level ran {reps} times alternating after
+an untimed warm pass; minima reported.
+
+| parallelism | serve seconds (20q) | queries/sec |
+| --- | --- | --- |
+| local[{lo}]  (N)  | {t_lo} | {q_lo} |
+| local[{hi}] ({ratio}N) | {t_hi} | {q_hi} |
+
+**Query scaling efficiency (N to {ratio}N) = (T_N / T_{ratio}N) / {ratio} = {eff:.3f}**
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(md)
+    print(
+        json.dumps(
+            {
+                "metric": f"query_scaling_efficiency_{lo}_to_{hi}",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "queries": {
+                    f"serve_local{lo}_sec": t_lo,
+                    f"serve_local{hi}_sec": t_hi,
+                    f"qps_local{lo}": q_lo,
+                    f"qps_local{hi}": q_hi,
+                },
+                "sf": _sf(SF_DIR),
+                "n_docs": n_docs,
+            }
+        )
+    )
+
+
 def run_scaling(replicate: int = 800, reps: int = 2) -> None:
     """N vs 4N scaling evidence.
 
@@ -437,13 +627,7 @@ def run_scaling(replicate: int = 800, reps: int = 2) -> None:
     ]
     replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", replicate))
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", reps))
-    corpus_dir = os.path.join(
-        tempfile.gettempdir(), f"se_scale_corpus_x{replicate}"
-    )
-    marker = os.path.join(corpus_dir, "documents.parquet", "_SUCCESS")
-    if not os.path.exists(marker):
-        print(f"synthesizing {replicate}x corpus at {corpus_dir}", file=sys.stderr)
-        synthesize_corpus(corpus_dir, replicate)
+    corpus_dir = _ensure_scale_corpus(replicate)
 
     best: dict[int, dict] = {}
     for rep in range(reps):
@@ -587,7 +771,11 @@ Method notes:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--query-scaling" in sys.argv:
+        run_query_scaling()
     elif "--build-only" in sys.argv:
         print(json.dumps(run_build_only()))
+    elif "--serve-only" in sys.argv:
+        print(json.dumps(run_serve_only()))
     else:
         print(json.dumps(run_suite()))
