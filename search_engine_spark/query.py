@@ -74,6 +74,16 @@ N_BANDS_MIN, N_BANDS_MAX = 32, 65536
 # broadcast the surviving-keys side of the decode join below this count
 KEYS_BROADCAST_CAP = 100_000
 
+# when the surviving chunk-key set is at most this, collect it and turn
+# the decode's leftsemi join into an exact (term, salt, chunk_seq)
+# PREDICATE on the scan — In filters reach the parquet reader
+# (row-group stats + dictionary pruning), so the decode does point
+# reads instead of scanning every queried term's payload bytes and
+# discarding them post-join. Above the cap the predicate would bloat
+# the plan; the leftsemi join (broadcast under KEYS_BROADCAST_CAP)
+# remains the at-scale shape.
+KEYS_COLLECT_CAP = 8192
+
 # sentinel: a batch plan proved every query returns no rows
 EMPTY_BATCH = object()
 
@@ -171,6 +181,15 @@ class QueryEngine:
         self.last_plan_stats: dict = {}
         self.last_local_stats: dict = {}
         self._local_cache: dict | None = None
+        # per-engine lexicon cache: term -> RAW lexicon entry (df
+        # pre-override) or None for a term proven absent. The index an
+        # engine instance serves is immutable (mutations reopen the
+        # engine), so entries never go stale; bounded by the distinct
+        # terms ever queried. Repeated terms — the Zipf reality of a
+        # query stream — skip the lexicon job entirely, and cached
+        # n_chunks lets _collect_meta refuse the above-cap metadata
+        # collect WITHOUT paying for it first.
+        self._lex_raw_cache: dict[str, dict | None] = {}
         # tombstoned doc ids (maintenance.delete_docs): a sorted int64
         # array when the set fits the driver cap (decode paths mask
         # in-place), else a distributed DataFrame (anti-join fallback).
@@ -224,26 +243,75 @@ class QueryEngine:
     def lexicon_lookup(self, terms: list[str]) -> dict[str, dict]:
         if not terms:
             return {}
-        df = (
-            self._stage_df("lexicon")
-            .where(F.col("bucket").isin(self._buckets(terms)))
-            .where(F.col("term").isin(terms))
-        )
-        return {
-            r["term"]: {
-                "df": self._df_of(r["term"], r["df"]),
-                "n_chunks": int(r["n_chunks"]),
-                "min_doc_id": int(r["min_doc_id"]),
-                "max_doc_id": int(r["max_doc_id"]),
+        missing = sorted({t for t in terms if t not in self._lex_raw_cache})
+        if missing:
+            df = (
+                self._stage_df("lexicon")
+                .where(F.col("bucket").isin(self._buckets(missing)))
+                .where(F.col("term").isin(missing))
+            )
+            found = {
+                r["term"]: {
+                    "df": int(r["df"]),
+                    "n_chunks": int(r["n_chunks"]),
+                    "min_doc_id": int(r["min_doc_id"]),
+                    "max_doc_id": int(r["max_doc_id"]),
+                }
+                for r in df.collect()
             }
-            for r in df.collect()
-        }
+            for t in missing:
+                self._lex_raw_cache[t] = found.get(t)
+        out: dict[str, dict] = {}
+        for t in dict.fromkeys(terms):
+            e = self._lex_raw_cache[t]
+            if e is not None:
+                out[t] = {**e, "df": self._df_of(t, e["df"])}
+        return out
 
     def _chunks(self, terms: list[str]) -> DataFrame:
         return (
             self._stage_df("chunks")
             .where(F.col("bucket").isin(self._buckets(terms)))
             .where(F.col("term").isin(terms))
+        )
+
+    @staticmethod
+    def _keys_predicate(keys) -> "F.Column":
+        """Exact (term, salt, chunk_seq) chunk-key set as a PREDICATE:
+        OR over (term, salt) groups of ``chunk_seq IN (...)``.
+
+        Selects exactly the same rows as a leftsemi join against the
+        key set, but as a scan filter it reaches the parquet reader
+        (``PushedFilters``): within a bucket the chunk files are
+        term-sorted, so row groups of non-kept terms prune on term
+        stats and the In list prunes on chunk_seq ranges — the decode
+        reads ~|keys| chunk payloads instead of every queried term's.
+        Callers gate on KEYS_COLLECT_CAP; with ~dozens of query terms
+        the OR fan-out stays far below codegen limits."""
+        pred = None
+        by_ts: dict[tuple, list[int]] = {}
+        for t, s, c in keys:
+            by_ts.setdefault((t, int(s)), []).append(int(c))
+        for (t, s), seqs in sorted(by_ts.items()):
+            p = (
+                (F.col("term") == t)
+                & (F.col("salt") == s)
+                & F.col("chunk_seq").isin(sorted(set(seqs)))
+            )
+            pred = p if pred is None else (pred | p)
+        return pred
+
+    def _keys_result(self, keys: list[tuple]):
+        """Planner result for a surviving-key set: the driver-side list
+        itself under KEYS_COLLECT_CAP (consumers apply the exact
+        pushdown predicate), else a broadcast DataFrame for a leftsemi
+        join."""
+        if len(keys) <= KEYS_COLLECT_CAP:
+            return keys
+        return F.broadcast(
+            self.spark.createDataFrame(
+                keys, "term string, salt int, chunk_seq int"
+            )
         )
 
     def _scored_postings(
@@ -352,6 +420,18 @@ class QueryEngine:
         chunks = self._chunks(terms)
         if "max_ratio" not in chunks.columns:
             return None
+        if all(t in self._lex_raw_cache for t in terms):
+            # cached n_chunks already prove the outcome: skip the
+            # above-cap probe collect (at web scale EVERY query's term
+            # set exceeds the cap, so without this a serving engine
+            # pays a doomed METADATA_CAP-row collect per query)
+            total = sum(
+                e["n_chunks"]
+                for e in (self._lex_raw_cache[t] for t in terms)
+                if e is not None
+            )
+            if total > METADATA_CAP:
+                return None
         rows = (
             chunks.select(
                 "term",
@@ -374,13 +454,15 @@ class QueryEngine:
         metas: dict[str, wand.TermChunks] = {}
         lex: dict[str, dict] = {}
         for t, rs in by_term.items():
-            df = self._df_of(t, sum(r["n"] for r in rs))
+            raw_df = sum(r["n"] for r in rs)
+            df = self._df_of(t, raw_df)
             lex[t] = {
                 "df": df,
                 "n_chunks": len(rs),
                 "min_doc_id": min(r["first_doc_id"] for r in rs),
                 "max_doc_id": max(r["last_doc_id"] for r in rs),
             }
+            self._lex_raw_cache[t] = {**lex[t], "df": raw_df}
             t_idf = wand.idf(df, self.n_docs)
             bound = wand.term_chunk_bounds(
                 t_idf,
@@ -394,6 +476,8 @@ class QueryEngine:
                 bound=bound,
                 rows=[(r["salt"], r["chunk_seq"]) for r in rs],
             )
+        for t in terms:
+            self._lex_raw_cache.setdefault(t, None)  # proven absent
         return metas, lex
 
     def _segments_job(
@@ -437,14 +521,17 @@ class QueryEngine:
     ) -> DataFrame:
         """Decode+score exactly the given (term, salt, chunk_seq) chunk
         keys, optionally masking postings to doc-id intervals."""
-        keys_df = F.broadcast(
-            self.spark.createDataFrame(
-                keys, "term string, salt int, chunk_seq int"
+        if keys and len(keys) <= KEYS_COLLECT_CAP:
+            kept = self._chunks(present).where(self._keys_predicate(keys))
+        else:
+            keys_df = F.broadcast(
+                self.spark.createDataFrame(
+                    keys, "term string, salt int, chunk_seq int"
+                )
             )
-        )
-        kept = self._chunks(present).join(
-            keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
-        )
+            kept = self._chunks(present).join(
+                keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
+            )
         scored = self._scored_postings(
             kept, lex, intervals=intervals, with_dl=explain, dtype=dtype
         )
@@ -784,11 +871,22 @@ class QueryEngine:
             self.last_plan_stats["chunks_kept"] = n_keys
             if n_keys == 0:
                 return empty
-            if n_keys <= KEYS_BROADCAST_CAP:
-                keys_df = F.broadcast(keys_df)
-            kept_chunks = self._chunks(present).join(
-                keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
-            )
+            if n_keys <= KEYS_COLLECT_CAP:
+                # checkpointed + counted already: collect the small key
+                # set so the decode scan does pushdown point reads
+                keys = sorted(
+                    (r["term"], int(r["salt"]), int(r["chunk_seq"]))
+                    for r in keys_df.collect()
+                )
+                kept_chunks = self._chunks(present).where(
+                    self._keys_predicate(keys)
+                )
+            else:
+                if n_keys <= KEYS_BROADCAST_CAP:
+                    keys_df = F.broadcast(keys_df)
+                kept_chunks = self._chunks(present).join(
+                    keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
+                )
             scored = self._scored_postings(
                 kept_chunks, lex, with_dl=explain, dtype=dtype
             )
@@ -1096,7 +1194,10 @@ class QueryEngine:
             )
         if keys_df is EMPTY_BATCH:
             return empty
-        if keys_df is not None:
+        if isinstance(keys_df, list):
+            # small surviving set: exact predicate reaches the scan
+            chunks = chunks.where(self._keys_predicate(keys_df))
+        elif keys_df is not None:
             chunks = chunks.join(
                 keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
             )
@@ -1224,11 +1325,7 @@ class QueryEngine:
             self.last_plan_stats.update(
                 {"pruner": "batch_wand", "chunks_kept": len(kept_keys)}
             )
-            return F.broadcast(
-                self.spark.createDataFrame(
-                    sorted(kept_keys), "term string, salt int, chunk_seq int"
-                )
-            )
+            return self._keys_result(sorted(kept_keys))
 
         # ONE shared phase-1 decode for every thresholdable query
         thetas = self._batch_theta(
@@ -1249,11 +1346,7 @@ class QueryEngine:
             return EMPTY_BATCH
         if len(kept_keys) >= total:
             return None
-        return F.broadcast(
-            self.spark.createDataFrame(
-                sorted(kept_keys), "term string, salt int, chunk_seq int"
-            )
-        )
+        return self._keys_result(sorted(kept_keys))
 
     def _batch_theta(
         self,
@@ -1273,23 +1366,26 @@ class QueryEngine:
         produced >= k masked results."""
         from pyspark.sql import Window
 
-        keys1 = F.broadcast(
-            self.spark.createDataFrame(
-                p1_keys, "term string, salt int, chunk_seq int"
+        p1_terms = sorted({t for t, _s, _c in p1_keys})
+        if len(p1_keys) <= KEYS_COLLECT_CAP:
+            kept1 = self._chunks(p1_terms).where(
+                self._keys_predicate(p1_keys)
             )
-        )
+        else:
+            keys1 = F.broadcast(
+                self.spark.createDataFrame(
+                    p1_keys, "term string, salt int, chunk_seq int"
+                )
+            )
+            kept1 = self._chunks(p1_terms).join(
+                keys1, ["term", "salt", "chunk_seq"], "leftsemi"
+            )
         iv = F.broadcast(
             self.spark.createDataFrame(
                 p1_ivals, "query_id int, lo long, hi long"
             )
         ).alias("v")
-        scored1 = self._scored_postings(
-            self._chunks(sorted({t for t, _s, _c in p1_keys})).join(
-                keys1, ["term", "salt", "chunk_seq"], "leftsemi"
-            ),
-            lex,
-            dtype=dtype,
-        )
+        scored1 = self._scored_postings(kept1, lex, dtype=dtype)
         s = scored1.join(qt_df, "term").alias("s")
         masked = s.join(
             iv,
@@ -1524,6 +1620,13 @@ class QueryEngine:
                 return EMPTY_BATCH
             if n_keys >= total_chunks:
                 return None
+            if n_keys <= KEYS_COLLECT_CAP:
+                # checkpointed + counted already: a <=cap-row collect is
+                # cheap and turns the decode into pushdown point reads
+                return sorted(
+                    (r["term"], int(r["salt"]), int(r["chunk_seq"]))
+                    for r in keys_df.collect()
+                )
             if n_keys <= KEYS_BROADCAST_CAP:
                 keys_df = F.broadcast(keys_df)
             return keys_df
