@@ -190,6 +190,7 @@ class QueryEngine:
         # n_chunks lets _collect_meta refuse the above-cap metadata
         # collect WITHOUT paying for it first.
         self._lex_raw_cache: dict[str, dict | None] = {}
+        self._batch_thetas: dict[int, float] = {}
         # tombstoned doc ids (maintenance.delete_docs): a sorted int64
         # array when the set fits the driver cap (decode paths mask
         # in-place), else a distributed DataFrame (anti-join fallback).
@@ -1145,6 +1146,7 @@ class QueryEngine:
         """
         from pyspark.sql import Window
 
+        self._batch_thetas: dict[int, float] = {}
         qterms: list[tuple[int, str]] = []
         for qid, text in queries:
             for t in tokenize_query(text):
@@ -1216,6 +1218,31 @@ class QueryEngine:
             per_q = per_q.join(nq_df, "query_id").where(
                 F.col("_nt") == F.col("n_terms")
             ).drop("n_terms")
+        if self._batch_thetas:
+            # phase-1 thetas are exact kth-best lower bounds per query
+            # (>= k docs were proven to reach them), so any doc whose
+            # FINAL aggregated score falls below theta can't make
+            # top-k: filter before the per-query rank window — the
+            # window's sort input shrinks from every scored doc to the
+            # theta-beating candidates, which is what keeps the final
+            # exchange k-ish-sized instead of corpus-sized at scale.
+            # The margin absorbs float32 sum-order nondeterminism
+            # between the phase-1 and final aggregations (same
+            # treatment as segment-bound pruning, wand.BOUND_MARGIN).
+            th_rows = [
+                (qid, th - wand.BOUND_MARGIN * abs(th) - 1e-9)
+                for qid, th in self._batch_thetas.items()
+            ]
+            th_df = F.broadcast(
+                self.spark.createDataFrame(
+                    th_rows, "query_id int, _theta double"
+                )
+            )
+            per_q = per_q.join(th_df, "query_id", "left").where(
+                F.col("_theta").isNull()
+                | (F.col("score") >= F.col("_theta"))
+            ).drop("_theta")
+            self.last_plan_stats["theta_filter"] = len(th_rows)
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
@@ -1331,6 +1358,7 @@ class QueryEngine:
         thetas = self._batch_theta(
             sorted(p1_keys), p1_ivals, lex, conj, k, qt_df, nq_df, dtype
         )
+        self._batch_thetas = thetas
         for qid, (tq, sub, bound, cover) in plans.items():
             th = thetas.get(qid)
             rows = cover if th is None else cover[bound >= th]
@@ -1597,6 +1625,7 @@ class QueryEngine:
                 thetas = self._batch_theta(
                     p1_keys, p1_ivals, lex, conj, k, qt_df, nq_df, dtype
                 )
+                self._batch_thetas = thetas
             kept = segs
             if thetas:
                 th_df = F.broadcast(

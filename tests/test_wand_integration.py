@@ -123,6 +123,9 @@ def test_batch_search_prunes_shared_decode(engine, mode):
         # conjunctive prunes by segment coverage alone here (few
         # segments -> no threshold probe); disjunctive needs theta
         assert stats.get("thetas", 0) >= 1, stats
+        # ... and the thetas must also gate the FINAL aggregation
+        # before the rank window (kth-best lower-bound score filter)
+        assert stats.get("theta_filter", 0) >= 1, stats
     by_q = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(
