@@ -68,8 +68,14 @@ METADATA_CAP = 262144
 # distributed planner: escape hatch (False restores the r2 interval-only
 # fallback above the cap; used by tests to compare paths)
 BANDED_PLANNER = True
-# band sizing: ~this many chunk rows per band task; band count clamped
-BAND_TARGET_CHUNKS = 256
+# band sizing: ~this many chunk rows per band task; band count clamped.
+# Each (query, band) group is one Python sweep call, so the target
+# trades per-group fixed overhead against group size: 256 put a 556k-
+# chunk batch at ~22k groups whose ~2-4 ms/group Python cost dominated
+# the whole plan (~100 s measured at 4M docs); 4096 keeps groups
+# numpy-sized (a 4096-interval segment sweep is sub-ms) while a
+# web-scale 10^9-chunk batch still caps at N_BANDS_MAX bands.
+BAND_TARGET_CHUNKS = 4096
 N_BANDS_MIN, N_BANDS_MAX = 32, 65536
 # broadcast the surviving-keys side of the decode join below this count
 KEYS_BROADCAST_CAP = 100_000
@@ -1533,28 +1539,41 @@ class QueryEngine:
                     if conj_q and j
                     else (nn if conj_q else est + nn)
                 )
-            outs = []
+            # one concatenated frame (numpy concats + a single
+            # DataFrame build) — per-term DataFrame + pd.concat paid
+            # ~1 ms/group of pure construction overhead across the
+            # tens of thousands of groups a web-scale batch sweeps
+            lo_c, hi_c, bd_c, est_c, term_c, salt_c, seq_c = (
+                [], [], [], [], [], [], []
+            )
             for j, t in enumerate(terms_sorted):
                 cj = cover[:, j]
                 sel = cj >= 0
                 if not sel.any():
                     continue
                 rows = metas[t].rows[cj[sel]]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "seg_lo": seg_lo[sel],
-                            "seg_hi": seg_hi[sel],
-                            "bound": bound[sel],
-                            "est": est[sel],
-                            "term": t,
-                            "salt": rows[:, 0].astype(np.int32),
-                            "chunk_seq": rows[:, 1].astype(np.int32),
-                        }
-                    )
-                )
-            return pd.concat(outs, ignore_index=True) if outs else empty
+                n_sel = int(sel.sum())
+                lo_c.append(seg_lo[sel])
+                hi_c.append(seg_hi[sel])
+                bd_c.append(bound[sel])
+                est_c.append(est[sel])
+                term_c.append(np.full(n_sel, t, dtype=object))
+                salt_c.append(rows[:, 0].astype(np.int32))
+                seq_c.append(rows[:, 1].astype(np.int32))
+            if not lo_c:
+                return empty
+            return pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "seg_lo": np.concatenate(lo_c),
+                    "seg_hi": np.concatenate(hi_c),
+                    "bound": np.concatenate(bd_c),
+                    "est": np.concatenate(est_c),
+                    "term": np.concatenate(term_c),
+                    "salt": np.concatenate(salt_c),
+                    "chunk_seq": np.concatenate(seq_c),
+                }
+            )
 
         schema = (
             "query_id int, seg_lo long, seg_hi long, bound double, "
@@ -1633,11 +1652,38 @@ class QueryEngine:
                         list(thetas.items()), "query_id int, theta double"
                     )
                 )
-                kept = segs.join(th_df, "query_id", "left").where(
-                    F.col("theta").isNull()
-                    | (F.col("bound") >= F.col("theta"))
+                survives = F.col("theta").isNull() | (
+                    F.col("bound") >= F.col("theta")
                 )
+                joined = segs.join(th_df, "query_id", "left")
+                kept = joined.where(survives)
                 self.last_plan_stats["thetas"] = len(thetas)
+                if not conj:
+                    # disjunctive-only short-circuit: every chunk covers
+                    # its own elementary segment, so if NO segment fell
+                    # below its query's theta the distinct below would
+                    # provably return every chunk key — skip the
+                    # distinct + checkpoint + count over the full
+                    # surviving set (the worst case: a corpus whose
+                    # top docs appear in every chunk, where planning
+                    # must cost as little as possible because it prunes
+                    # nothing). One narrow agg over the persisted segs
+                    # decides. Conjunctive can't take this exit: its
+                    # sweep already excluded non-candidate chunks, so
+                    # "no segment dropped" still prunes vs chunks_total.
+                    c = joined.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count(F.when(survives, 1)).alias("nk"),
+                    ).collect()[0]
+                    if c["nk"] == c["n"]:
+                        self.last_plan_stats["chunks_kept"] = total_chunks
+                        return None
+            elif not conj:
+                # no thetas and disjunctive: nothing can have been
+                # pruned (see above) — decode everything, skip the
+                # distinct entirely
+                self.last_plan_stats["chunks_kept"] = total_chunks
+                return None
             keys_df = (
                 kept.select("term", "salt", "chunk_seq")
                 .distinct()
