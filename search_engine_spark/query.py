@@ -349,19 +349,53 @@ class QueryEngine:
         deleted = self._deleted
 
         def decode(batches):
-            for pdf in batches:
-                terms_out, ids_out, tfs_out, dls_out, scores_out = (
+            # Arrow-NATIVE decode (mapInArrow — same reasoning as the
+            # build's encode_partition): the pandas twin materialized a
+            # Python str PER POSTING via np.repeat(term, len(ids)) over
+            # object arrays and paid a pandas→Arrow conversion on ~10^7
+            # output rows per batch of queries. Here the only Python
+            # strings are the DISTINCT terms of the batch (dictionary-
+            # encoded in Arrow C++); the per-posting term column is a
+            # C++ dictionary gather, and every output column is a
+            # zero-copy numpy→Arrow array. Payload bytes still box per
+            # CHUNK (decode_chunk wants one buffer per chunk) — that is
+            # ~128x fewer objects than per-posting.
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            score_type = (
+                pa.float64() if dtype is np.float64 else pa.float32()
+            )
+            names = ["term", "doc_id", "tf", "score"] + (
+                ["dl"] if with_dl else []
+            )
+            for rb in batches:
+                if not rb.num_rows:
+                    continue
+                col = {
+                    n: rb.column(i) for i, n in enumerate(rb.schema.names)
+                }
+                denc = pc.dictionary_encode(
+                    col["term"].cast(pa.string())
+                )
+                t_codes = denc.indices.to_numpy(zero_copy_only=False)
+                uniq = denc.dictionary.to_pylist()
+                udfs = [dfs[t] for t in uniq]
+                codec_np = col["codec"].to_numpy(zero_copy_only=False)
+                payloads = col["payload"].to_pylist()
+                dls_raw = col["dls"].to_pylist()
+                code_out, ids_out, tfs_out, dls_out, scores_out = (
                     [],
                     [],
                     [],
                     [],
                     [],
                 )
-                for term, codec_id, payload, dls in zip(
-                    pdf["term"], pdf["codec"], pdf["payload"], pdf["dls"]
-                ):
-                    ids, tfs = codecs.decode_chunk(payload, int(codec_id))
-                    dl = codecs.decode_lengths(dls)
+                for i in range(rb.num_rows):
+                    ids, tfs = codecs.decode_chunk(
+                        payloads[i], int(codec_np[i])
+                    )
+                    dl = codecs.decode_lengths(dls_raw[i])
                     if deleted is not None and len(ids):
                         ids64 = ids.astype(np.int64)
                         pos = np.searchsorted(deleted, ids64)
@@ -384,28 +418,36 @@ class QueryEngine:
                             ids, tfs, dl = ids[keep], tfs[keep], dl[keep]
                     if not len(ids):
                         continue
-                    s = bm25_scores(tfs, dl, dfs[term], n_docs, avgdl, dtype)
-                    terms_out.append(np.repeat(term, len(ids)))
+                    tc = int(t_codes[i])
+                    s = bm25_scores(
+                        tfs, dl, udfs[tc], n_docs, avgdl, dtype
+                    )
+                    code_out.append(
+                        np.full(len(ids), tc, dtype=np.int32)
+                    )
                     ids_out.append(ids.astype(np.int64))
                     tfs_out.append(tfs.astype(np.int64))
                     dls_out.append(dl.astype(np.int64))
                     scores_out.append(s)
                 if not ids_out:
                     continue
-                cols = {
-                    "term": np.concatenate(terms_out),
-                    "doc_id": np.concatenate(ids_out),
-                    "tf": np.concatenate(tfs_out),
-                    "score": np.concatenate(scores_out),
-                }
+                term_col = pc.take(
+                    denc.dictionary, pa.array(np.concatenate(code_out))
+                )
+                arrays = [
+                    term_col,
+                    pa.array(np.concatenate(ids_out)),
+                    pa.array(np.concatenate(tfs_out)),
+                    pa.array(np.concatenate(scores_out), type=score_type),
+                ]
                 if with_dl:
-                    cols["dl"] = np.concatenate(dls_out)
-                yield pd.DataFrame(cols)
+                    arrays.append(pa.array(np.concatenate(dls_out)))
+                yield pa.RecordBatch.from_arrays(arrays, names)
 
         schema = f"term string, doc_id long, tf long, score {out_dtype}"
         if with_dl:
             schema += ", dl long"
-        out = chunks.select("term", "codec", "payload", "dls").mapInPandas(
+        out = chunks.select("term", "codec", "payload", "dls").mapInArrow(
             decode, schema
         )
         if self._deleted_df is not None:
