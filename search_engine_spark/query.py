@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import heapq
 import os
+import sys
 
 import numpy as np
 import pandas as pd
@@ -92,6 +93,29 @@ KEYS_COLLECT_CAP = 8192
 
 # sentinel: a batch plan proved every query returns no rows
 EMPTY_BATCH = object()
+
+# engine-pinned chunk-METADATA cache (no payload bytes): every WAND
+# planning job filters a persisted metadata-only projection of the
+# chunks stage instead of re-scanning parquet footers + row groups.
+# This is the skip-list/lexicon tier every serving IR system pins in
+# RAM — ~50 B/chunk (vs KBs of payload), MEMORY_AND_DISK so oversized
+# segments spill instead of OOM, and Spark's InMemoryTableScan prunes
+# cached batches on the bucket/term filters. Measured at 4M docs /
+# 557k chunks the banded batch planner re-scanned the chunks parquet
+# 3-4x per batch; the pinned projection removes every re-scan after
+# the first. Disable with SE_META_CACHE=0 (tests compare both paths).
+META_CACHE = os.environ.get("SE_META_CACHE", "1") != "0"
+_META_COLS = [
+    "bucket",
+    "term",
+    "salt",
+    "chunk_seq",
+    "first_doc_id",
+    "last_doc_id",
+    "n",
+    "max_ratio",
+    "min_ratio",
+]
 
 # batch_search: skip the phase-1 threshold job when the batch's terms
 # own fewer total chunks than this — decoding ~4k chunks (~0.5M
@@ -197,6 +221,9 @@ class QueryEngine:
         # collect WITHOUT paying for it first.
         self._lex_raw_cache: dict[str, dict | None] = {}
         self._batch_thetas: dict[int, float] = {}
+        # pinned metadata projection (see META_CACHE); built lazily on
+        # the first planning read, unpersisted by close()
+        self._meta_df: DataFrame | None = None
         # tombstoned doc ids (maintenance.delete_docs): a sorted int64
         # array when the set fits the driver cap (decode paths mask
         # in-place), else a distributed DataFrame (anti-join fallback).
@@ -281,6 +308,37 @@ class QueryEngine:
             .where(F.col("bucket").isin(self._buckets(terms)))
             .where(F.col("term").isin(terms))
         )
+
+    def _chunks_meta(self, terms: list[str]) -> DataFrame:
+        """Metadata-only chunk rows (never payload bytes) for WAND
+        planning, served from the engine-pinned persisted projection
+        when META_CACHE is on (see the constant's rationale). The index
+        an engine serves is immutable, so the pinned frame never goes
+        stale. Falls through to the parquet scan when disabled."""
+        if not META_CACHE:
+            src = self._stage_df("chunks")
+            cols = [c for c in _META_COLS if c in src.columns]
+            src = src.select(cols)
+        else:
+            if self._meta_df is None:
+                from pyspark import StorageLevel
+
+                raw = self._stage_df("chunks")
+                cols = [c for c in _META_COLS if c in raw.columns]
+                self._meta_df = raw.select(cols).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+            src = self._meta_df
+        return src.where(
+            F.col("bucket").isin(self._buckets(terms))
+        ).where(F.col("term").isin(terms))
+
+    def close(self) -> None:
+        """Release engine-pinned executor memory (the metadata cache).
+        Optional — Spark reclaims it when the session ends."""
+        if self._meta_df is not None:
+            self._meta_df.unpersist()
+            self._meta_df = None
 
     @staticmethod
     def _keys_predicate(keys) -> "F.Column":
@@ -466,7 +524,7 @@ class QueryEngine:
         lexicon job. Returns None when the index predates bound columns
         or the term set exceeds the planning cap (callers fall back to
         the lexicon + interval pruner)."""
-        chunks = self._chunks(terms)
+        chunks = self._chunks_meta(terms)
         if "max_ratio" not in chunks.columns:
             return None
         if all(t in self._lex_raw_cache for t in terms):
@@ -707,7 +765,7 @@ class QueryEngine:
             F.col("_use_min"), F.col("min_ratio") * F.lit(self._scale_min)
         ).otherwise(F.col("max_ratio") * F.lit(self._scale_max))
         return (
-            self._chunks(present)
+            self._chunks_meta(present)
             .join(bdf, "term")
             .select(
                 "term",
@@ -738,7 +796,11 @@ class QueryEngine:
         sweep (band edges only split segments, never change coverage).
 
         Returns one row per (segment, covering chunk):
-        (seg_lo, seg_hi, bound, est, term, salt, chunk_seq).
+        (seg_lo, seg_hi, bound, est, loc_r, term, salt, chunk_seq)
+        where ``loc_r`` is the segment's band-local bound rank — the
+        global top-64 is a subset of the per-band top-64, so the
+        planner's top-segment collect pre-filters on it and its
+        shuffle stays bounded by 64 x terms x bands rows.
         """
         n_terms = len(present)
         gmin = min(lex[t]["min_doc_id"] for t in present)
@@ -764,6 +826,7 @@ class QueryEngine:
                     "seg_hi": pd.Series(dtype="int64"),
                     "bound": pd.Series(dtype="float64"),
                     "est": pd.Series(dtype="int64"),
+                    "loc_r": pd.Series(dtype="int32"),
                     "term": pd.Series(dtype="object"),
                     "salt": pd.Series(dtype="int32"),
                     "chunk_seq": pd.Series(dtype="int32"),
@@ -799,6 +862,12 @@ class QueryEngine:
                     if conj and j
                     else (nn if conj else est + nn)
                 )
+            # band-local segment rank by (bound desc, seg_lo asc) —
+            # same tiebreak as the global top collect (see the batch
+            # twin in _batch_banded for the subset argument)
+            order = np.argsort(-bound, kind="stable")
+            loc_r = np.empty(len(order), dtype=np.int32)
+            loc_r[order] = np.arange(1, len(order) + 1, dtype=np.int32)
             outs = []
             for j, t in enumerate(terms_sorted):
                 cj = cover[:, j]
@@ -813,6 +882,7 @@ class QueryEngine:
                             "seg_hi": seg_hi[sel],
                             "bound": bound[sel],
                             "est": est[sel],
+                            "loc_r": loc_r[sel],
                             "term": t,
                             "salt": rows[:, 0].astype(np.int32),
                             "chunk_seq": rows[:, 1].astype(np.int32),
@@ -823,7 +893,7 @@ class QueryEngine:
 
         schema = (
             "seg_lo long, seg_hi long, bound double, est long, "
-            "term string, salt int, chunk_seq int"
+            "loc_r int, term string, salt int, chunk_seq int"
         )
         return banded.groupBy("band").applyInPandas(sweep, schema)
 
@@ -866,7 +936,8 @@ class QueryEngine:
             # fetch the chosen segments' keys; at scale every planner
             # job is a driver round-trip worth deleting
             top = (
-                segs.groupBy("seg_lo", "seg_hi", "bound", "est")
+                segs.where(F.col("loc_r") <= 64)
+                .groupBy("seg_lo", "seg_hi", "bound", "est")
                 .agg(
                     F.collect_set(
                         F.struct("term", "salt", "chunk_seq")
@@ -1544,6 +1615,7 @@ class QueryEngine:
                     "seg_hi": pd.Series(dtype="int64"),
                     "bound": pd.Series(dtype="float64"),
                     "est": pd.Series(dtype="int64"),
+                    "loc_r": pd.Series(dtype="int32"),
                     "term": pd.Series(dtype="object"),
                     "salt": pd.Series(dtype="int32"),
                     "chunk_seq": pd.Series(dtype="int32"),
@@ -1581,12 +1653,24 @@ class QueryEngine:
                     if conj_q and j
                     else (nn if conj_q else est + nn)
                 )
+            # band-local rank of each segment by (bound desc, seg_lo
+            # asc) — sweep_segments emits seg_lo ascending, so a stable
+            # argsort on -bound breaks ties exactly like the global
+            # top-segment window. The global top-64 per query is a
+            # subset of the per-(query, band) top-64 (a rank can only
+            # shrink within a subset), so the collect below filters on
+            # loc_r FIRST: its shuffle input drops from every
+            # (segment x term) row the sweep emits (~O(chunks) at web
+            # scale) to <= 64 x terms x bands rows.
+            order = np.argsort(-bound, kind="stable")
+            loc_r = np.empty(len(order), dtype=np.int32)
+            loc_r[order] = np.arange(1, len(order) + 1, dtype=np.int32)
             # one concatenated frame (numpy concats + a single
             # DataFrame build) — per-term DataFrame + pd.concat paid
             # ~1 ms/group of pure construction overhead across the
             # tens of thousands of groups a web-scale batch sweeps
-            lo_c, hi_c, bd_c, est_c, term_c, salt_c, seq_c = (
-                [], [], [], [], [], [], []
+            lo_c, hi_c, bd_c, est_c, lr_c, term_c, salt_c, seq_c = (
+                [], [], [], [], [], [], [], []
             )
             for j, t in enumerate(terms_sorted):
                 cj = cover[:, j]
@@ -1599,6 +1683,7 @@ class QueryEngine:
                 hi_c.append(seg_hi[sel])
                 bd_c.append(bound[sel])
                 est_c.append(est[sel])
+                lr_c.append(loc_r[sel])
                 term_c.append(np.full(n_sel, t, dtype=object))
                 salt_c.append(rows[:, 0].astype(np.int32))
                 seq_c.append(rows[:, 1].astype(np.int32))
@@ -1611,6 +1696,7 @@ class QueryEngine:
                     "seg_hi": np.concatenate(hi_c),
                     "bound": np.concatenate(bd_c),
                     "est": np.concatenate(est_c),
+                    "loc_r": np.concatenate(lr_c),
                     "term": np.concatenate(term_c),
                     "salt": np.concatenate(salt_c),
                     "chunk_seq": np.concatenate(seq_c),
@@ -1619,8 +1705,12 @@ class QueryEngine:
 
         schema = (
             "query_id int, seg_lo long, seg_hi long, bound double, "
-            "est long, term string, salt int, chunk_seq int"
+            "est long, loc_r int, term string, salt int, chunk_seq int"
         )
+        import time as _time
+
+        _dbg = os.environ.get("SE_PLAN_DEBUG") == "1"
+        _t0 = _time.time()
         segs = (
             banded.groupBy("query_id", "band")
             .applyInPandas(sweep, schema)
@@ -1632,9 +1722,13 @@ class QueryEngine:
             )
             # one collect: per-query top segments WITH covering chunk
             # keys (same job-fold as _spark_banded — the round-3 shape
-            # paid a second cache-scan job for the chosen keys)
+            # paid a second cache-scan job for the chosen keys). The
+            # loc_r pre-filter (see sweep) keeps the groupBy + window
+            # shuffle bounded by 64 x terms x bands rows, independent
+            # of total chunk count.
             top_rows = (
-                segs.groupBy("query_id", "seg_lo", "seg_hi", "bound", "est")
+                segs.where(F.col("loc_r") <= 64)
+                .groupBy("query_id", "seg_lo", "seg_hi", "bound", "est")
                 .agg(
                     F.collect_set(
                         F.struct("term", "salt", "chunk_seq")
@@ -1644,6 +1738,12 @@ class QueryEngine:
                 .where(F.col("_r") <= 64)
                 .collect()
             )
+            if _dbg:
+                print(
+                    f"[plan] sweep+top: {_time.time()-_t0:.2f}s",
+                    file=sys.stderr,
+                )
+                _t0 = _time.time()
             if not top_rows:
                 return EMPTY_BATCH
             self.last_plan_stats.update(
@@ -1687,6 +1787,13 @@ class QueryEngine:
                     p1_keys, p1_ivals, lex, conj, k, qt_df, nq_df, dtype
                 )
                 self._batch_thetas = thetas
+            if _dbg:
+                print(
+                    f"[plan] theta ({len(p1_keys) if p1 else 0} keys): "
+                    f"{_time.time()-_t0:.2f}s",
+                    file=sys.stderr,
+                )
+                _t0 = _time.time()
             kept = segs
             if thetas:
                 th_df = F.broadcast(
@@ -1717,6 +1824,13 @@ class QueryEngine:
                         F.count(F.lit(1)).alias("n"),
                         F.count(F.when(survives, 1)).alias("nk"),
                     ).collect()[0]
+                    if _dbg:
+                        print(
+                            f"[plan] survive-agg ({c['nk']}/{c['n']}): "
+                            f"{_time.time()-_t0:.2f}s",
+                            file=sys.stderr,
+                        )
+                        _t0 = _time.time()
                     if c["nk"] == c["n"]:
                         self.last_plan_stats["chunks_kept"] = total_chunks
                         return None
@@ -1732,6 +1846,12 @@ class QueryEngine:
                 .localCheckpoint(eager=True)
             )
             n_keys = keys_df.count()
+            if _dbg:
+                print(
+                    f"[plan] distinct ({n_keys} keys): "
+                    f"{_time.time()-_t0:.2f}s",
+                    file=sys.stderr,
+                )
             self.last_plan_stats["chunks_kept"] = n_keys
             if n_keys == 0:
                 return EMPTY_BATCH
