@@ -117,6 +117,19 @@ _META_COLS = [
     "min_ratio",
 ]
 
+# driver-local phase-1 theta probe (_theta_local): the probe's chunk
+# set is BOUNDED by the planner (<= 64 top segments per query), so at
+# any corpus scale it is a point read of a few hundred payloads — an
+# IR engine answers its threshold probe from storage directly instead
+# of scheduling a distributed job per serve pass (measured at 4M docs:
+# the Spark probe cost 5.7-7.4 s of fixed scheduling + scan tasks per
+# batch; the pyarrow point read is tens of ms). SE_LOCAL_THETA=0
+# forces the distributed probe (tests compare both paths).
+LOCAL_THETA = os.environ.get("SE_LOCAL_THETA", "1") != "0"
+
+# shared decoded-chunk LRU size (driver-side paths); epoch flush
+DECODED_CACHE_CAP = 131072
+
 # batch_search: skip the phase-1 threshold job when the batch's terms
 # own fewer total chunks than this — decoding ~4k chunks (~0.5M
 # postings) costs less than one extra Spark job round-trip, so the
@@ -973,11 +986,25 @@ class QueryEngine:
                         for s in r["_ks"]
                     }
                 )
-                p1_rows = self._keys_job(
-                    present, lex, p1_keys, (lo, hi), mode, k, dtype=dtype
-                ).collect()
-                if len(p1_rows) >= k:
-                    theta = float(p1_rows[-1]["score"])
+                if self._theta_local_ok(len(p1_keys)):
+                    # bounded probe: driver point read, no Spark job
+                    th = self._theta_local(
+                        p1_keys,
+                        [(0, int(a), int(b)) for a, b in zip(lo, hi)],
+                        lex,
+                        conj,
+                        k,
+                        {0: present},
+                        dtype,
+                    )
+                    theta = th.get(0)
+                else:
+                    self.last_plan_stats["theta_probe"] = "spark"
+                    p1_rows = self._keys_job(
+                        present, lex, p1_keys, (lo, hi), mode, k, dtype=dtype
+                    ).collect()
+                    if len(p1_rows) >= k:
+                        theta = float(p1_rows[-1]["score"])
             kept = segs
             if theta is not None:
                 kept = segs.where(F.col("bound") >= theta)
@@ -1475,7 +1502,8 @@ class QueryEngine:
 
         # ONE shared phase-1 decode for every thresholdable query
         thetas = self._batch_theta(
-            sorted(p1_keys), p1_ivals, lex, conj, k, qt_df, nq_df, dtype
+            sorted(p1_keys), p1_ivals, lex, conj, k, qt_df, nq_df, dtype,
+            by_q={qid: p[0] for qid, p in plans.items()},
         )
         self._batch_thetas = thetas
         for qid, (tq, sub, bound, cover) in plans.items():
@@ -1505,13 +1533,25 @@ class QueryEngine:
         qt_df: DataFrame,
         nq_df: DataFrame,
         dtype=np.float32,
+        by_q: dict[int, list[str]] | None = None,
     ) -> dict[int, float]:
         """The shared phase-1 threshold job: decode exactly ``p1_keys``,
         mask each query's postings to its own probe intervals (mask =>
         exact scores, so each k-th best is a true theta lower bound),
         and return {query_id: k-th best score} for every query that
-        produced >= k masked results."""
+        produced >= k masked results.
+
+        The probe set is planner-bounded, so when the layout permits a
+        driver point read the probe skips Spark entirely
+        (:meth:`_theta_local`); the distributed job remains the path
+        for Iceberg layouts and above-cap tombstone sets."""
         from pyspark.sql import Window
+
+        if by_q is not None and self._theta_local_ok(len(p1_keys)):
+            return self._theta_local(
+                p1_keys, p1_ivals, lex, conj, k, by_q, dtype
+            )
+        self.last_plan_stats["theta_probe"] = "spark"
 
         p1_terms = sorted({t for t, _s, _c in p1_keys})
         if len(p1_keys) <= KEYS_COLLECT_CAP:
@@ -1783,8 +1823,12 @@ class QueryEngine:
                         (qid, int(a), int(b))
                         for a, b in zip(lo.tolist(), hi.tolist())
                     ]
+                tq_by_q: dict[int, list[str]] = {}
+                for qid, t in qt:
+                    tq_by_q.setdefault(qid, []).append(t)
                 thetas = self._batch_theta(
-                    p1_keys, p1_ivals, lex, conj, k, qt_df, nq_df, dtype
+                    p1_keys, p1_ivals, lex, conj, k, qt_df, nq_df, dtype,
+                    by_q={q: sorted(set(ts)) for q, ts in tq_by_q.items()},
                 )
                 self._batch_thetas = thetas
             if _dbg:
@@ -1872,35 +1916,16 @@ class QueryEngine:
 
     # ------------------------------------------------- driver-local path
 
-    def _local_scan(
-        self, terms: list[str]
-    ) -> tuple[dict, list[str], bool] | None:
-        """Driver-side chunk-row fetch with a persistent footer cache.
-
-        The round-3 path re-ran ``pyarrow.dataset(...).to_table`` per
-        query: every call re-parsed every fragment footer AND re-read
-        the matching buckets' row groups (~18 ms/query over a 105-file
-        sf0.1 chunks dir to fetch 32 rows — the BENCH_r03 local_path
-        regression: round-3 scan-split balancing made the build write
-        more, smaller chunk files, and the per-file cost scales with
-        file count). A serving engine answering many queries against an
-        IMMUTABLE index does what every IR system does with posting
-        lists: CACHE them. Data files are grouped by hive bucket at
-        first use, and each file's (projected) table is kept in a
-        byte-capped LRU (``SE_LOCAL_CACHE_MB``, default 512) — repeated
-        terms serve from memory, cold terms read through. Per-query
-        work on a warm cache is a vectorized in-memory term filter.
-        At web scale the cap bounds the driver's resident set; the
-        distributed ``search()`` path is the uncached/cold-term story.
-        Returns (columnar data dict, column names, have_bounds), or
-        None for an empty index. Row set is identical to the round-3
-        filtered ``to_table`` (test-asserted)."""
+    def _local_listing(self) -> dict:
+        """Lazily-initialized driver-side view of the chunks parquet
+        layout: bucket -> data-file paths plus the byte-capped
+        posting-table LRU, the decoded-chunk cache, and the schema —
+        shared by every driver-local read path (the serving fast path
+        ``search_local`` and the bounded planner probes)."""
         import glob
         import re
         from collections import OrderedDict
 
-        import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         cache = self._local_cache
@@ -1926,6 +1951,206 @@ class QueryEngine:
                 << 20,
                 "schema": schema_names,
             }
+        return cache
+
+    def _decode_keys_local(
+        self, keys: list[tuple]
+    ) -> dict[tuple, tuple] | None:
+        """Driver-side point read + decode of an exact (term, salt,
+        chunk_seq) key set: one pyarrow dataset scan whose key
+        predicate prunes row groups on term/chunk_seq statistics (the
+        files are term-sorted within each hive bucket), so only
+        ~|keys| payloads are materialized regardless of index size.
+        Decoded postings are tombstone-masked exactly like every other
+        decode path and land in the shared decoded-chunk cache (warm
+        probes and the local serving path reuse each other's work).
+        Returns {key: (doc_ids, tfs, dls)} for the keys found; None
+        when the index has no data files."""
+        import pyarrow.dataset as pa_ds
+
+        cache = self._local_listing()
+        if "term" not in cache["schema"]:
+            return None
+        decoded = cache.setdefault("decoded", {})
+        out: dict[tuple, tuple] = {}
+        missing: list[tuple] = []
+        for key in keys:
+            got = decoded.get(key)
+            if got is not None:
+                out[key] = got
+            else:
+                missing.append(key)
+        if not missing:
+            return out
+        terms = sorted({t for t, _s, _c in missing})
+        paths: list[str] = []
+        for b in self._buckets(terms):
+            paths += cache["by_bucket"].get(b, ())
+        if not paths:
+            return out
+        by_ts: dict[tuple, list[int]] = {}
+        for t, s, c in missing:
+            by_ts.setdefault((t, int(s)), []).append(int(c))
+        expr = None
+        for (t, s), seqs in sorted(by_ts.items()):
+            e = (
+                (pa_ds.field("term") == t)
+                & (pa_ds.field("salt") == s)
+                & pa_ds.field("chunk_seq").isin(sorted(seqs))
+            )
+            expr = e if expr is None else expr | e
+        tbl = pa_ds.dataset(paths, format="parquet").to_table(
+            columns=["term", "salt", "chunk_seq", "codec", "payload", "dls"],
+            filter=expr,
+        )
+        cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+        for i in range(tbl.num_rows):
+            key = (
+                cols["term"][i],
+                int(cols["salt"][i]),
+                int(cols["chunk_seq"][i]),
+            )
+            ids, tfs = codecs.decode_chunk(
+                cols["payload"][i], cols["codec"][i]
+            )
+            dls = codecs.decode_lengths(cols["dls"][i])
+            ids = ids.astype(np.int64)
+            if self._deleted is not None and len(ids):
+                pos = np.searchsorted(self._deleted, ids)
+                safe = np.clip(pos, 0, len(self._deleted) - 1)
+                keep = self._deleted[safe] != ids
+                if not keep.all():
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            if len(decoded) >= DECODED_CACHE_CAP:
+                decoded.clear()
+            decoded[key] = out[key] = (ids, tfs, dls)
+        return out
+
+    def _theta_local_ok(self, n_keys: int) -> bool:
+        """The driver-local theta probe applies when the layout is
+        directly readable (parquet, not Iceberg), tombstones fit the
+        driver (the array path masks in-place; the distributed
+        fallback can't), and the probe set is point-read sized."""
+        return (
+            LOCAL_THETA
+            and n_keys <= KEYS_COLLECT_CAP
+            and self.config.get("table_format") != "iceberg"
+            and self._deleted_df is None
+        )
+
+    def _theta_local(
+        self,
+        p1_keys: list[tuple],
+        p1_ivals: list[tuple[int, int, int]],
+        lex: dict[str, dict],
+        conj: bool,
+        k: int,
+        by_q: dict[int, list[str]],
+        dtype=np.float32,
+    ) -> dict[int, float]:
+        """Driver-side twin of :meth:`_batch_theta`: decode exactly
+        ``p1_keys`` via a pyarrow point read, mask each query's
+        postings to its own probe intervals, and return {query_id:
+        k-th best masked score}. Scoring mirrors the distributed job
+        (per-posting ``bm25_scores`` in ``dtype``, float64 doc sums in
+        canonical sorted-term order); theta consumers already shave a
+        ``BOUND_MARGIN`` relative slack, which absorbs sum-order
+        noise between this and the final aggregation the same way it
+        does between two Spark jobs. Validity does not depend on the
+        probe seeing every posting of a doc: masked sums are <= true
+        scores, so the k-th best masked score stays a true lower
+        bound of the k-th best final score."""
+        self.last_plan_stats["theta_probe"] = "local"
+        got = self._decode_keys_local(p1_keys)
+        if not got:
+            return {}
+        by_t: dict[str, list[tuple]] = {}
+        for key, v in got.items():
+            by_t.setdefault(key[0], []).append(v)
+        per_term: dict[str, tuple] = {}
+        for t, parts in by_t.items():
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            if len(parts) > 1:
+                o = np.argsort(ids, kind="stable")
+                ids, tfs, dls = ids[o], tfs[o], dls[o]
+            per_term[t] = (ids, tfs, dls)
+        iv_by_q: dict[int, list[tuple[int, int]]] = {}
+        for qid, lo, hi in p1_ivals:
+            iv_by_q.setdefault(qid, []).append((lo, hi))
+        thetas: dict[int, float] = {}
+        for qid, ivs in iv_by_q.items():
+            tq = by_q[qid]
+            # callers emit merge_intervals output in ascending order,
+            # so the per-query interval list is sorted + disjoint
+            mlo = np.array([a for a, _ in ivs], dtype=np.int64)
+            mhi = np.array([b for _, b in ivs], dtype=np.int64)
+            masked: dict[str, tuple] = {}
+            for t in tq:
+                if t not in per_term:
+                    continue
+                ids, tfs, dls = per_term[t]
+                keep = wand.ids_in_intervals(ids, mlo, mhi)
+                if keep.any():
+                    masked[t] = (ids[keep], tfs[keep], dls[keep])
+            if not masked or (conj and len(masked) < len(tq)):
+                continue
+            cand = np.unique(
+                np.concatenate([v[0] for v in masked.values()])
+            )
+            total = np.zeros(len(cand), dtype=np.float64)
+            nt = np.zeros(len(cand), dtype=np.int32)
+            for t in sorted(masked):
+                ids_t, tfs_t, dls_t = masked[t]
+                s = bm25_scores(
+                    tfs_t,
+                    dls_t,
+                    lex[t]["df"],
+                    self.n_docs,
+                    self.avgdl,
+                    dtype=dtype,
+                )
+                pos = np.searchsorted(cand, ids_t)
+                total[pos] += s.astype(np.float64)
+                nt[pos] += 1
+            if conj:
+                sel = nt == len(tq)
+                cand, total = cand[sel], total[sel]
+            if len(cand) < k:
+                continue
+            order = np.lexsort((cand, -total))
+            thetas[qid] = float(total[order[k - 1]])
+        return thetas
+
+    def _local_scan(
+        self, terms: list[str]
+    ) -> tuple[dict, list[str], bool] | None:
+        """Driver-side chunk-row fetch with a persistent footer cache.
+
+        The round-3 path re-ran ``pyarrow.dataset(...).to_table`` per
+        query: every call re-parsed every fragment footer AND re-read
+        the matching buckets' row groups (~18 ms/query over a 105-file
+        sf0.1 chunks dir to fetch 32 rows — the BENCH_r03 local_path
+        regression: round-3 scan-split balancing made the build write
+        more, smaller chunk files, and the per-file cost scales with
+        file count). A serving engine answering many queries against an
+        IMMUTABLE index does what every IR system does with posting
+        lists: CACHE them. Data files are grouped by hive bucket at
+        first use, and each file's (projected) table is kept in a
+        byte-capped LRU (``SE_LOCAL_CACHE_MB``, default 512) — repeated
+        terms serve from memory, cold terms read through. Per-query
+        work on a warm cache is a vectorized in-memory term filter.
+        At web scale the cap bounds the driver's resident set; the
+        distributed ``search()`` path is the uncached/cold-term story.
+        Returns (columnar data dict, column names, have_bounds), or
+        None for an empty index. Row set is identical to the round-3
+        filtered ``to_table`` (test-asserted)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        cache = self._local_listing()
         if "term" not in cache["schema"]:  # empty index: no data files
             return None
         cols = [

@@ -344,3 +344,43 @@ def test_batch_banded_planner_above_metadata_cap(engine, mode, monkeypatch):
         for r in rows
     }
     assert got == under
+
+
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+def test_local_theta_probe_matches_spark_probe(engine, mode, monkeypatch):
+    """The phase-1 threshold probe is planner-bounded (<= 64 top
+    segments' covering chunks), so on a parquet layout it runs as a
+    DRIVER point read (_theta_local) instead of a Spark job — per
+    serve pass that deletes a fixed multi-second scheduling + scan
+    cost. Both probes must leave the banded planners rank-identical,
+    and the stats must show which one ran."""
+    monkeypatch.setattr(query_mod, "METADATA_CAP", 4)
+    queries = [(0, "the rare"), (1, "rare pad3"), (2, "the sparse")]
+
+    def snap():
+        single = [
+            (r["doc_id"], round(r["score"], 4))
+            for r in engine.search("the rare", mode=mode, k=5).collect()
+        ]
+        s_stats = dict(engine.last_plan_stats)
+        batch = {
+            (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 4))
+            for r in engine.batch_search(queries, mode=mode, k=5).collect()
+        }
+        b_stats = dict(engine.last_plan_stats)
+        return single, s_stats, batch, b_stats
+
+    monkeypatch.setattr(query_mod, "LOCAL_THETA", True)
+    l_single, l_sstats, l_batch, l_bstats = snap()
+    monkeypatch.setattr(query_mod, "LOCAL_THETA", False)
+    d_single, d_sstats, d_batch, d_bstats = snap()
+
+    assert l_single == d_single
+    assert l_batch == d_batch
+    if mode == "disjunctive":
+        # disjunctive over the stop word always probes (many segments)
+        assert l_sstats.get("theta_probe") == "local", l_sstats
+        assert d_sstats.get("theta_probe") == "spark", d_sstats
+        assert l_bstats.get("theta_probe") == "local", l_bstats
+        assert d_bstats.get("theta_probe") == "spark", d_bstats
+        assert "theta" in l_sstats and "theta" in d_sstats
