@@ -353,6 +353,12 @@ class QueryEngine:
             self._meta_df.unpersist()
             self._meta_df = None
 
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     @staticmethod
     def _keys_predicate(keys) -> "F.Column":
         """Exact (term, salt, chunk_seq) chunk-key set as a PREDICATE:
@@ -391,6 +397,42 @@ class QueryEngine:
                 keys, "term string, salt int, chunk_seq int"
             )
         )
+
+    def _resolve_keys(self, keys_df: DataFrame, n_keys: int):
+        """Distributed twin of :meth:`_keys_result`: dispatch a
+        surviving-key FRAME by its known count — collect to a sorted
+        driver list under KEYS_COLLECT_CAP (so consumers get the exact
+        pushdown predicate), broadcast-hint under KEYS_BROADCAST_CAP,
+        else leave it for a shuffle leftsemi. The one place encoding
+        the collect/broadcast/shuffle policy for planner outputs."""
+        if n_keys <= KEYS_COLLECT_CAP:
+            return sorted(
+                (r["term"], int(r["salt"]), int(r["chunk_seq"]))
+                for r in keys_df.collect()
+            )
+        if n_keys <= KEYS_BROADCAST_CAP:
+            return F.broadcast(keys_df)
+        return keys_df
+
+    def _apply_keys(self, chunks: DataFrame, keys) -> DataFrame:
+        """Filter a chunks frame to a surviving chunk-key set — the one
+        place applying the dispatch policy. A driver-side list under
+        KEYS_COLLECT_CAP becomes the exact (term, salt, chunk_seq)
+        pushdown predicate (point reads at the scan); a longer list is
+        already driver-resident, so it ships as a broadcast leftsemi;
+        a DataFrame joins leftsemi as-is (any broadcast hint was
+        attached by :meth:`_resolve_keys`)."""
+        if isinstance(keys, list):
+            if not keys:
+                return chunks.where(F.lit(False))
+            if len(keys) <= KEYS_COLLECT_CAP:
+                return chunks.where(self._keys_predicate(keys))
+            keys = F.broadcast(
+                self.spark.createDataFrame(
+                    keys, "term string, salt int, chunk_seq int"
+                )
+            )
+        return chunks.join(keys, ["term", "salt", "chunk_seq"], "leftsemi")
 
     def _scored_postings(
         self,
@@ -641,17 +683,7 @@ class QueryEngine:
     ) -> DataFrame:
         """Decode+score exactly the given (term, salt, chunk_seq) chunk
         keys, optionally masking postings to doc-id intervals."""
-        if keys and len(keys) <= KEYS_COLLECT_CAP:
-            kept = self._chunks(present).where(self._keys_predicate(keys))
-        else:
-            keys_df = F.broadcast(
-                self.spark.createDataFrame(
-                    keys, "term string, salt int, chunk_seq int"
-                )
-            )
-            kept = self._chunks(present).join(
-                keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
-            )
+        kept = self._apply_keys(self._chunks(present), keys)
         scored = self._scored_postings(
             kept, lex, intervals=intervals, with_dl=explain, dtype=dtype
         )
@@ -1018,22 +1050,12 @@ class QueryEngine:
             self.last_plan_stats["chunks_kept"] = n_keys
             if n_keys == 0:
                 return empty
-            if n_keys <= KEYS_COLLECT_CAP:
-                # checkpointed + counted already: collect the small key
-                # set so the decode scan does pushdown point reads
-                keys = sorted(
-                    (r["term"], int(r["salt"]), int(r["chunk_seq"]))
-                    for r in keys_df.collect()
-                )
-                kept_chunks = self._chunks(present).where(
-                    self._keys_predicate(keys)
-                )
-            else:
-                if n_keys <= KEYS_BROADCAST_CAP:
-                    keys_df = F.broadcast(keys_df)
-                kept_chunks = self._chunks(present).join(
-                    keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
-                )
+            # checkpointed + counted already: under the collect cap the
+            # key set comes back to the driver so the decode scan does
+            # pushdown point reads
+            kept_chunks = self._apply_keys(
+                self._chunks(present), self._resolve_keys(keys_df, n_keys)
+            )
             scored = self._scored_postings(
                 kept_chunks, lex, with_dl=explain, dtype=dtype
             )
@@ -1342,13 +1364,8 @@ class QueryEngine:
             )
         if keys_df is EMPTY_BATCH:
             return empty
-        if isinstance(keys_df, list):
-            # small surviving set: exact predicate reaches the scan
-            chunks = chunks.where(self._keys_predicate(keys_df))
-        elif keys_df is not None:
-            chunks = chunks.join(
-                keys_df, ["term", "salt", "chunk_seq"], "leftsemi"
-            )
+        if keys_df is not None:
+            chunks = self._apply_keys(chunks, keys_df)
         scored = self._scored_postings(chunks, lex, dtype=dtype)
         per_q = (
             scored.join(qt_df, "term")
@@ -1554,19 +1571,7 @@ class QueryEngine:
         self.last_plan_stats["theta_probe"] = "spark"
 
         p1_terms = sorted({t for t, _s, _c in p1_keys})
-        if len(p1_keys) <= KEYS_COLLECT_CAP:
-            kept1 = self._chunks(p1_terms).where(
-                self._keys_predicate(p1_keys)
-            )
-        else:
-            keys1 = F.broadcast(
-                self.spark.createDataFrame(
-                    p1_keys, "term string, salt int, chunk_seq int"
-                )
-            )
-            kept1 = self._chunks(p1_terms).join(
-                keys1, ["term", "salt", "chunk_seq"], "leftsemi"
-            )
+        kept1 = self._apply_keys(self._chunks(p1_terms), p1_keys)
         iv = F.broadcast(
             self.spark.createDataFrame(
                 p1_ivals, "query_id int, lo long, hi long"
@@ -1901,16 +1906,9 @@ class QueryEngine:
                 return EMPTY_BATCH
             if n_keys >= total_chunks:
                 return None
-            if n_keys <= KEYS_COLLECT_CAP:
-                # checkpointed + counted already: a <=cap-row collect is
-                # cheap and turns the decode into pushdown point reads
-                return sorted(
-                    (r["term"], int(r["salt"]), int(r["chunk_seq"]))
-                    for r in keys_df.collect()
-                )
-            if n_keys <= KEYS_BROADCAST_CAP:
-                keys_df = F.broadcast(keys_df)
-            return keys_df
+            # checkpointed + counted already: a <=cap-row collect is
+            # cheap and turns the decode into pushdown point reads
+            return self._resolve_keys(keys_df, n_keys)
         finally:
             segs.unpersist()
 
@@ -2256,7 +2254,7 @@ class QueryEngine:
         # the posting-file cache in _local_scan): chunks shared across
         # queries decode once; ~3 KB/chunk, count-capped
         decoded = self._local_cache.setdefault("decoded", {})
-        decoded_cap = 131072
+        decoded_cap = DECODED_CACHE_CAP
 
         def get_chunk(row: int):
             key = (
@@ -2888,6 +2886,21 @@ class MultiIndexQueryEngine:
             )
             for d in self.index_dirs
         ]
+
+    def close(self) -> None:
+        """Release every segment engine's pinned metadata cache (see
+        QueryEngine.close). A long-lived session that churns
+        multi-segment engines (LSM reopen after delete/upsert) should
+        close the old one, or the discarded engines' MEMORY_AND_DISK
+        metadata projections stay pinned until the session ends."""
+        for e in self.engines:
+            e.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def _pmap(self, fn, items: list) -> list:
         """Run ``fn`` over ``items`` on the scatter-gather thread pool
