@@ -589,3 +589,32 @@ def test_multi_segment_serving_after_upsert_before_merge(
     # the delta's docs are immediately visible (no merge ran)
     alpha = mqe.search_local("alpha", k=5)
     assert alpha and all(d >= off1 for d, _ in alpha)
+
+
+def test_engine_close_releases_metadata_cache(spark, corpus, base_index):
+    """close() unpersists the engine-pinned chunks-metadata projection
+    (META_CACHE) and the context-manager form forwards to it; a
+    multi-segment engine closes every per-segment engine. Guards the
+    churn case — LSM serving that reopens engines after delete/upsert
+    must not accumulate pinned caches for the session lifetime."""
+    from search_engine_spark.query import MultiIndexQueryEngine
+
+    with QueryEngine(spark, base_index) as eng:
+        _topk(eng.search(QUERY, mode="disjunctive", k=10))
+        cached = eng._meta_df
+        if cached is not None:  # META_CACHE path materialized
+            assert cached.storageLevel.useMemory
+    assert eng._meta_df is None
+    if cached is not None:
+        assert not cached.storageLevel.useMemory  # actually unpersisted
+
+    with MultiIndexQueryEngine(spark, [base_index]) as mqe:
+        _topk(mqe.search(QUERY, "disjunctive"))
+        segs = list(mqe.engines)
+    assert all(e._meta_df is None for e in segs)
+    # closed engines still re-open lazily on next use (close is not a
+    # poison pill — the cache re-pins on demand)
+    reopened = QueryEngine(spark, base_index)
+    got = _topk(reopened.search(QUERY, mode="disjunctive", k=10))
+    assert len(got) == 10
+    reopened.close()
