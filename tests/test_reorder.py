@@ -235,3 +235,127 @@ def test_bisect_leaf_refine_invariants_and_payoff(spark, tmp_path_factory):
     small = spark.createDataFrame(rows, "doc_id long, url string, text string")
     out = reorder.reorder_bisect(small, depth=1, leaf_refine=True).collect()
     assert sorted(r["doc_id"] for r in out) == [0, 1, 2]
+
+
+def _twin_prim_levels(
+    doc_ids, tvecs, depth, thr=10.0, direct_cap=500, sample_cap=1000,
+    min_seg=21,
+):
+    """In-process twin of _prim_outer_levels: the reference recursion
+    (split_cluster + center-of-mass orientation), level-synchronous,
+    over the same module functions — the ground truth the distributed
+    path must reproduce."""
+    init = reorder._com(
+        sorted(doc_ids, key=reorder._md5v)[: min(100, len(doc_ids))], tvecs
+    )
+    clusters = [(sorted(doc_ids), init, init, 0)]
+    for _ in range(depth):
+        nxt = []
+        for ids, mL, mR, path in clusters:
+            if len(ids) <= min_seg:
+                nxt.append((ids, mL, mR, path * 2))
+                continue
+            one, two = reorder._split_cluster(
+                sorted(ids), tvecs, thr, direct_cap, sample_cap
+            )
+            m1 = reorder._com(one, tvecs)
+            m2 = reorder._com(two, tvecs)
+            if reorder._cos(mL, m1) * reorder._cos(mR, m2) <= reorder._cos(
+                mL, m2
+            ) * reorder._cos(mR, m1):
+                one, two, m1, m2 = two, one, m2, m1
+            nxt.append((one, mL, m2, path * 2))
+            nxt.append((two, m1, mR, path * 2 + 1))
+        clusters = nxt
+    return {d: path for ids, _l, _r, path in clusters for d in ids}
+
+
+def _parity_corpus(spark, n_groups=6, per_group=40, n_empty=3):
+    """Clustered docs with a unique term each (real cosine margins, no
+    knife-edge ties across float sum orders) plus term-less docs."""
+    vocab = [
+        ["alpha", "beta", "gamma", "delta"],
+        ["red", "green", "blue", "cyan"],
+        ["one", "two", "three", "four"],
+        ["cat", "dog", "fox", "owl"],
+        ["sun", "moon", "star", "sky"],
+        ["run", "walk", "jump", "swim"],
+    ]
+    rows = []
+    for i in range(n_groups * per_group):
+        g = i % n_groups
+        rows.append((i, f"https://x/{i}", " ".join(vocab[g] * 6) + f" w{i}"))
+    base = n_groups * per_group
+    for j in range(n_empty):
+        rows.append((base + j, f"https://x/{base+j}", ""))
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+@pytest.mark.parametrize(
+    "caps",
+    [
+        dict(direct_cap=500, sample_cap=1000, min_seg=21),  # direct branch
+        dict(direct_cap=50, sample_cap=64, min_seg=5),  # sampled branch
+    ],
+)
+def test_prim_outer_matches_inprocess_recursion(spark, caps):
+    """The distributed outer='prim' levels must assign every doc the
+    SAME path as the in-process reference recursion — sampled Prim
+    split, tie-to-side-two assignment, mid-split fallbacks, and
+    neighbor orientation all included. Covers term-less docs (empty
+    vectors -> side two) and both split_index branches."""
+    from pyspark.sql import functions as F
+
+    ensure_shipped(spark)
+    docs = _parity_corpus(spark)
+    state0 = docs.select("doc_id").withColumn(
+        "path", F.lit(0).cast("long")
+    )
+    tf = reorder._unit_term_weights(docs.select("doc_id", "text")).persist()
+    try:
+        st = reorder._prim_outer_levels(docs, state0, tf, 3, **caps)
+        got = {int(r["doc_id"]): int(r["path"]) for r in st.collect()}
+    finally:
+        tf.unpersist()
+
+    tvecs: dict[int, dict[str, float]] = {}
+    for r in reorder._term_weights(docs.select("doc_id", "text")).collect():
+        tvecs.setdefault(int(r["doc_id"]), {})[r["term"]] = float(r["w"])
+    for d in got:
+        tvecs.setdefault(d, {})
+    want = _twin_prim_levels(sorted(tvecs), tvecs, 3, **caps)
+    assert got == want
+
+
+def test_bisect_prim_outer_invariants_and_grouping(spark):
+    """outer='prim' end-to-end: dense permutation, all columns kept,
+    and the reference criterion reconstructs cluster adjacency at
+    least as well as the grouping bar the kmeans test uses."""
+    ensure_shipped(spark)
+    docs = clustered_corpus(spark)
+    out = reorder.reorder_bisect(docs, depth=3, outer="prim").cache()
+    rows = out.select("doc_id", "orig_doc_id").collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(rows)))
+    group_of = {r["doc_id"]: r["orig_doc_id"] % 6 for r in rows}
+    same = sum(
+        1 for i in range(len(rows) - 1) if group_of[i] == group_of[i + 1]
+    )
+    assert same / (len(rows) - 1) > 0.9
+    out.unpersist()
+
+
+def test_bisect_prim_outer_all_identical_docs(spark):
+    """Degenerate corpus under outer='prim': still a dense permutation
+    (Prim over an all-ties graph + orientation swaps must not lose or
+    duplicate docs)."""
+    ensure_shipped(spark)
+    rows = [(i, f"https://x/{i}", "same words every time") for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = reorder.reorder_bisect(docs, depth=2, outer="prim").collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(9))
+
+
+def test_bisect_rejects_unknown_outer(spark):
+    docs = clustered_corpus(spark, n_groups=2, per_group=3)
+    with pytest.raises(ValueError, match="outer"):
+        reorder.reorder_bisect(docs, outer="nope")
