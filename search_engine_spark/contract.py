@@ -1037,6 +1037,29 @@ def sql_reorder_permutation() -> str:
     """
 
 
+def spark_reorder_prim_permutation(spark, sf_dir: str) -> DataFrame:
+    """Same permutation contract as :func:`spark_reorder_permutation`
+    but through ``outer="prim"`` — the reference's OWN split criterion
+    at every outer level (sampled Prim partition + tie-to-side-two
+    centroid assignment + oriented halves, distributed). Faithfulness
+    itself is pytest-gated by the path-identity twin test
+    (tests/test_reorder.py::test_prim_outer_matches_inprocess_recursion);
+    the driver gate proves the full faithful pipeline runs end-to-end
+    on the real corpus and preserves it bit-for-bit."""
+    from .reorder import reorder_bisect
+
+    out = reorder_bisect(
+        _docs(spark, sf_dir), depth=3, outer="prim", leaf_refine=True
+    )
+    return out.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        F.countDistinct("doc_id").cast("long").alias("n_distinct"),
+        F.countDistinct("orig_doc_id").cast("long").alias("n_orig"),
+    )
+
+
 def spark_ann_bruteforce(spark, sf_dir: str) -> DataFrame:
     from .ann import cosine_topk
 
@@ -2212,6 +2235,11 @@ def _registry() -> dict:
     # contract; the locality objective is pytest-gated (see docstring)
     q["reorder_permutation"] = {
         "spark": spark_reorder_permutation,
+        "sql": sql_reorder_permutation(),
+    }
+    # the prim-faithful outer levels, end-to-end on the same contract
+    q["reorder_prim_permutation"] = {
+        "spark": spark_reorder_prim_permutation,
         "sql": sql_reorder_permutation(),
     }
     return q
