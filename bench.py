@@ -295,17 +295,20 @@ def run_suite() -> dict:
             IndexBuilder(
                 spark, d2, bucket_count=16, materialize_postings=False
             ).build(upd2)
-            mqe = MultiIndexQueryEngine(
+            with MultiIndexQueryEngine(
                 spark, [base_seg, os.path.join(work, "updelta0"), d2]
-            )
-            mqe.search(DISJ_QUERIES[0], "disjunctive").collect()  # warm
+            ) as mqe:
+                mqe.search(DISJ_QUERIES[0], "disjunctive").collect()  # warm
 
-            def lsm_3q():
-                for q in DISJ_QUERIES[1:4]:
-                    mqe.search(q, "disjunctive").collect()
+                def lsm_3q():
+                    for q in DISJ_QUERIES[1:4]:
+                        mqe.search(q, "disjunctive").collect()
 
-            timings["lsm_serve_3q"] = _min_of(lsm_3q)
+                timings["lsm_serve_3q"] = _min_of(lsm_3q)
         finally:
+            # close() above released the per-segment pinned metadata
+            # caches so the remaining timed entries run with clean
+            # executor storage
             shutil.rmtree(work, ignore_errors=True)
 
         for name in [

@@ -403,8 +403,10 @@ class QueryEngine:
         surviving-key FRAME by its known count — collect to a sorted
         driver list under KEYS_COLLECT_CAP (so consumers get the exact
         pushdown predicate), broadcast-hint under KEYS_BROADCAST_CAP,
-        else leave it for a shuffle leftsemi. The one place encoding
-        the collect/broadcast/shuffle policy for planner outputs."""
+        else leave it for a shuffle leftsemi. Encodes the collect/
+        broadcast/shuffle policy for DISTRIBUTED planner outputs;
+        :meth:`_keys_result` is the twin for driver-resident lists and
+        owns the list->broadcast conversion."""
         if n_keys <= KEYS_COLLECT_CAP:
             return sorted(
                 (r["term"], int(r["salt"]), int(r["chunk_seq"]))
@@ -427,11 +429,9 @@ class QueryEngine:
                 return chunks.where(F.lit(False))
             if len(keys) <= KEYS_COLLECT_CAP:
                 return chunks.where(self._keys_predicate(keys))
-            keys = F.broadcast(
-                self.spark.createDataFrame(
-                    keys, "term string, salt int, chunk_seq int"
-                )
-            )
+            # over-cap list: _keys_result owns the list->broadcast
+            # conversion (single policy site)
+            keys = self._keys_result(keys)
         return chunks.join(keys, ["term", "salt", "chunk_seq"], "leftsemi")
 
     def _scored_postings(

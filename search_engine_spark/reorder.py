@@ -316,12 +316,11 @@ def _prim_outer_levels(
     # initial neighbor context: com of the <=100 smallest-md5 docs,
     # installed as BOTH slots (order_index's init: stack starts
     # (ids, init, init)). TakeOrdered — distributed, no global window.
-    n_docs = docs.count()
     init_ids = (
         docs.select("doc_id")
         .withColumn("_h", md5o)
         .orderBy("_h", "doc_id")
-        .limit(min(100, max(n_docs, 1)))
+        .limit(100)
         .select("doc_id")
     )
     init_vec = (
@@ -375,17 +374,27 @@ def _prim_outer_levels(
                 [(path, None, -1, None, None)], columns=cols
             )
         rows = []
+        norms = {0: 0.0, 1: 0.0}
         for side, part in ((0, s1), (1, s2)):
             c = _com(part, tvecs)
             norm = sum(v * v for v in c.values()) ** 0.5
+            norms[side] = norm
             if norm <= 0.0:
                 continue
             rows += [(path, None, side, t, v / norm) for t, v in c.items()]
-        if not {s for _p, _d, s, _t, _c in rows} == {0, 1}:
-            # a zero-norm half can never win a cosine: mid-split
+        if norms[0] <= 0.0:
+            # zero-norm side ONE: strict > can never send a doc there,
+            # so _split_cluster ends with side one empty and mid-splits
+            # — emit the marker directly
             return pd.DataFrame(
                 [(path, None, -1, None, None)], columns=cols
             )
+        # zero-norm side TWO needs no marker: _split_cluster still
+        # assigns cos(d, m1) > 0 docs to side one and ties (cos 0 vs
+        # the zero vector) to side two — exactly what the downstream
+        # coalesce(side, 1) tie rule computes when only side-0 centroid
+        # rows exist; a then-empty side hits the shared fallback like
+        # the reference's own post-assignment mid-split check
         return pd.DataFrame(rows, columns=cols)
 
     try:

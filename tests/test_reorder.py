@@ -359,3 +359,45 @@ def test_bisect_rejects_unknown_outer(spark):
     docs = clustered_corpus(spark, n_groups=2, per_group=3)
     with pytest.raises(ValueError, match="outer"):
         reorder.reorder_bisect(docs, outer="nope")
+
+
+def test_prim_outer_zero_norm_side_two_matches_recursion(spark):
+    """Sampled-branch shape where Prim's side two ends up ONLY
+    term-less docs (zero-norm center of mass): _split_cluster does NOT
+    mid-split — cos>0 docs go to side one, ties (cos 0 vs the zero
+    vector) to side two — and the distributed path must reproduce
+    that assignment, not fall back to the mid-split marker. 11 termed
+    docs = half-1 of the 24-doc sample, so side two is all term-less
+    whether Prim seeds on a termed or a term-less doc."""
+    from pyspark.sql import functions as F
+
+    ensure_shipped(spark)
+    rows = [(i, f"https://x/{i}", "shared shared shared") for i in range(11)]
+    rows += [(11 + j, f"https://x/{11+j}", "") for j in range(13)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string"
+    )
+    caps = dict(direct_cap=10, sample_cap=1000, min_seg=5)
+    state0 = docs.select("doc_id").withColumn(
+        "path", F.lit(0).cast("long")
+    )
+    tf = reorder._unit_term_weights(docs.select("doc_id", "text")).persist()
+    try:
+        st = reorder._prim_outer_levels(docs, state0, tf, 1, **caps)
+        got = {int(r["doc_id"]): int(r["path"]) for r in st.collect()}
+    finally:
+        tf.unpersist()
+
+    tvecs: dict[int, dict[str, float]] = {}
+    for r in reorder._term_weights(docs.select("doc_id", "text")).collect():
+        tvecs.setdefault(int(r["doc_id"]), {})[r["term"]] = float(r["w"])
+    for d in got:
+        tvecs.setdefault(d, {})
+    want = _twin_prim_levels(sorted(tvecs), tvecs, 1, **caps)
+    assert got == want
+    # and the split is the REFERENCE's grouping (termed docs together),
+    # not the mid-split fallback's {first 12}/{last 12}
+    sides: dict[int, set[int]] = {}
+    for d, p in want.items():
+        sides.setdefault(p, set()).add(d)
+    assert set(range(11)) in sides.values()
