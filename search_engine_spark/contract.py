@@ -114,16 +114,37 @@ def _shingle_cte(engine: str, n: int, name: str = "sh") -> str:
 
 
 def _minhash_cte(engine: str) -> str:
-    """minhash_i = min(md5(i || '|' || shingle)) over 16 hash slots."""
+    """minhash_i = min over shingles of (a_i*h + b_i) mod P, where h is
+    the shingle's 60-bit md5 prefix mod P — the same one-base-hash
+    universal-permutation family dedup._minhash_wide computes, with the
+    (a_i, b_i) literals baked in from dedup.minhash_coeffs."""
+    from .dedup import MINHASH_P, minhash_coeffs
+
+    vals = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_coeffs(N_MINHASH))
+    )
     if engine == "spark":
-        idx = f"idx AS (SELECT explode(sequence(0, {N_MINHASH - 1})) AS minhash_idx)"
+        params = (
+            f"params AS (SELECT * FROM VALUES {vals} "
+            "AS t(minhash_idx, a, b))"
+        )
+        h = (
+            "CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) "
+            f"% {MINHASH_P}"
+        )
     else:
-        idx = f"idx AS (SELECT CAST(i AS INT) AS minhash_idx FROM range(0, {N_MINHASH}) r(i))"
+        params = (
+            f"params AS (SELECT CAST(minhash_idx AS INT) AS minhash_idx, "
+            f"a, b FROM (VALUES {vals}) t(minhash_idx, a, b))"
+        )
+        h = f"('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P}"
     return (
-        idx
+        params
+        + f", hs AS (SELECT doc_id, {h} AS h FROM sh)"
         + ", sigs AS (SELECT doc_id, minhash_idx, "
-        "min(md5(CAST(minhash_idx AS STRING) || '|' || shingle)) AS minhash "
-        "FROM sh CROSS JOIN idx GROUP BY doc_id, minhash_idx)"
+        f"min((a * h + b) % {MINHASH_P}) AS minhash "
+        "FROM hs CROSS JOIN params GROUP BY doc_id, minhash_idx)"
     )
 
 
@@ -245,11 +266,11 @@ def sql_lsh_pairs(engine: str) -> str:
     if engine == "spark":
         band_key = (
             "md5(concat_ws(',', transform(array_sort(collect_list("
-            "struct(minhash_idx, minhash))), s -> s.minhash)))"
+            "struct(minhash_idx, minhash))), s -> CAST(s.minhash AS STRING))))"
         )
         band = "CAST(minhash_idx div 4 AS INT)"
     else:
-        band_key = "md5(string_agg(minhash, ',' ORDER BY minhash_idx))"
+        band_key = "md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY minhash_idx))"
         band = "CAST(minhash_idx // 4 AS INT)"
     return (
         f"WITH {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "
@@ -280,11 +301,11 @@ def sql_lsh_bucket_stats(engine: str) -> str:
     if engine == "spark":
         band_key = (
             "md5(concat_ws(',', transform(array_sort(collect_list("
-            "struct(minhash_idx, minhash))), s -> s.minhash)))"
+            "struct(minhash_idx, minhash))), s -> CAST(s.minhash AS STRING))))"
         )
         band = "CAST(minhash_idx div 4 AS INT)"
     else:
-        band_key = "md5(string_agg(minhash, ',' ORDER BY minhash_idx))"
+        band_key = "md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY minhash_idx))"
         band = "CAST(minhash_idx // 4 AS INT)"
     return (
         f"WITH {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "
@@ -846,11 +867,11 @@ def sql_dedup_clusters(engine: str) -> str:
     if engine == "spark":
         band_key = (
             "md5(concat_ws(',', transform(array_sort(collect_list("
-            "struct(minhash_idx, minhash))), s -> s.minhash)))"
+            "struct(minhash_idx, minhash))), s -> CAST(s.minhash AS STRING))))"
         )
         band = "CAST(minhash_idx div 4 AS INT)"
     else:
-        band_key = "md5(string_agg(minhash, ',' ORDER BY minhash_idx))"
+        band_key = "md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY minhash_idx))"
         band = "CAST(minhash_idx // 4 AS INT)"
     return (
         f"WITH RECURSIVE {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "

@@ -10,13 +10,15 @@ Scale notes (100 TB corpus, ~1000 executors):
   duplicate clusters; no windows (min-per-group + shuffle join instead
   of row_number, so a billion-row hash group never serializes through
   one window partition).
-* ``minhash_signatures`` — shingling explodes ~L tokens/doc into
-  distinct shingles; the 16-slot cross join multiplies rows 16× BEFORE
-  the min-agg, but Catalyst's partial aggregation collapses per-partition
-  so shuffle volume is ≤ 16 rows/doc.
-* ``lsh_candidate_pairs`` — band signatures groupBy(doc, band) then a
-  self-join on (band, band_key). Hot buckets (boilerplate pages) are the
-  skew risk: ``max_bucket_size`` caps any bucket before the self-join
+* ``minhash_signatures`` — shingling explodes ~L tokens/doc into a
+  shingle stream; ONE md5 per shingle, 16 universal-hash permutations
+  as int64 expressions on the same row (datasketch's construction),
+  and the partial aggregation collapses each partition to one wide
+  row/doc before the only shuffle.
+* ``lsh_candidate_pairs`` — band keys are expressions over the wide
+  signature row (no per-band shuffle), then one bucket aggregation.
+  Hot buckets (boilerplate pages) are the skew risk:
+  ``max_bucket_size`` caps any bucket before the pair expansion
   (standard practice — a bucket with B docs yields B² candidate pairs).
 * ``embedding_neardup_pairs`` — cosine pairs via an LSH-bucketed
   self-join (deterministic sign-random-projection buckets) rather than
@@ -103,39 +105,76 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+# universal-hash modulus for the minhash permutation family
+# (Mersenne prime 2^31 - 1: products a*h stay under 2^62, exact in
+# int64 arithmetic in BOTH engines — Spark long and DuckDB BIGINT)
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficients for the slot permutations
+    h_i(x) = (a_i*x + b_i) mod P — derived from md5 so any engine (or
+    the DuckDB oracle generator) reproduces them without an RNG."""
+    import hashlib
+
+    out = []
+    for i in range(n_hashes):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:15], 16)
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:15], 16)
+        out.append((a % (MINHASH_P - 1) + 1, b % MINHASH_P))
+    return out
+
+
+def _minhash_wide(
+    docs: DataFrame, n_hashes: int, shingle_n: int
+) -> DataFrame:
+    """(doc_id, m0..m{n-1}): slot i's column = min over shingles of
+    (a_i * h + b_i) mod P, where h = the shingle's 60-bit md5 prefix
+    reduced mod P — the whole signature as ONE hash-agg.
+
+    The standard one-base-hash construction (what datasketch ships):
+    ONE md5 per shingle, then ``n_hashes`` universal-hash permutations
+    as pure int64 arithmetic. The earlier scheme hashed md5(i||'|'||
+    shingle) per (slot, shingle) — 16x the md5 calls and a fresh string
+    concat per slot; measured at sf0.1 (260k shingles) each md5 slot
+    cost ~0.16s while the int64 permutations are ~free, so the full
+    signature dropped 3.8s -> ~1.7s with the same estimator quality.
+
+    Shape: raw codegen shingle stream (:func:`shingle_stream` — no
+    dedup: duplicate shingles map to the same h and ``min`` is
+    idempotent) feeding ``n_hashes`` min() aggregates evaluated on the
+    SAME row, so the partial agg's input is L shingle rows per doc (not
+    n*L exploded (row, slot) tuples) and each partition collapses to
+    ONE row/doc before the only shuffle. Everything up to the partial
+    agg is one whole-stage-codegen span: explode, element_at,
+    concat_ws, one md5, n_hashes fused mul/add/mod."""
+    sh = shingle_stream(tokens_df(docs), shingle_n)
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    ).alias("h")
+    hs = sh.select("doc_id", h)
+    aggs = [
+        F.min(
+            (F.lit(a).cast("long") * F.col("h") + F.lit(b)) % MINHASH_P
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
+    ]
+    return hs.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = N_MINHASH, shingle_n: int = 3
 ) -> DataFrame:
     """(doc_id, minhash_idx, minhash): slot i's hash = min over shingles
-    of md5(i || '|' || shingle).
-
-    Shape: raw codegen shingle stream (:func:`shingle_stream` — no
-    dedup: duplicate shingles hash to the same md5 and ``min`` is
-    idempotent), 16x slot fan-out, ONE shuffle — the groupBy's partial
-    aggregation collapses each partition to <=16 rows/doc before it
-    moves. Everything up to the partial agg is one whole-stage-codegen
-    span: explode, element_at, concat_ws, md5. Microbenched cold at
-    sf0.1 against (a) a transform()+array_distinct HOF shape and (b)
-    explode + distinct(): this shape won at 2.95s vs 4.85s / 5.03s
-    (identical output hashes) — higher-order lambdas evaluate
-    interpreted, and any dedup (array_distinct or distinct()) is pure
-    overhead for an idempotent min."""
-    sh = shingle_stream(tokens_df(docs), shingle_n)
-    idx = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias(
-        "minhash_idx"
-    )
-    return (
-        sh.select("doc_id", "shingle", idx)
-        .groupBy("doc_id", "minhash_idx")
-        .agg(
-            F.min(
-                F.md5(
-                    F.concat_ws(
-                        "|", F.col("minhash_idx").cast("string"), "shingle"
-                    )
-                )
-            ).alias("minhash")
-        )
+    of (a_i * h(shingle) + b_i) mod P (see :func:`_minhash_wide`). The
+    wide per-doc agg unpivoted with ``stack`` — a generator projection,
+    no extra shuffle."""
+    wide = _minhash_wide(docs, n_hashes, shingle_n)
+    pairs = ", ".join(f"{i}, m{i}" for i in range(n_hashes))
+    return wide.selectExpr(
+        "doc_id",
+        f"stack({n_hashes}, {pairs}) as (minhash_idx, minhash)",
     )
 
 
@@ -143,25 +182,29 @@ def _lsh_bands(
     docs: DataFrame, n_hashes: int, band_rows: int, shingle_n: int
 ) -> DataFrame:
     """(doc_id, band, band_key): band key = md5 of the band's minhash
-    values in slot order."""
-    sigs = minhash_signatures(docs, n_hashes, shingle_n)
-    band = (F.col("minhash_idx") / band_rows).cast("int").alias("band")
-    return (
-        sigs.select("doc_id", band, "minhash_idx", "minhash")
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("minhash_idx", "minhash"))
-                        ),
-                        lambda s: s["minhash"],
-                    ),
-                )
-            ).alias("band_key")
-        )
+    values in slot order. Band keys are concat expressions over the
+    wide signature columns — no per-band shuffle (the prior shape paid
+    a second groupBy(doc_id, band) + collect_list here)."""
+    wide = _minhash_wide(docs, n_hashes, shingle_n)
+    n_bands = (n_hashes + band_rows - 1) // band_rows
+    keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{i}").cast("string")
+                    for i in range(
+                        b * band_rows, min((b + 1) * band_rows, n_hashes)
+                    )
+                ],
+            )
+        ).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    wide = wide.select("doc_id", *keys)
+    pairs = ", ".join(f"{b}, b{b}" for b in range(n_bands))
+    return wide.selectExpr(
+        "doc_id", f"stack({n_bands}, {pairs}) as (band, band_key)"
     )
 
 

@@ -50,10 +50,13 @@ def test_minhash_matches_pure_python(spark):
     }
     toks = "the quick brown fox jumps over the lazy dog".split()
     shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
-    for i in range(4):
-        expect = min(
-            hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in shingles
-        )
+    P = dedup.MINHASH_P
+    hs = {
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P
+        for s in shingles
+    }
+    for i, (a, b) in enumerate(dedup.minhash_coeffs(4)):
+        expect = min((a * h + b) % P for h in hs)
         assert got[i] == expect
 
 
