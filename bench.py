@@ -328,6 +328,7 @@ def run_suite() -> dict:
             "events_hourly",
             "multimodal_features",
             "pii_redact",
+            "pack_sequences",
             "url_dedup",
         ]:
             fn = contract.queries()[name]

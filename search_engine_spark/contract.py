@@ -1023,6 +1023,58 @@ def sql_stratified_sample(engine: str) -> str:
     )
 
 
+PACK_SEQ_LEN = 128
+PACK_SHARDS = 4
+
+
+def spark_pack_sequences(spark, sf_dir: str) -> DataFrame:
+    from .textstats import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), seq_len=PACK_SEQ_LEN, n_shards=PACK_SHARDS
+    )
+
+
+def sql_pack_sequences(engine: str) -> str:
+    """Relational twin of textstats.pack_sequences: per-shard
+    cumulative token offsets (window), then one row per (doc,
+    sequence) overlap of the chopped stream."""
+    L, S = PACK_SEQ_LEN, PACK_SHARDS
+    if engine == "spark":
+        shard = (
+            "CAST(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), "
+            f"16, 10) AS BIGINT) % {S} AS INT)"
+        )
+        nt, seqs = "size(ts)", "explode(sequence(lo, hi)) AS seq_id"
+    else:
+        shard = (
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+            f"::BIGINT % {S} AS INT)"
+        )
+        nt, seqs = "len(ts)", "unnest(range(lo, hi + 1)) AS seq_id"
+    return (
+        f"WITH {_toks_cte(engine)}, "
+        f"sz AS (SELECT doc_id, {shard} AS shard, "
+        f"CAST({nt} + 1 AS BIGINT) AS sz FROM toks), "
+        "spans AS (SELECT shard, doc_id, "
+        "CAST(sum(sz) OVER (PARTITION BY shard ORDER BY doc_id) - sz "
+        "AS BIGINT) AS start, "
+        "CAST(sum(sz) OVER (PARTITION BY shard ORDER BY doc_id) "
+        "AS BIGINT) AS fin FROM sz), "
+        "x AS (SELECT shard, doc_id, start, fin, "
+        f"CAST(floor(start / {L}) AS BIGINT) AS lo, "
+        f"CAST(floor((fin - 1) / {L}) AS BIGINT) AS hi FROM spans), "
+        f"y AS (SELECT shard, doc_id, start, fin, {seqs} FROM x) "
+        "SELECT shard, seq_id, doc_id, "
+        f"CAST(GREATEST(start, seq_id * {L}) - seq_id * {L} AS INT) "
+        "AS seq_start, "
+        f"CAST(GREATEST(start, seq_id * {L}) - start AS BIGINT) "
+        "AS doc_start, "
+        f"CAST(LEAST(fin, (seq_id + 1) * {L}) - "
+        f"GREATEST(start, seq_id * {L}) AS INT) AS n_tok FROM y"
+    )
+
+
 def spark_reorder_permutation(spark, sf_dir: str) -> DataFrame:
     """Permutation invariants of the Blandford–Blelloch-faithful
     bisection reorder (``reorder.reorder_bisect``): the new ids must be
@@ -2149,6 +2201,7 @@ def _registry() -> dict:
         "repetition_ratio": (spark_repetition_ratio, sql_repetition_ratio),
         "source_stats": (spark_source_stats, sql_source_stats),
         "stratified_sample": (spark_stratified_sample, sql_stratified_sample),
+        "pack_sequences": (spark_pack_sequences, sql_pack_sequences),
         "ann_cosine_topk": (spark_ann_bruteforce, sql_ann_cosine),
         "ann_ivf_topk": (spark_ann_ivf, sql_ann_ivf),
         "semantic_dedup": (spark_semantic_dedup, sql_semantic_dedup),

@@ -381,3 +381,85 @@ def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
             F.min("doc_id").cast("long").alias("keep_doc_id"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int = 2048, n_shards: int = 8
+) -> DataFrame:
+    """GPT-style concatenate-and-chop sequence packing: the last step
+    of a pretraining pipeline, mapping curated documents into the
+    fixed-length training sequences the dataloader actually consumes.
+
+    Docs hash into ``n_shards`` independent token streams
+    (deterministic md5 bucket of doc_id — the same portable idiom as
+    :func:`stratified_sample`); within a shard docs concatenate in
+    doc_id order with ONE separator (EOS) token appended per doc, and
+    the stream chops into ``seq_len``-token sequences. Output: one row
+    per (document, sequence) overlap —
+
+    (shard, seq_id, doc_id, seq_start, doc_start, n_tok)
+
+    where ``seq_id`` counts sequences within the shard, ``seq_start``
+    is the slice's offset inside the sequence, ``doc_start`` the
+    offset inside the doc's own (tokens + EOS) stream, and ``n_tok``
+    the slice length — enough for a writer to materialize every
+    sequence by gathering doc slices, and for a loss mask to find the
+    EOS/document boundaries.
+
+    Plan shape at 10^12 docs: ONE shuffle (the per-shard cumulative
+    window; doc_id is unique so the frame is deterministic), then a
+    codegen explode bounded by len/seq_len + 1 rows per doc. Shards
+    are independent streams, so parallelism == n_shards: pick ~2^20
+    shards at crawl scale and each window partition holds ~10^6 docs
+    and maps 1:1 to an output training file. No reference counterpart
+    (LLM-pipeline extension)."""
+    from pyspark.sql import Window
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    L = int(seq_len)
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    ).cast("int")
+    sz = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        (F.size(tokenize_col(F.col("text"))) + 1).cast("long").alias("sz"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    spans = sz.select(
+        "shard",
+        "doc_id",
+        (F.sum("sz").over(w) - F.col("sz")).alias("start"),
+        F.sum("sz").over(w).alias("end"),
+    )
+    seq = F.col("seq_id")
+    lo = F.floor(F.col("start") / L).cast("long")
+    hi = F.floor((F.col("end") - 1) / L).cast("long")
+    cut = F.greatest(F.col("start"), seq * L)
+    return (
+        spans.select(
+            "shard",
+            "doc_id",
+            "start",
+            "end",
+            F.explode(F.sequence(lo, hi)).alias("seq_id"),
+        )
+        .select(
+            "shard",
+            "seq_id",
+            "doc_id",
+            (cut - seq * L).cast("int").alias("seq_start"),
+            (cut - F.col("start")).cast("long").alias("doc_start"),
+            (F.least(F.col("end"), (seq + 1) * L) - cut)
+            .cast("int")
+            .alias("n_tok"),
+        )
+    )

@@ -264,3 +264,83 @@ def test_url_dedup_port_strip_is_scheme_aware(spark):
     assert got["https://h/x"] == (2, 2)
     assert got["https://h:80/x"] == (1, 3)
     assert len(got) == 4
+
+
+def test_pack_sequences_python_twin(spark):
+    """pack_sequences == an in-process greedy concat-and-chop twin:
+    md5 sharding, doc_id order, +1 EOS per doc, every slice accounted
+    for with exact offsets."""
+    import hashlib
+
+    from search_engine_spark.tokenizer import tokenize_text as tokenize
+
+    ensure_shipped(spark)
+    rows = [
+        (i, f"word{j} " * (3 + 7 * (i % 5)))
+        for i, j in ((i, i % 3) for i in range(40))
+    ] + [(40, ""), (41, "one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    L, S = 16, 3
+    got = sorted(
+        (
+            r["shard"], r["seq_id"], r["doc_id"],
+            r["seq_start"], r["doc_start"], r["n_tok"],
+        )
+        for r in textstats.pack_sequences(df, seq_len=L, n_shards=S)
+        .collect()
+    )
+
+    # twin
+    def shard_of(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % S
+
+    want = []
+    offsets = {s: 0 for s in range(S)}
+    for d, text in sorted(rows):
+        s = shard_of(d)
+        sz = len(tokenize(text)) + 1  # +1 EOS
+        start, end = offsets[s], offsets[s] + sz
+        offsets[s] = end
+        for seq in range(start // L, (end - 1) // L + 1):
+            cut = max(start, seq * L)
+            want.append(
+                (s, seq, d, cut - seq * L, cut - start,
+                 min(end, (seq + 1) * L) - cut)
+            )
+    assert got == sorted(want)
+    # invariants: per-doc slices cover the doc exactly; full sequences
+    # sum to L
+    per_doc = {}
+    for s, seq, d, ss, ds, n in got:
+        per_doc.setdefault(d, 0)
+        per_doc[d] += n
+    for d, text in rows:
+        assert per_doc[d] == len(tokenize(text)) + 1
+    per_seq = {}
+    for s, seq, d, ss, ds, n in got:
+        per_seq.setdefault((s, seq), 0)
+        per_seq[(s, seq)] += n
+    last = {s: max(q for t, q in per_seq if t == s) for s in range(S)}
+    for (s, q), tot in per_seq.items():
+        assert tot == L or q == last[s]
+
+
+def test_pack_sequences_plan_single_shuffle(spark):
+    """ONE exchange (the per-shard window), pure JVM."""
+    ensure_shipped(spark)
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string"
+    )
+    p = textstats.pack_sequences(df, seq_len=4, n_shards=2)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_pack_sequences_validates_args(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="seq_len"):
+        textstats.pack_sequences(df, seq_len=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        textstats.pack_sequences(df, n_shards=0)
