@@ -316,6 +316,7 @@ def run_suite() -> dict:
             "bm25_conjunctive",
             "minhash_signatures",
             "lsh_candidate_pairs",
+            "lsh_incremental",
             "simhash",
             "ann_cosine_topk",
             "dedup_exact",

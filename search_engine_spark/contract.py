@@ -284,6 +284,33 @@ def sql_lsh_pairs(engine: str) -> str:
     )
 
 
+def spark_lsh_incremental(spark, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup through the REAL split pipeline: docs with
+    doc_id % 5 == 0 arrive as the 'increment', the rest are the
+    already-banded base corpus (its bands precomputed exactly as a
+    production pipeline would persist them)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import lsh_bands, lsh_incremental_pairs
+
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    return lsh_incremental_pairs(
+        new, lsh_bands(base, n_hashes=N_MINHASH), n_hashes=N_MINHASH
+    )
+
+
+def sql_lsh_incremental(engine: str) -> str:
+    """Oracle = the batch LSH pair query restricted to >= 1 new side
+    (equivalence argued in dedup.lsh_incremental_pairs' docstring; the
+    batch SQL ends on the a.doc_id < b.doc_id conjunct, so the filter
+    appends)."""
+    return sql_lsh_pairs(engine) + (
+        " AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)"
+    )
+
+
 def spark_lsh_bucket_stats(spark, sf_dir: str) -> DataFrame:
     """Skew accounting for the LSH bucket cap (what web-scale dedup
     DROPS): one row per oversized (band, band_key) bucket. A small cap
@@ -2187,6 +2214,7 @@ def _registry() -> dict:
         "dedup_exact": (spark_dedup_exact, sql_dedup_exact),
         "minhash_signatures": (spark_minhash, sql_minhash_signatures),
         "lsh_candidate_pairs": (spark_lsh_pairs, sql_lsh_pairs),
+        "lsh_incremental": (spark_lsh_incremental, sql_lsh_incremental),
         "lsh_bucket_stats": (spark_lsh_bucket_stats, sql_lsh_bucket_stats),
         "ngram_jaccard_pairs": (spark_ngram_jaccard, sql_ngram_jaccard),
         "decontaminate": (spark_decontaminate, sql_decontaminate),

@@ -277,6 +277,86 @@ def lsh_bucket_stats(
     )
 
 
+def lsh_bands(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    band_rows: int = LSH_BAND_ROWS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Public, persistable LSH band table: (doc_id, band, band_key).
+
+    Write this once per curated corpus (a few rows per doc, no text)
+    and every future crawl increment dedups against it via
+    :func:`lsh_incremental_pairs` without re-reading — let alone
+    re-hashing — the historical corpus."""
+    return _lsh_bands(docs, n_hashes, band_rows, shingle_n)
+
+
+def lsh_incremental_pairs(
+    new_docs: DataFrame,
+    base_bands: DataFrame,
+    n_hashes: int = N_MINHASH,
+    band_rows: int = LSH_BAND_ROWS,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """Candidate near-duplicate pairs for a crawl INCREMENT against an
+    already-banded corpus — new-vs-base AND new-vs-new, never
+    base-vs-base (those were reported when the base was curated).
+
+    ``base_bands`` is a persisted :func:`lsh_bands` table; doc_ids must
+    be disjoint from the increment's. Result == the batch
+    :func:`lsh_candidate_pairs` over (base UNION new) restricted to
+    pairs with >= 1 new side (band rows are per-doc, so precomputed
+    base bands are identical to recomputed ones; a bucket the increment
+    never touches cannot contribute a qualifying pair; the bucket-size
+    cap counts FULL membership, matching batch semantics) — that
+    equivalence is the test oracle.
+
+    Plan shape at 10^12 docs: minhashing runs over the increment ONLY;
+    the base table is leftsemi-pruned to the buckets the increment
+    touches BEFORE any aggregation, so per-increment cost is
+    O(increment + touched-bucket membership) — the base's band table is
+    scanned (cheap, ~n_bands small rows/doc, prunable further if stored
+    bucketed by band_key) but its text is never read and nothing is
+    ever re-hashed."""
+    nb = _lsh_bands(new_docs, n_hashes, band_rows, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    keys = nb.select("band", "band_key").distinct()
+    touched = base_bands.join(keys, ["band", "band_key"], "leftsemi")
+    allb = touched.withColumn("_new", F.lit(False)).unionByName(
+        nb.withColumn("_new", F.lit(True))
+    )
+    buckets = allb.groupBy("band", "band_key").agg(
+        F.collect_list(F.struct("doc_id", "_new")).alias("_ds")
+    )
+    buckets = buckets.where(F.size("_ds") >= 2)
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("_ds") <= max_bucket_size)
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "_ds",
+                lambda x: F.transform(
+                    "_ds",
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        ),
+        lambda p: (p["a"]["doc_id"] < p["b"]["doc_id"])
+        & (p["a"]["_new"] | p["b"]["_new"]),
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     shingle_n: int = 3,

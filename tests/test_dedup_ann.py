@@ -461,3 +461,56 @@ def test_dedup_clusters_singletons_and_survivors(spark):
         0: (0, True), 1: (1, True), 2: (2, True),
         3: (1, False), 4: (4, True), 5: (1, False),
     }
+
+
+def test_lsh_incremental_equals_batch_restriction(spark):
+    """Incremental pairs over a split corpus == batch pairs over the
+    union restricted to >= 1 new side; base-base pairs never leak."""
+    from pyspark.sql import functions as F
+
+    words = [f"w{i}" for i in range(40)]
+    rows = [
+        (1, " ".join(words)),                                  # base
+        (2, " ".join(words[:-1] + ["CHANGED"])),               # base dup of 1
+        (3, "completely different words entirely unrelated here now what"),
+        (10, " ".join(words[:-1] + ["ALSO"])),                 # new dup of 1/2
+        (15, " ".join(words[:-2] + ["ALSO", "TOO"])),          # new dup
+        (20, "nothing like anything else at all in this corpus today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = df.where(F.col("doc_id") < 10)
+    new = df.where(F.col("doc_id") >= 10)
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_incremental_pairs(
+            new, dedup.lsh_bands(base)
+        ).collect()
+    }
+    batch = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(df).collect()
+    }
+    want = {(a, b) for a, b in batch if a >= 10 or b >= 10}
+    assert inc == want
+    assert inc, "planted near-dups must collide"
+    assert all(a >= 10 or b >= 10 for a, b in inc)
+
+
+def test_lsh_incremental_prunes_base_before_agg(spark):
+    """The base band table must be leftsemi-pruned to increment-touched
+    buckets (work O(increment), not O(corpus)), and the pipeline stays
+    pure-JVM."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} words alpha beta gamma delta {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    base_bands = dedup.lsh_bands(df.where(F.col("doc_id") < 15))
+    out = dedup.lsh_incremental_pairs(
+        df.where(F.col("doc_id") >= 15), base_bands
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
