@@ -1296,6 +1296,60 @@ def spark_events_streaming(spark, sf_dir: str) -> DataFrame:
     return run_available_now(sdf, ck, name)
 
 
+def spark_streaming_dedup(spark, sf_dir: str) -> DataFrame:
+    """REAL stateful-streaming path (applyInPandasWithState exact
+    dedup, AvailableNow drain via foreachBatch — the memory sink cannot
+    own a stateful checkpoint). A one-shot drain admits exactly the
+    min-doc_id row per text hash, so the batch GROUP BY is the oracle;
+    the cross-batch state behavior is pytest-gated
+    (tests/test_streaming.py)."""
+    import tempfile
+    import os
+
+    from .streaming import streaming_dedup
+
+    _prepare(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="se_sdedup_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        os.path.join(src, "documents.parquet"),
+    )
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sdf = streaming_dedup(
+        spark.readStream.schema(schema).parquet(src).select(
+            "doc_id", "text"
+        )
+    )
+    rows: list = []
+
+    def collect_batch(bdf, _bid):
+        rows.extend(
+            (int(r["doc_id"]), r["text_hash"]) for r in bdf.collect()
+        )
+
+    ck = tempfile.mkdtemp(prefix="se_sdedup_ck_")
+    q = (
+        sdf.writeStream.foreachBatch(collect_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        sorted(rows), "doc_id long, text_hash string"
+    )
+
+
+def sql_streaming_dedup(engine: str) -> str:
+    return (
+        "WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS text_hash "
+        "FROM documents) "
+        "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text_hash "
+        "FROM h GROUP BY text_hash"
+    )
+
+
 _E2E_CACHE: dict = {}
 _E2E_POS_CACHE: dict = {}
 
@@ -2239,6 +2293,7 @@ def _registry() -> dict:
         ),
         "events_hourly": (spark_events_hourly, sql_events_hourly),
         "events_streaming_windowed": (spark_events_streaming, sql_events_hourly),
+        "streaming_dedup": (spark_streaming_dedup, sql_streaming_dedup),
     }
     for name, (spark_fn, builder) in lib_pairs.items():
         q[name] = {"spark": spark_fn, "sql": builder("duckdb")}

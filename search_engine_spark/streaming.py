@@ -199,3 +199,65 @@ class StreamingIndexer:
         b._record_stage(manifest, "postings", _t.time() - t0, ["delta/postings"])
 
         return b.build_from_postings(manifest)
+
+
+def streaming_dedup(docs: DataFrame) -> DataFrame:
+    """Cross-micro-batch EXACT dedup: the first doc to present a text
+    hash (min doc_id within its arrival batch) passes; every later
+    copy — same batch or any future batch — is dropped. Output rows:
+    (doc_id, text_hash, text).
+
+    The one curation operator that needs TRUE streaming state (batch
+    `exact_duplicates` sees the whole corpus at once; an incremental
+    pipeline must remember what it already admitted), implemented with
+    the Spark primitive for custom stateful logic —
+    ``applyInPandasWithState``: groups key on text_hash, per-key state
+    is a single boolean, and each micro-batch's group iterator emits at
+    most one row. State size = one flag per DISTINCT admitted hash:
+    bounded by the unique corpus, not the stream; at crawl scale back
+    the store with RocksDB
+    (``spark.sql.streaming.stateStore.providerClass``) and the hash
+    groups shard across executors like any keyed state.
+
+    Only valid on a streaming DataFrame (Spark requires it); the batch
+    twin with identical keep semantics over a one-shot corpus is
+    ``dedup.exact_duplicates`` (asserted in tests/test_streaming.py).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = docs.select(
+        "doc_id",
+        "text",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash"),
+    )
+
+    def admit_first(key, pdfs, state: GroupState):
+        if state.exists:
+            # hash admitted in an earlier batch: drop everything
+            for _ in pdfs:
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            row = pdf.loc[pdf["doc_id"].idxmin()]
+            if best is None or row["doc_id"] < best["doc_id"]:
+                best = row
+        if best is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame(
+            [[int(best["doc_id"]), key[0], best["text"]]],
+            columns=["doc_id", "text_hash", "text"],
+        )
+
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        admit_first,
+        outputStructType="doc_id long, text_hash string, text string",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -132,3 +132,69 @@ def test_batch_retry_is_idempotent(spark, tmpdir):
     )
     manifest = indexer.compact()
     assert manifest["stages"]["doc_table"]["rows"] == 40
+
+
+def test_streaming_dedup_state_survives_batches(spark, tmpdir):
+    """applyInPandasWithState exact dedup: first-seen hash admitted
+    (min doc_id within its batch), duplicates dropped within a batch
+    AND across micro-batches (state persists through the checkpoint
+    across separate availableNow drains)."""
+    ensure_shipped(spark)
+    docs_dir = os.path.join(tmpdir, "docs")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    os.makedirs(docs_dir)
+    schema = "doc_id long, text string"
+
+    def drain(name):
+        # memory sink cannot recover a checkpoint; foreachBatch can
+        sdf = streaming.streaming_dedup(
+            spark.readStream.schema(schema).parquet(docs_dir)
+        )
+        out: list = []
+
+        def collect_batch(bdf, _bid):
+            out.extend(
+                (r["doc_id"], r["text_hash"]) for r in bdf.collect()
+            )
+
+        q = (
+            sdf.writeStream.foreachBatch(collect_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return set(out)
+
+    # batch 1: a dup pair (keep min doc_id) + a unique
+    spark.createDataFrame(
+        [(5, "aaa"), (2, "aaa"), (3, "bbb")], schema
+    ).write.mode("append").parquet(docs_dir)
+    got1 = drain("sdedup1")
+    assert {d for d, _ in got1} == {2, 3}
+
+    # batch 2: a cross-batch dup of "aaa" (dropped), a within-batch dup
+    # pair of "ccc" (min kept), and a unique
+    spark.createDataFrame(
+        [(10, "aaa"), (11, "ccc"), (9, "ccc"), (12, "ddd")], schema
+    ).write.mode("append").parquet(docs_dir)
+    got2 = drain("sdedup2")
+    assert {d for d, _ in got2} == {9, 12}
+
+    # admitted set matches the batch operator's keep rule over the
+    # arrival order (first batch wins; min doc_id within batch)
+    from search_engine_spark import dedup
+
+    batch_keep = {
+        r["doc_id"]
+        for r in dedup.exact_duplicates(
+            spark.createDataFrame(
+                [(5, "aaa"), (2, "aaa"), (3, "bbb"),
+                 (10, "aaa"), (11, "ccc"), (9, "ccc"), (12, "ddd")],
+                schema,
+            )
+        ).collect()
+        if not r["is_dup"]
+    }
+    assert {d for d, _ in got1 | got2} == batch_keep
