@@ -254,6 +254,21 @@ def sql_dedup_exact(engine: str) -> str:
     )
 
 
+def _band_exprs(engine: str) -> tuple[str, str]:
+    """(band, band_key) SQL snippets shared by every LSH oracle — the
+    md5-of-slot-ordered-minhash band key over the sigs CTE."""
+    if engine == "spark":
+        return (
+            "CAST(minhash_idx div 4 AS INT)",
+            "md5(concat_ws(',', transform(array_sort(collect_list("
+            "struct(minhash_idx, minhash))), s -> CAST(s.minhash AS STRING))))",
+        )
+    return (
+        "CAST(minhash_idx // 4 AS INT)",
+        "md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY minhash_idx))",
+    )
+
+
 def sql_minhash_signatures(engine: str) -> str:
     return (
         f"WITH {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "
@@ -263,15 +278,7 @@ def sql_minhash_signatures(engine: str) -> str:
 
 
 def sql_lsh_pairs(engine: str) -> str:
-    if engine == "spark":
-        band_key = (
-            "md5(concat_ws(',', transform(array_sort(collect_list("
-            "struct(minhash_idx, minhash))), s -> CAST(s.minhash AS STRING))))"
-        )
-        band = "CAST(minhash_idx div 4 AS INT)"
-    else:
-        band_key = "md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY minhash_idx))"
-        band = "CAST(minhash_idx // 4 AS INT)"
+    band, band_key = _band_exprs(engine)
     return (
         f"WITH {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "
         f"{_minhash_cte(engine)}, "
@@ -297,7 +304,8 @@ def spark_lsh_incremental(spark, sf_dir: str) -> DataFrame:
     base = docs.where(F.col("doc_id") % 5 != 0)
     new = docs.where(F.col("doc_id") % 5 == 0)
     return lsh_incremental_pairs(
-        new, lsh_bands(base, n_hashes=N_MINHASH), n_hashes=N_MINHASH
+        new, lsh_bands(base, n_hashes=N_MINHASH), n_hashes=N_MINHASH,
+        max_bucket_size=None,
     )
 
 
@@ -325,15 +333,7 @@ def spark_lsh_bucket_stats(spark, sf_dir: str) -> DataFrame:
 
 
 def sql_lsh_bucket_stats(engine: str) -> str:
-    if engine == "spark":
-        band_key = (
-            "md5(concat_ws(',', transform(array_sort(collect_list("
-            "struct(minhash_idx, minhash))), s -> CAST(s.minhash AS STRING))))"
-        )
-        band = "CAST(minhash_idx div 4 AS INT)"
-    else:
-        band_key = "md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY minhash_idx))"
-        band = "CAST(minhash_idx // 4 AS INT)"
+    band, band_key = _band_exprs(engine)
     return (
         f"WITH {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "
         f"{_minhash_cte(engine)}, "
@@ -788,7 +788,13 @@ def spark_minhash(spark, sf_dir: str) -> DataFrame:
 def spark_lsh_pairs(spark, sf_dir: str) -> DataFrame:
     from .dedup import lsh_candidate_pairs as lsh
 
-    return lsh(_docs(spark, sf_dir), n_hashes=N_MINHASH, band_rows=4)
+    # cap OFF: the SQL oracle is uncapped, so the pairing must be too
+    # (the cap path is separately exercised by lsh_bucket_stats, whose
+    # oracle encodes its cap)
+    return lsh(
+        _docs(spark, sf_dir), n_hashes=N_MINHASH, band_rows=4,
+        max_bucket_size=None,
+    )
 
 
 def spark_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
@@ -880,7 +886,11 @@ def spark_dedup_clusters(spark, sf_dir: str) -> DataFrame:
     from .dedup import dedup_clusters, lsh_candidate_pairs
 
     docs = _docs(spark, sf_dir)
-    pairs = lsh_candidate_pairs(docs, n_hashes=N_MINHASH, band_rows=4)
+    # cap OFF to match the uncapped SQL oracle (same pinning as
+    # spark_lsh_pairs)
+    pairs = lsh_candidate_pairs(
+        docs, n_hashes=N_MINHASH, band_rows=4, max_bucket_size=None
+    )
     # driver_cap=0 forces the DISTRIBUTED star rounds so the hash gate
     # certifies the at-scale algorithm, not the driver fast path (the
     # property tests cover both paths' equality)
@@ -891,15 +901,7 @@ def sql_dedup_clusters(engine: str) -> str:
     """DuckDB twin: the same LSH pair CTEs, then component min via a
     recursive transitive closure (fine at oracle scale; the Spark side
     is the O(log^2 n)-round star algorithm)."""
-    if engine == "spark":
-        band_key = (
-            "md5(concat_ws(',', transform(array_sort(collect_list("
-            "struct(minhash_idx, minhash))), s -> CAST(s.minhash AS STRING))))"
-        )
-        band = "CAST(minhash_idx div 4 AS INT)"
-    else:
-        band_key = "md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY minhash_idx))"
-        band = "CAST(minhash_idx // 4 AS INT)"
+    band, band_key = _band_exprs(engine)
     return (
         f"WITH RECURSIVE {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "
         f"{_minhash_cte(engine)}, "
@@ -1343,7 +1345,7 @@ def spark_streaming_dedup(spark, sf_dir: str) -> DataFrame:
 
 def sql_streaming_dedup(engine: str) -> str:
     return (
-        "WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS text_hash "
+        "WITH h AS (SELECT doc_id, md5(text) AS text_hash "
         "FROM documents) "
         "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text_hash "
         "FROM h GROUP BY text_hash"

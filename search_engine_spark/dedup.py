@@ -92,15 +92,24 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     probe; persisting it makes the corpus scan + md5 run once instead
     of twice (MEMORY_AND_DISK — ~40 B/doc, spills cleanly at scale).
     min-per-group + join, no window: a hash duplicated 10^9 times never
-    serializes through one task."""
+    serializes through one task. The join is NULL-SAFE: null-text docs
+    hash to null and form their own group (min doc_id is the keeper)
+    instead of silently vanishing from the report, matching both the
+    row_number oracle and the streaming twin."""
     hashed = docs.select("doc_id", F.md5("text").alias("text_hash")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("_keep"))
     return (
-        hashed.join(canon, "text_hash")
+        hashed.alias("h")
+        .join(
+            canon.alias("c"),
+            F.col("h.text_hash").eqNullSafe(F.col("c.text_hash")),
+        )
         .select(
-            "doc_id", "text_hash", (F.col("doc_id") != F.col("_keep")).alias("is_dup")
+            "h.doc_id",
+            "h.text_hash",
+            (F.col("h.doc_id") != F.col("c._keep")).alias("is_dup"),
         )
     )
 
@@ -208,6 +217,33 @@ def _lsh_bands(
     )
 
 
+def _bucket_pairs(members: DataFrame, pair_pred, max_bucket_size):
+    """Shared LSH pair expansion: collapse (band, band_key, m) member
+    rows into buckets, apply the size floor/cap, cross the bounded
+    member list against itself with ``pair_pred``, and explode — ONE
+    lineage, no self-join, no bucket ever shuffles twice. ``m`` is a
+    struct; ``pair_pred(p)`` filters over p["a"]/p["b"] structs."""
+    buckets = members.groupBy("band", "band_key").agg(
+        F.collect_list("m").alias("_ds")
+    )
+    buckets = buckets.where(F.size("_ds") >= 2)
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("_ds") <= max_bucket_size)
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "_ds",
+                lambda x: F.transform(
+                    "_ds",
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        ),
+        pair_pred,
+    )
+    return buckets.select(F.explode(pairs).alias("p"))
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     n_hashes: int = N_MINHASH,
@@ -232,29 +268,19 @@ def lsh_candidate_pairs(
     is computed exactly once and no bucket ever shuffles twice.
     """
     bands = _lsh_bands(docs, n_hashes, band_rows, shingle_n)
-    buckets = bands.groupBy("band", "band_key").agg(
-        F.collect_list("doc_id").alias("_ds")
-    )
-    buckets = buckets.where(F.size("_ds") >= 2)
-    if max_bucket_size is not None:
-        buckets = buckets.where(F.size("_ds") <= max_bucket_size)
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                "_ds",
-                lambda x: F.transform(
-                    "_ds",
-                    lambda y: F.struct(
-                        x.alias("doc_a"), y.alias("doc_b")
-                    ),
-                ),
-            )
-        ),
-        lambda p: p["doc_a"] < p["doc_b"],
+    members = bands.select(
+        "band", "band_key", F.struct("doc_id").alias("m")
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        _bucket_pairs(
+            members,
+            lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+            max_bucket_size,
+        )
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -319,7 +345,10 @@ def lsh_incremental_pairs(
     O(increment + touched-bucket membership) — the base's band table is
     scanned (cheap, ~n_bands small rows/doc, prunable further if stored
     bucketed by band_key) but its text is never read and nothing is
-    ever re-hashed."""
+    ever re-hashed. The increment's band frame is persisted
+    (MEMORY_AND_DISK, evictable — the module's persisted-lineage
+    convention); a long-lived driver serving many increments can
+    release between calls via spark.catalog.clearCache()."""
     nb = _lsh_bands(new_docs, n_hashes, band_rows, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -328,27 +357,16 @@ def lsh_incremental_pairs(
     allb = touched.withColumn("_new", F.lit(False)).unionByName(
         nb.withColumn("_new", F.lit(True))
     )
-    buckets = allb.groupBy("band", "band_key").agg(
-        F.collect_list(F.struct("doc_id", "_new")).alias("_ds")
-    )
-    buckets = buckets.where(F.size("_ds") >= 2)
-    if max_bucket_size is not None:
-        buckets = buckets.where(F.size("_ds") <= max_bucket_size)
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                "_ds",
-                lambda x: F.transform(
-                    "_ds",
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            )
-        ),
-        lambda p: (p["a"]["doc_id"] < p["b"]["doc_id"])
-        & (p["a"]["_new"] | p["b"]["_new"]),
+    members = allb.select(
+        "band", "band_key", F.struct("doc_id", "_new").alias("m")
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        _bucket_pairs(
+            members,
+            lambda p: (p["a"]["doc_id"] < p["b"]["doc_id"])
+            & (p["a"]["_new"] | p["b"]["_new"]),
+            max_bucket_size,
+        )
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),

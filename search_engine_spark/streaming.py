@@ -227,10 +227,10 @@ def streaming_dedup(docs: DataFrame) -> DataFrame:
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # md5(text) RAW — null text hashes to null and groups as its own
+    # key, exactly like the batch twin's md5("text") (null != '')
     hashed = docs.select(
-        "doc_id",
-        "text",
-        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash"),
+        "doc_id", "text", F.md5(F.col("text")).alias("text_hash")
     )
 
     def admit_first(key, pdfs, state: GroupState):

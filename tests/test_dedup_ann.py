@@ -28,13 +28,19 @@ def emb(spark):
 
 def test_exact_duplicates_marks_later_copies(spark):
     df = spark.createDataFrame(
-        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")],
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc"),
+         (6, None), (7, None), (8, "")],
         "doc_id long, text string",
     )
     rows = {r["doc_id"]: r for r in dedup.exact_duplicates(df).collect()}
+    assert len(rows) == 8  # null-text docs must not vanish
     assert not rows[1]["is_dup"] and rows[3]["is_dup"] and rows[4]["is_dup"]
     assert not rows[2]["is_dup"] and not rows[5]["is_dup"]
     assert rows[1]["text_hash"] == rows[3]["text_hash"]
+    # null text: own group (min doc_id keeps), distinct from empty text
+    assert not rows[6]["is_dup"] and rows[7]["is_dup"]
+    assert not rows[8]["is_dup"]
+    assert rows[6]["text_hash"] is None and rows[8]["text_hash"] is not None
 
 
 def test_minhash_matches_pure_python(spark):

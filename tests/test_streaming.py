@@ -167,12 +167,13 @@ def test_streaming_dedup_state_survives_batches(spark, tmpdir):
         q.awaitTermination()
         return set(out)
 
-    # batch 1: a dup pair (keep min doc_id) + a unique
+    # batch 1: a dup pair (keep min doc_id), a unique, and the
+    # null-vs-empty distinction (separate groups, like the batch twin)
     spark.createDataFrame(
-        [(5, "aaa"), (2, "aaa"), (3, "bbb")], schema
+        [(5, "aaa"), (2, "aaa"), (3, "bbb"), (6, None), (7, "")], schema
     ).write.mode("append").parquet(docs_dir)
     got1 = drain("sdedup1")
-    assert {d for d, _ in got1} == {2, 3}
+    assert {d for d, _ in got1} == {2, 3, 6, 7}
 
     # batch 2: a cross-batch dup of "aaa" (dropped), a within-batch dup
     # pair of "ccc" (min kept), and a unique
@@ -190,7 +191,7 @@ def test_streaming_dedup_state_survives_batches(spark, tmpdir):
         r["doc_id"]
         for r in dedup.exact_duplicates(
             spark.createDataFrame(
-                [(5, "aaa"), (2, "aaa"), (3, "bbb"),
+                [(5, "aaa"), (2, "aaa"), (3, "bbb"), (6, None), (7, ""),
                  (10, "aaa"), (11, "ccc"), (9, "ccc"), (12, "ddd")],
                 schema,
             )
