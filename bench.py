@@ -20,6 +20,11 @@ line: {"metric": ..., "value": <total sec>, "unit": "sec",
                query batch at local[N] and local[4N] in fresh JVMs;
                appends the section to BENCH/BASELINE.md (run AFTER
                --scaling, which rewrites that file).
+--dedup-only : timed MinHash/LSH candidate-pair pipeline over
+               $SPARK_GRAFT_CORPUS_DIR (used by --dedup-scaling).
+--dedup-scaling : the curation twin: the MinHash family end-to-end
+               over the replicated corpus at local[N] and local[4N]
+               in fresh JVMs; appends the section to BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -605,6 +610,150 @@ an untimed warm pass; minima reported.
     )
 
 
+def run_dedup_only() -> dict:
+    """Timed curation hot path (used by the --dedup-scaling
+    subprocesses): fresh ``local[CPUS]`` JVM over
+    $SPARK_GRAFT_CORPUS_DIR/documents.parquet, one untimed warm pass,
+    then min-of-2 timed runs of the full MinHash family — shingle
+    stream -> one md5 + 16 universal permutations -> wide per-doc agg
+    -> band keys -> capped bucket pair expansion (``lsh_candidate_pairs
+    (max_bucket_size=50)``). The replicated scale corpus varies each
+    replica by one trailing token, so replicas LSH-collide into
+    replicate-sized buckets; a cap of 50 (below the replication factor)
+    drops those boilerplate buckets exactly like a web dedup run would,
+    so the probe times the hash/agg/shuffle engine, not an O(B^2) pair
+    explosion."""
+    from search_engine_spark import dedup
+    from search_engine_spark.runtime import get_spark
+
+    corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR", SF_DIR)
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    try:
+        docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+        n_docs = docs.count()
+
+        def work():
+            dedup.lsh_candidate_pairs(docs, max_bucket_size=50).count()
+
+        work()  # warm: JIT, codegen, OS page cache for the parquet
+        secs = _min_of(work, reps=2)
+    finally:
+        spark.stop()
+    return {
+        "metric": "dedup_seconds",
+        "value": round(secs, 3),
+        "unit": "sec",
+        "queries": {"lsh_candidate_pairs": round(secs, 3)},
+        "cpus": CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / secs, 1),
+    }
+
+
+def run_dedup_scaling(replicate: int = 100, reps: int = 2) -> None:
+    """N vs 4N scaling evidence for the CURATION side — the MinHash/
+    LSH dedup family that round 5 reworked (one md5 + universal
+    permutations, shuffle-free band keys). Same harness discipline as
+    --scaling / --query-scaling: fresh ``local[N]`` JVMs over the
+    IDENTICAL replicated corpus, levels alternated ``reps`` times,
+    minima reported, section appended to BENCH/BASELINE.md (run AFTER
+    --scaling, which rewrites that file)."""
+    levels = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")
+    ]
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", replicate))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", reps))
+    corpus_dir = _ensure_scale_corpus(replicate)
+
+    best: dict[int, dict] = {}
+    for rep in range(reps):
+        for n in levels:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(n),
+                SPARK_GRAFT_SF_DIR=SF_DIR,
+                SPARK_GRAFT_CORPUS_DIR=corpus_dir,
+            )
+            env.setdefault("SPARK_GRAFT_GC", "parallel")
+            r = None
+            for attempt in range(2):
+                out = subprocess.run(
+                    [sys.executable, __file__, "--dedup-only"],
+                    capture_output=True,
+                    text=True,
+                    env=env,
+                )
+                lines = [
+                    l
+                    for l in out.stdout.strip().splitlines()
+                    if l.startswith("{")
+                ]
+                if out.returncode == 0 and lines:
+                    r = json.loads(lines[-1])
+                    break
+                print(
+                    f"rep{rep} dedup local[{n}] attempt{attempt} failed "
+                    f"(rc={out.returncode}): {out.stderr[-500:]}",
+                    file=sys.stderr,
+                )
+            if r is None:
+                continue
+            print(f"rep{rep} dedup local[{n}]: {r['value']}s", file=sys.stderr)
+            if n not in best or r["value"] < best[n]["value"]:
+                best[n] = r
+
+    missing = [n for n in levels if n not in best]
+    if missing:
+        sys.exit(
+            "dedup-scaling run failed: no successful run at parallelism "
+            f"level(s) {missing} (see stderr above for per-attempt errors)"
+        )
+    lo, hi = levels[0], levels[-1]
+    t_lo, t_hi = best[lo]["value"], best[hi]["value"]
+    d_lo, d_hi = best[lo]["docs_per_sec"], best[hi]["docs_per_sec"]
+    n_docs = best[hi]["n_docs"]
+    ratio = hi // lo
+    eff = (t_lo / t_hi) / ratio
+    md = f"""
+
+## Curation-side scaling (N vs 4N, MinHash/LSH dedup)
+
+The third two-parallelism probe: the round-5 MinHash family
+(one md5 per shingle + 16 universal-hash permutations, wide per-doc
+agg, shuffle-free band keys, capped bucket pair expansion at
+max_bucket_size=50) run end-to-end over the {replicate}x replicated
+corpus ({n_docs} docs) in fresh `local[N]` JVMs, levels alternated
+{reps} times after an untimed warm pass, minima reported.
+
+| parallelism | dedup seconds | docs/sec |
+| --- | --- | --- |
+| local[{lo}]  (N)  | {t_lo} | {d_lo} |
+| local[{hi}] ({ratio}N) | {t_hi} | {d_hi} |
+
+**Curation scaling efficiency (N to {ratio}N) = (T_N / T_{ratio}N) / {ratio} = {eff:.3f}**
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(md)
+    print(
+        json.dumps(
+            {
+                "metric": f"dedup_scaling_efficiency_{lo}_to_{hi}",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "queries": {
+                    f"dedup_local{lo}_sec": t_lo,
+                    f"dedup_local{hi}_sec": t_hi,
+                    f"docs_per_sec_local{lo}": d_lo,
+                    f"docs_per_sec_local{hi}": d_hi,
+                },
+                "sf": _sf(SF_DIR),
+                "n_docs": n_docs,
+            }
+        )
+    )
+
+
 def run_scaling(replicate: int = 800, reps: int = 2) -> None:
     """N vs 4N scaling evidence.
 
@@ -782,5 +931,9 @@ if __name__ == "__main__":
         print(json.dumps(run_build_only()))
     elif "--serve-only" in sys.argv:
         print(json.dumps(run_serve_only()))
+    elif "--dedup-scaling" in sys.argv:
+        run_dedup_scaling()
+    elif "--dedup-only" in sys.argv:
+        print(json.dumps(run_dedup_only()))
     else:
         print(json.dumps(run_suite()))
