@@ -226,6 +226,11 @@ def run_suite() -> dict:
                     "spark query data", window=8
                 ).collect()
             )
+            timings["ordered_window_search"] = _min_of(
+                lambda: pqe.ordered_window_search(
+                    "table row scan", window=10
+                ).collect()
+            )
         finally:
             shutil.rmtree(pos_dir, ignore_errors=True)
             shutil.rmtree(pos_dir2, ignore_errors=True)

@@ -1401,6 +1401,60 @@ def sql_phrase_e2e_topk() -> str:
     )
 
 
+OW_TERMS = ("table", "row", "scan")
+OW_WINDOW = 10
+
+
+def spark_ordered_window_e2e_topk(spark, sf_dir: str) -> DataFrame:
+    """Ordered-window (#odN) top-10 through the SAME positional index
+    as phrase_e2e_topk (cache shared), HARD-ORACLED: the terms must
+    appear IN QUERY ORDER at strictly increasing positions with span
+    < OW_WINDOW. The DuckDB twin decides the same predicate with the
+    greedy next-min chase spelled as nested correlated min()
+    subqueries (greedy is exact: fixing the anchor, taking each next
+    term's minimal later position minimizes the final span)."""
+    import numpy as np
+
+    _prepare(spark, sf_dir)
+    index_dir = _E2E_POS_CACHE.get(sf_dir)
+    if index_dir is None:
+        spark_phrase_e2e_topk(spark, sf_dir).collect()
+        index_dir = _E2E_POS_CACHE[sf_dir]
+    from .query import QueryEngine
+
+    qe = QueryEngine(spark, index_dir)
+    res = qe.ordered_window_search(
+        " ".join(OW_TERMS), window=OW_WINDOW, k=10, dtype=np.float64
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def sql_ordered_window_e2e_topk() -> str:
+    """DuckDB twin: positions via zipped unnest (as the proximity
+    oracle), matched = anchors of the FIRST term whose greedy ordered
+    chain through the remaining terms ends within the window."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(OW_TERMS)))
+    # innermost-out: min pos of term i strictly after the previous
+    chain = "p0.pos"
+    for i, t in enumerate(OW_TERMS[1:], start=1):
+        chain = (
+            f"(SELECT min(p{i}.pos) FROM posx p{i} "
+            f"WHERE p{i}.doc_id = p0.doc_id AND p{i}.term = '{t}' "
+            f"AND p{i}.pos > {chain})"
+        )
+    return (
+        _bm25_base("duckdb") + f"WHERE tf.term IN ({in_list})), "
+        "posx AS (SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(1, len(ts) + 1)) AS pos FROM toks), "
+        "matched AS (SELECT DISTINCT p0.doc_id FROM posx p0 "
+        f"WHERE p0.term = '{OW_TERMS[0]}' AND "
+        f"{chain} - p0.pos < {OW_WINDOW}) "
+        "SELECT s.doc_id, round(sum(s.score), 4) AS score FROM scored s "
+        "JOIN matched m ON s.doc_id = m.doc_id GROUP BY s.doc_id "
+        "ORDER BY sum(s.score) DESC, s.doc_id LIMIT 10"
+    )
+
+
 PROX_WINDOW = 3
 
 
@@ -2360,6 +2414,11 @@ def _registry() -> dict:
     q["proximity_e2e_topk"] = {
         "spark": spark_proximity_e2e_topk,
         "sql": sql_proximity_e2e_topk(),
+    }
+    # ordered-window (#odN) query over the same positional index
+    q["ordered_window_e2e_topk"] = {
+        "spark": spark_ordered_window_e2e_topk,
+        "sql": sql_ordered_window_e2e_topk(),
     }
     # input_hint html:binary column -> extract_text byte-identity
     q["html_extract_e2e"] = {

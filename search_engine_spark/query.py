@@ -2610,6 +2610,66 @@ class QueryEngine:
             per_doc = per_doc.where(F.exists(starts, covered))
         return self._positional_topk(per_doc, uniq, lex, k, dtype)
 
+    def ordered_window_search(
+        self, query: str, window: int, k: int = 10, dtype=np.float32
+    ) -> DataFrame:
+        """Ordered-window query (classic IR ``#odN`` / ordered-NEAR,
+        e.g. Indri's operator of that name): top-k docs containing the
+        query terms IN QUERY ORDER at strictly increasing positions
+        p_1 < ... < p_m with total span ``p_m - p_1 < window``. The
+        third member of the positional trio — phrase_search (exact
+        adjacency), proximity_search (unordered window), and this
+        (ordered window); ``window = len(query terms)`` degenerates to
+        the phrase semantics, ``window`` large to "in order anywhere".
+
+        Exactness via the greedy chase: anchoring at each occurrence
+        p of the FIRST term and repeatedly taking the next term's
+        MINIMAL position strictly greater than the previous one
+        minimizes the final position for that anchor, hence minimizes
+        the span — so checking ``greedy_span < window`` over all
+        anchors decides the existential predicate exactly. Duplicate
+        query terms share one positions array; the strict ``>`` makes
+        the chain use distinct occurrences, which is the standard
+        multiplicity-respecting reading.
+
+        The predicate is one codegen'd JVM expression over the same
+        rarest-term-pruned, df_min-bounded pivot as the other two
+        operators (``array_min(filter(...))`` per chain step; an empty
+        filter yields NULL which propagates to a non-match, exactly
+        the "no further occurrence" case). Scoring/top-k identical:
+        distinct-term BM25, deterministic (score desc, doc_id asc).
+        """
+        from .tokenizer import tokenize_text
+
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        seq = tokenize_text(query)
+        cand = self._positional_candidates(seq, dtype)
+        if isinstance(cand, DataFrame):
+            return cand
+        per_doc, uniq, idx, lex = cand
+        if len(seq) > 1:
+            first = F.col(f"_p{idx[seq[0]]}")
+
+            def _after(c):
+                # single-arg closure factory: a default-arg lambda
+                # (lambda q, c=cur: ...) would have TWO parameters and
+                # PySpark would bind the second to the ARRAY INDEX
+                return lambda q: q > c
+
+            def greedy_end(p):
+                cur = p
+                for t in seq[1:]:
+                    cur = F.array_min(
+                        F.filter(F.col(f"_p{idx[t]}"), _after(cur))
+                    )
+                return cur
+
+            per_doc = per_doc.where(
+                F.exists(first, lambda p: greedy_end(p) - p < F.lit(window))
+            )
+        return self._positional_topk(per_doc, uniq, lex, k, dtype)
+
     def _positional_candidates(self, seq: list, dtype):
         """Shared front half of the positional operators: validate the
         index, prune the bucket-partitioned postings side table to the

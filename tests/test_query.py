@@ -256,6 +256,25 @@ def test_positional_ops_match_python_oracle(spark, tmp_path_factory):
                     break
         return out
 
+    def ordered_docs(seq, w):
+        # independent brute force: enumerate every combination of
+        # occurrence positions (docs are <=14 tokens, so tiny) rather
+        # than mirroring the engine's greedy chase
+        from itertools import product
+
+        out = set()
+        for did, toks in texts.items():
+            pos = [[i for i, x in enumerate(toks) if x == t] for t in seq]
+            if any(not v for v in pos):
+                continue
+            if any(
+                all(c[j] > c[j - 1] for j in range(1, len(c)))
+                and c[-1] - c[0] < w
+                for c in product(*pos)
+            ):
+                out.add(did)
+        return out
+
     for _ in range(25):
         seq = [rng.choice(vocab) for _ in range(rng.randint(2, 3))]
         q = " ".join(seq)
@@ -267,6 +286,13 @@ def test_positional_ops_match_python_oracle(spark, tmp_path_factory):
             for r in qe.proximity_search(q, window=w, k=1000).collect()
         }
         assert gotp == prox_docs(seq, w), (q, w, gotp, prox_docs(seq, w))
+        goto = {
+            r["doc_id"]
+            for r in qe.ordered_window_search(q, window=w, k=1000).collect()
+        }
+        assert goto == ordered_docs(seq, w), (
+            q, w, goto, ordered_docs(seq, w),
+        )
 
 
 def test_phrase_rare_prune_shuffle_fallback(phrase_engine, monkeypatch):
@@ -361,3 +387,59 @@ def test_proximity_scores_match_phrase_scoring(phrase_engine):
     assert set(ph) <= set(px)  # proximity(2) is a superset of adjacency
     for d in ph:
         assert abs(ph[d] - px[d]) < 1e-12
+
+
+# --------------------------------------------------------- ordered window
+
+
+def test_ordered_window_semantics(phrase_engine):
+    qe = phrase_engine
+    ow = qe.ordered_window_search
+    # window = n_terms degenerates to phrase adjacency
+    assert set(ids(ow("alpha beta", window=2))) == {0, 2}
+    # widening admits doc1's scattered-but-ordered "alpha gamma beta"
+    assert set(ids(ow("alpha beta", window=3))) == {0, 1, 2}
+    # ORDER matters (unlike proximity_search): "beta alpha" at span<2
+    # exists only in doc3; doc2 has beta@2..alpha@4 (span 2) at window 3
+    assert set(ids(ow("beta alpha", window=2))) == {3}
+    assert set(ids(ow("beta alpha", window=3))) == {2, 3}
+    # a 4-term ordered chain: only doc0 has them in query order
+    assert set(ids(ow("alpha beta gamma delta", window=4))) == {0}
+    assert set(ids(ow("alpha beta gamma delta", window=50))) == {0}
+    # multi-term window=1 can never match (strictly increasing chain)
+    assert ids(ow("alpha beta", window=1)) == []
+    # single term: presence at any window
+    assert set(ids(ow("alpha", window=1))) == {0, 1, 2, 3, 5}
+
+
+def test_ordered_window_duplicate_terms(phrase_engine):
+    qe = phrase_engine
+    ow = qe.ordered_window_search
+    # duplicate terms need DISTINCT increasing occurrences
+    assert set(ids(ow("echo echo", window=2))) == {4}
+    assert ids(ow("echo foxtrot echo", window=50)) == []
+    assert ids(ow("echo echo echo", window=50)) == []
+
+
+def test_ordered_window_edge_cases(phrase_engine):
+    qe = phrase_engine
+    with pytest.raises(ValueError, match="window"):
+        qe.ordered_window_search("alpha beta", window=0)
+    assert ids(qe.ordered_window_search("alpha zzzabsent", window=9)) == []
+    assert ids(qe.ordered_window_search("", window=3)) == []
+
+
+def test_ordered_window_scores_match_phrase_scoring(phrase_engine):
+    """Same distinct-term BM25 back half: where the match sets agree
+    with phrase_search, the float64 scores are identical."""
+    import numpy as np
+
+    qe = phrase_engine
+    ph = {r["doc_id"]: r["score"]
+          for r in qe.phrase_search("alpha beta", dtype=np.float64).collect()}
+    ow = {r["doc_id"]: r["score"]
+          for r in qe.ordered_window_search(
+              "alpha beta", window=2, dtype=np.float64).collect()}
+    assert set(ph) == set(ow)  # window=2 == adjacency for a 2-term query
+    for d in ph:
+        assert abs(ph[d] - ow[d]) < 1e-12
