@@ -200,6 +200,11 @@ def run_suite() -> dict:
         finally:
             query_mod.METADATA_CAP = cap_prev
 
+        # wildcard: capped lexicon expansion + disjunctive over the union
+        timings["prefix_search"] = _min_of(
+            lambda: qe.prefix_search("s* data", max_expansions=4).collect()
+        )
+
         # positional index + its consumers (phrase / NEAR-window);
         # min-of-2 cold builds like the main index
         import numpy as np

@@ -1455,6 +1455,55 @@ def sql_ordered_window_e2e_topk() -> str:
     )
 
 
+# wildcard/prefix query: stem + cap chosen so the testdata vocabulary's
+# six s-terms EXCEED the cap — the (df DESC, term) truncation is part
+# of the contract, recomputed relationally by the oracle
+PREFIX_STEM = "s"
+PREFIX_PLAIN = "data"
+PREFIX_CAP = 4
+
+
+def spark_prefix_e2e_topk(spark, sf_dir: str) -> DataFrame:
+    """Wildcard/prefix top-10 through the REAL chunked index (cache
+    shared with index_e2e_topk), HARD-ORACLED: QueryEngine.prefix_search
+    expands ``s*`` against the lexicon (top PREFIX_CAP by df DESC, term
+    — a pushed StartsWith scan + TakeOrdered), unions the plain term,
+    and scores the union as ONE disjunctive BM25 query in float64. The
+    DuckDB twin recomputes the SAME capped expansion from relational
+    dfs, so the truncation policy is hash-gated, not just the scoring."""
+    import numpy as np
+
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    index_dir = _e2e_index(spark, sf_dir)
+    qe = QueryEngine(spark, index_dir)
+    res = qe.prefix_search(
+        f"{PREFIX_STEM}* {PREFIX_PLAIN}",
+        k=10,
+        max_expansions=PREFIX_CAP,
+        dtype=np.float64,
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def sql_prefix_e2e_topk() -> str:
+    """DuckDB twin: exp = top-PREFIX_CAP prefix matches by
+    (df DESC, term) from the relational dfs, scored terms restricted to
+    exp plus the plain term, disjunctive BM25 top-10."""
+    return (
+        _bm25_base("duckdb")
+        + f"WHERE tf.term = '{PREFIX_PLAIN}' "
+        f"OR tf.term LIKE '{PREFIX_STEM}%'), "
+        f"exp AS (SELECT term FROM dfs WHERE term LIKE '{PREFIX_STEM}%' "
+        f"ORDER BY df DESC, term LIMIT {PREFIX_CAP}), "
+        f"qt AS (SELECT term FROM exp UNION SELECT '{PREFIX_PLAIN}') "
+        "SELECT s.doc_id, round(sum(s.score), 4) AS score FROM scored s "
+        "WHERE s.term IN (SELECT term FROM qt) GROUP BY s.doc_id "
+        "ORDER BY sum(s.score) DESC, s.doc_id LIMIT 10"
+    )
+
+
 PROX_WINDOW = 3
 
 
@@ -2419,6 +2468,11 @@ def _registry() -> dict:
     q["ordered_window_e2e_topk"] = {
         "spark": spark_ordered_window_e2e_topk,
         "sql": sql_ordered_window_e2e_topk(),
+    }
+    # wildcard/prefix query: capped lexicon expansion -> disjunctive
+    q["prefix_e2e_topk"] = {
+        "spark": spark_prefix_e2e_topk,
+        "sql": sql_prefix_e2e_topk(),
     }
     # input_hint html:binary column -> extract_text byte-identity
     q["html_extract_e2e"] = {

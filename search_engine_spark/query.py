@@ -2670,6 +2670,104 @@ class QueryEngine:
             )
         return self._positional_topk(per_doc, uniq, lex, k, dtype)
 
+    def expand_prefix(self, prefix: str, max_expansions: int = 128) -> list[str]:
+        """Expand a term prefix against the lexicon: the top
+        ``max_expansions`` indexed terms starting with ``prefix``,
+        ranked by (df DESC, term ASC) — Lucene's multi-term rewrite
+        policy (keep the highest-document-frequency expansions; the
+        deterministic term tiebreak makes the truncation reproducible).
+
+        Scale shape: ONE lexicon scan with a ``StartsWith`` pushed
+        filter + TakeOrdered(max_expansions). The lexicon is
+        vocab-sized (orders of magnitude below the corpus), its files
+        are term-sorted within each hash bucket, so parquet row-group
+        min/max stats prune ranges that cannot contain the prefix;
+        hash-bucket partition pruning does not apply (a prefix spans
+        buckets) and is not needed at this table's size. Returned
+        entries seed the per-engine lexicon cache, so the follow-up
+        search pays no second lexicon job for the expanded terms.
+        """
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        rows = (
+            self._stage_df("lexicon")
+            .where(F.col("term").startswith(prefix))
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .limit(int(max_expansions))
+            .select("term", "df", "n_chunks", "min_doc_id", "max_doc_id")
+            .collect()
+        )
+        terms: list[str] = []
+        for r in rows:
+            terms.append(r["term"])
+            # raw (pre-override) entry, same contract as lexicon_lookup
+            self._lex_raw_cache.setdefault(
+                r["term"],
+                {
+                    "df": int(r["df"]),
+                    "n_chunks": int(r["n_chunks"]),
+                    "min_doc_id": int(r["min_doc_id"]),
+                    "max_doc_id": int(r["max_doc_id"]),
+                },
+            )
+        return terms
+
+    def prefix_search(
+        self,
+        query: str,
+        k: int = 10,
+        max_expansions: int = 128,
+        explain: bool = False,
+        dtype=np.float32,
+    ) -> DataFrame:
+        """Wildcard/prefix query: whitespace-separated tokens ending in
+        ``*`` expand via ``expand_prefix``; the union of the plain
+        tokens and every expansion scores as ONE disjunctive BM25 query
+        (the standard boolean rewrite of a prefix query — each
+        expansion keeps its own idf). The reference engine has no
+        wildcard operator, so semantics follow the classic IR
+        definition; only a single trailing ``*`` is supported (mid- or
+        multi-star patterns raise).
+
+        The expansion cap bounds the follow-up query cost: the search
+        runs over at most ``n_plain + n_prefix_tokens * max_expansions``
+        terms through the same block-max-WAND machinery as any
+        disjunctive query (banded distributed planner above the
+        metadata cap), so a short prefix over a web-scale vocabulary
+        stays a bounded plan instead of a vocabulary-sized one.
+        """
+        terms: set[str] = set()
+        for raw in (query or "").split():
+            if raw.endswith("*"):
+                stem = raw[:-1]
+                if not stem or "*" in stem:
+                    raise ValueError(
+                        f"unsupported wildcard pattern {raw!r}: only a "
+                        "single trailing * is supported"
+                    )
+                if tokenize_query(stem) != [stem]:
+                    raise ValueError(
+                        f"prefix stem {stem!r} contains tokenizer "
+                        "delimiters; prefix must be a single term stem"
+                    )
+                terms.update(self.expand_prefix(stem, max_expansions))
+            else:
+                if "*" in raw:
+                    raise ValueError(
+                        f"unsupported wildcard pattern {raw!r}: only a "
+                        "single trailing * is supported"
+                    )
+                terms.update(tokenize_query(raw))
+        # expanded terms are lexicon terms (delimiter-free), so the
+        # canonical disjunctive path re-tokenizes them losslessly
+        return self.search(
+            " ".join(sorted(terms)),
+            mode="disjunctive",
+            k=k,
+            explain=explain,
+            dtype=dtype,
+        )
+
     def _positional_candidates(self, seq: list, dtype):
         """Shared front half of the positional operators: validate the
         index, prune the bucket-partitioned postings side table to the

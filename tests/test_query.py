@@ -443,3 +443,70 @@ def test_ordered_window_scores_match_phrase_scoring(phrase_engine):
     assert set(ph) == set(ow)  # window=2 == adjacency for a 2-term query
     for d in ph:
         assert abs(ph[d] - ow[d]) < 1e-12
+
+
+# ---------------------------------------------------------------- prefix
+
+
+def test_expand_prefix_matches_bruteforce(engine):
+    """expand_prefix == python-side (df DESC, term ASC) top-N over the
+    collected lexicon, for caps below and above the match count."""
+    qe, _ = engine
+    lex = qe._stage_df("lexicon").select("term", "df").collect()
+    for prefix in ("s", "sp", "t"):
+        matches = sorted(
+            ((r["term"], int(r["df"])) for r in lex
+             if r["term"].startswith(prefix)),
+            key=lambda td: (-td[1], td[0]),
+        )
+        for cap in (1, 3, 100):
+            want = [t for t, _ in matches[:cap]]
+            assert qe.expand_prefix(prefix, cap) == want, (prefix, cap)
+
+
+def test_prefix_search_equals_expanded_disjunctive(engine):
+    """prefix_search('s* data') == plain disjunctive search over the
+    union of the capped expansion and the plain term."""
+    import numpy as np
+
+    qe, _ = engine
+    exp = qe.expand_prefix("s", 4)
+    want = qe.search(
+        " ".join(sorted(set(exp) | {"data"})),
+        mode="disjunctive", k=10, dtype=np.float64,
+    ).collect()
+    got = qe.prefix_search(
+        "s* data", k=10, max_expansions=4, dtype=np.float64
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_prefix_search_no_match_and_empty(engine):
+    qe, _ = engine
+    assert qe.prefix_search("zzzabsent*").count() == 0
+    assert qe.prefix_search("").count() == 0
+    assert qe.expand_prefix("zzzabsent") == []
+
+
+def test_prefix_search_invalid_patterns(engine):
+    qe, _ = engine
+    for bad in ("*", "a*b*", "f*o", "spark *"):
+        with pytest.raises(ValueError, match="wildcard|prefix|non-empty"):
+            qe.prefix_search(bad)
+    with pytest.raises(ValueError, match="delimiters"):
+        qe.prefix_search("foo-b*")
+    with pytest.raises(ValueError, match="non-empty"):
+        qe.expand_prefix("")
+
+
+def test_prefix_search_seeds_lexicon_cache(engine):
+    """The expansion's lexicon rows seed the per-engine cache, so the
+    follow-up search performs no second lexicon job for them."""
+    qe, _ = engine
+    qe._lex_raw_cache.pop("spark", None)
+    got = qe.expand_prefix("spark", 8)
+    assert got == ["spark"]
+    assert qe._lex_raw_cache["spark"] is not None
+    assert qe._lex_raw_cache["spark"]["df"] > 0
