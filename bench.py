@@ -205,6 +205,12 @@ def run_suite() -> dict:
             lambda: qe.prefix_search("s* data", max_expansions=4).collect()
         )
 
+        # boolean (a OR b OR c) AND NOT d: excluded postings decode
+        # once, anti-join at the aggregation convergence point
+        timings["boolean_not_search"] = _min_of(
+            lambda: qe.search_not("spark query data", "slow").collect()
+        )
+
         # positional index + its consumers (phrase / NEAR-window);
         # min-of-2 cold builds like the main index
         import numpy as np

@@ -1504,6 +1504,46 @@ def sql_prefix_e2e_topk() -> str:
     )
 
 
+# boolean NOT clause: positives = the flagship disjunctive terms,
+# excluded term chosen so most docs drop (df("slow") ~ the corpus)
+# while 100+ survivors keep the top-10 well-defined at every SF
+NOT_EXCLUDE = "slow"
+
+
+def spark_boolean_not_e2e_topk(spark, sf_dir: str) -> DataFrame:
+    """Boolean ``(a OR b OR c) AND NOT d`` top-10 through the REAL
+    chunked index (cache shared with index_e2e_topk), HARD-ORACLED:
+    QueryEngine.search_not decodes the excluded term's postings once,
+    anti-joins at the aggregation convergence point (theta shortcuts
+    that rank excluded docs disable themselves), and returns the
+    surviving disjunctive BM25 top-10 in float64."""
+    import numpy as np
+
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    index_dir = _e2e_index(spark, sf_dir)
+    qe = QueryEngine(spark, index_dir)
+    res = qe.search_not(
+        " ".join(BM25_DISJ_TERMS), NOT_EXCLUDE, k=10, dtype=np.float64
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def sql_boolean_not_e2e_topk() -> str:
+    """DuckDB twin: the flagship disjunctive scoring restricted to docs
+    with no occurrence of the excluded term."""
+    in_list = ", ".join(f"'{t}'" for t in BM25_DISJ_TERMS)
+    return (
+        _bm25_base("duckdb") + f"WHERE tf.term IN ({in_list})), "
+        f"neg AS (SELECT DISTINCT doc_id FROM tok "
+        f"WHERE term = '{NOT_EXCLUDE}') "
+        "SELECT s.doc_id, round(sum(s.score), 4) AS score FROM scored s "
+        "WHERE s.doc_id NOT IN (SELECT doc_id FROM neg) "
+        "GROUP BY s.doc_id ORDER BY sum(s.score) DESC, s.doc_id LIMIT 10"
+    )
+
+
 PROX_WINDOW = 3
 
 
@@ -2473,6 +2513,11 @@ def _registry() -> dict:
     q["prefix_e2e_topk"] = {
         "spark": spark_prefix_e2e_topk,
         "sql": sql_prefix_e2e_topk(),
+    }
+    # boolean (a OR b OR c) AND NOT d through the same chunked index
+    q["boolean_not_e2e_topk"] = {
+        "spark": spark_boolean_not_e2e_topk,
+        "sql": sql_boolean_not_e2e_topk(),
     }
     # input_hint html:binary column -> extract_text byte-identity
     q["html_extract_e2e"] = {

@@ -237,6 +237,9 @@ class QueryEngine:
         # pinned metadata projection (see META_CACHE); built lazily on
         # the first planning read, unpersisted by close()
         self._meta_df: DataFrame | None = None
+        # transient NOT-clause doc set (search_not): anti-joined in
+        # _agg_topk, disables attained-bound theta shortcuts while set
+        self._exclude_df: DataFrame | None = None
         # tombstoned doc ids (maintenance.delete_docs): a sorted int64
         # array when the set fits the driver cap (decode paths mask
         # in-place), else a distributed DataFrame (anti-join fallback).
@@ -1087,6 +1090,13 @@ class QueryEngine:
         agg = scored.groupBy("doc_id").agg(*aggs)
         if mode == "conjunctive":
             agg = agg.where(F.col("_nt") == n_terms)
+        if self._exclude_df is not None:
+            # NOT clause: post-agg (one row per doc) anti-join; AQE
+            # picks broadcast when the excluded set is small. Applied
+            # here — the single convergence point of every query path —
+            # so phase-1/spark theta probes rank only SURVIVING docs
+            # and their thresholds stay safe under exclusion.
+            agg = agg.join(self._exclude_df, "doc_id", "left_anti")
         return (
             agg.drop("_nt")
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1188,6 +1198,10 @@ class QueryEngine:
                 and not self.has_deletes
                 # rescaled override bounds are no longer attained
                 and not self.has_stats_override
+                # an excluded doc may be the bound's attainer: a
+                # metadata-only theta could then exceed the surviving
+                # k-th best and prune surviving docs' segments
+                and self._exclude_df is None
                 and all(
                     wand.idf(lex[t]["df"], self.n_docs) >= 0
                     for t in present
@@ -1281,6 +1295,51 @@ class QueryEngine:
             chunks, lex, with_dl=explain, dtype=dtype
         )
         return self._agg_topk(scored, mode, len(present), k, explain, dtype)
+
+    def search_not(
+        self,
+        query: str,
+        exclude: str,
+        mode: str = "disjunctive",
+        k: int = 10,
+        explain: bool = False,
+        dtype=np.float32,
+    ) -> DataFrame:
+        """Boolean NOT: top-k for ``query`` (either mode) restricted to
+        docs containing NONE of the ``exclude`` terms — the standard
+        ``(a OR b) AND NOT c`` boolean clause the reference engine
+        lacks.
+
+        Plan: the excluded terms' postings decode once (the inherent
+        cost of a NOT — bounded by their total df, a bucket-pruned
+        point access like any other term fetch) into a distinct-doc_id
+        frame, then the POSITIVE terms run through the ordinary
+        block-max-WAND machinery with that frame anti-joined at the
+        single aggregation convergence point (_agg_topk). Pruning
+        thresholds stay safe because every theta is derived from
+        already-excluded rankings; the two attained-bound shortcuts
+        that are NOT (metadata-only theta, the driver-local probe)
+        disable themselves while an exclusion is active. Scores are
+        unchanged for surviving docs: BM25 over the positive terms
+        only, rank order identical to filtering the exhaustive
+        ranking. Unindexed excluded terms drop out (nothing to
+        exclude), mirroring the openList skip on the positive side.
+        """
+        neg = [t for t in tokenize_query(exclude) if t]
+        lex_neg = self.lexicon_lookup(neg)
+        neg_present = sorted(lex_neg)
+        if not neg_present:
+            return self.search(query, mode, k, explain, dtype)
+        neg_ids = (
+            self._scored_postings(self._chunks(neg_present), lex_neg)
+            .select("doc_id")
+            .distinct()
+        )
+        self._exclude_df = neg_ids
+        try:
+            return self.search(query, mode, k, explain, dtype)
+        finally:
+            self._exclude_df = None
 
     def batch_search(
         self,
@@ -2034,6 +2093,10 @@ class QueryEngine:
             and n_keys <= KEYS_COLLECT_CAP
             and self.config.get("table_format") != "iceberg"
             and self._deleted_df is None
+            # the local probe scores docs the NOT clause may exclude —
+            # its theta could exceed the surviving k-th best; the spark
+            # probe routes through _agg_topk where exclusion applies
+            and self._exclude_df is None
         )
 
     def _theta_local(

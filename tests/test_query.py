@@ -510,3 +510,78 @@ def test_prefix_search_seeds_lexicon_cache(engine):
     assert got == ["spark"]
     assert qe._lex_raw_cache["spark"] is not None
     assert qe._lex_raw_cache["spark"]["df"] > 0
+
+
+# ------------------------------------------------------------ boolean NOT
+
+
+def _oracle_not(oracle, query, exclude, mode="disjunctive", k=10):
+    """Filter the oracle's exhaustive ranking by the excluded terms'
+    doc sets — the definitional semantics of (query) AND NOT (exclude)."""
+    from search_engine_spark.tokenizer import tokenize_query
+
+    neg = set()
+    for t in tokenize_query(exclude):
+        neg.update(d for d, _ in oracle.postings.get(t, ()))
+    full = oracle.topk(query, mode=mode, k=oracle.n_docs + 1)
+    return [(d, s) for d, s in full if d not in neg][:k]
+
+
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+def test_search_not_rank_identity(engine, mode):
+    """search_not == the exhaustive ranking filtered by the excluded
+    terms' doc sets, across hot and rare excludes (NOT semantics must
+    not perturb surviving scores even when exclusion removes the
+    top-ranked docs and every WAND theta shortcut must stay safe)."""
+    qe, oracle = engine
+    cases = [
+        ("spark query", "the"),        # stop-wordy exclude, most docs drop
+        ("data row filter join", "slow"),
+        ("the fast table", "zzz-absent"),  # unindexed exclude == plain search
+        ("slow scan agg key hash", "table scan"),  # multi-term exclude
+    ]
+    for q, ex in cases:
+        want = _oracle_not(oracle, q, ex, mode=mode)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in qe.search_not(q, ex, mode=mode).collect()
+        ]
+        assert_rank_identical(got, want)
+
+
+def test_search_not_missing_exclude_equals_search(engine):
+    qe, _ = engine
+    import numpy as np
+
+    plain = qe.search("spark query", dtype=np.float64).collect()
+    noted = qe.search_not("spark query", "zzzabsent", dtype=np.float64).collect()
+    assert [(r["doc_id"], r["score"]) for r in plain] == [
+        (r["doc_id"], r["score"]) for r in noted
+    ]
+
+
+def test_search_not_self_exclusion_empty(engine):
+    """Excluding the only positive term removes every candidate."""
+    qe, oracle = engine
+    term = max(oracle.postings, key=lambda t: oracle.df(t))
+    assert qe.search_not(term, term).count() == 0
+
+
+def test_search_not_state_restored(engine, monkeypatch):
+    """The transient exclusion never leaks into subsequent searches,
+    including after an exception inside search()."""
+    qe, oracle = engine
+    qe.search_not("spark query", "the").collect()
+    assert qe._exclude_df is None
+
+    def boom(*a, **kw):
+        raise RuntimeError("mid-search failure")
+
+    monkeypatch.setattr(qe, "search", boom)
+    with pytest.raises(RuntimeError, match="mid-search"):
+        qe.search_not("spark query", "the")
+    monkeypatch.undo()
+    assert qe._exclude_df is None
+    want = oracle.topk("spark query")
+    got = [(r["doc_id"], r["score"]) for r in qe.search("spark query").collect()]
+    assert_rank_identical(got, want)
