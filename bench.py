@@ -211,6 +211,12 @@ def run_suite() -> dict:
             lambda: qe.search_not("spark query data", "slow").collect()
         )
 
+        # faceted search: exact per-host counts over the full match set
+        # (no WAND pruning possible — the Sigma-df decode is the cost)
+        timings["facet_counts"] = _min_of(
+            lambda: qe.facet_counts("spark query data").collect()
+        )
+
         # positional index + its consumers (phrase / NEAR-window);
         # min-of-2 cold builds like the main index
         import numpy as np

@@ -1544,6 +1544,40 @@ def sql_boolean_not_e2e_topk() -> str:
     )
 
 
+def spark_facet_counts_e2e(spark, sf_dir: str) -> DataFrame:
+    """Faceted search through the REAL chunked index (cache shared
+    with index_e2e_topk), HARD-ORACLED: exact per-host document counts
+    over the flagship disjunctive query's FULL match set (postings
+    decode -> distinct doc set -> column-pruned doc-table join ->
+    facet agg), top-20 by (n_docs DESC, facet ASC)."""
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    index_dir = _e2e_index(spark, sf_dir)
+    qe = QueryEngine(spark, index_dir)
+    return qe.facet_counts(
+        " ".join(BM25_DISJ_TERMS), mode="disjunctive", facet="host", top_n=20
+    )
+
+
+def sql_facet_counts_e2e() -> str:
+    """DuckDB twin: matched docs = any flagship term present; the host
+    facet re-derives the corpus url exactly as load_documents
+    synthesizes it (https://{source}/doc/{doc_id})."""
+    in_list = ", ".join(f"'{t}'" for t in BM25_DISJ_TERMS)
+    return (
+        f"WITH {_toks_cte('duckdb')}, {_tok_cte('duckdb')}, "
+        f"matched AS (SELECT DISTINCT doc_id FROM tok "
+        f"WHERE term IN ({in_list})), "
+        "facets AS (SELECT m.doc_id, lower(regexp_extract("
+        "'https://' || d.source || '/doc/' || CAST(d.doc_id AS VARCHAR), "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS facet "
+        "FROM matched m JOIN documents d ON m.doc_id = d.doc_id) "
+        "SELECT facet, CAST(count(*) AS BIGINT) AS n_docs FROM facets "
+        "GROUP BY facet ORDER BY n_docs DESC, facet ASC LIMIT 20"
+    )
+
+
 PROX_WINDOW = 3
 
 
@@ -2518,6 +2552,11 @@ def _registry() -> dict:
     q["boolean_not_e2e_topk"] = {
         "spark": spark_boolean_not_e2e_topk,
         "sql": sql_boolean_not_e2e_topk(),
+    }
+    # faceted search: exact per-host counts over the full match set
+    q["facet_counts_e2e"] = {
+        "spark": spark_facet_counts_e2e,
+        "sql": sql_facet_counts_e2e(),
     }
     # input_hint html:binary column -> extract_text byte-identity
     q["html_extract_e2e"] = {

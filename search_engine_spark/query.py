@@ -2831,6 +2831,78 @@ class QueryEngine:
             dtype=dtype,
         )
 
+    def facet_counts(
+        self,
+        query: str,
+        mode: str = "disjunctive",
+        facet: str = "host",
+        top_n: int = 20,
+    ) -> DataFrame:
+        """Exact per-facet document counts over the query's FULL match
+        set — the search-results sidebar aggregation (classic faceted
+        search; the reference engine has no facet operator, semantics
+        follow the standard IR definition).
+
+        ``facet``: ``"host"`` (lower-cased url authority — the natural
+        web facet) or any Spark SQL expression string over the
+        doc-table columns (``doc_id``, ``url``, ``doc_length``,
+        ``text``). Returns ``(facet, n_docs)``, ``top_n`` rows ordered
+        n_docs DESC then facet ASC (deterministic). Missing query
+        terms drop like ``search`` (openList-skip semantics); an empty
+        surviving term set returns an empty frame.
+
+        Plan — exact facets cannot WAND-prune (EVERY matching doc
+        counts, not just the top-k): decode the present terms'
+        postings (bucket-pruned point access, cost Σdf — the inherent
+        exact-facet lower bound), reduce to the matched doc set with
+        one doc_id-keyed aggregation (shuffle bounded by Σdf;
+        conjunctive keeps docs covering all terms), join the
+        column-pruned (doc_id, url) doc-table projection, and finish
+        with a facet-cardinality-sized hash agg (partial map-side, a
+        few bytes per distinct facet per task). At web scale the
+        doc-table join is the dominant wide op and is the minimal
+        exact plan; tombstoned docs are masked inside the decode like
+        every other query path.
+        """
+        terms = tokenize_query(query)
+        empty = self.spark.createDataFrame([], "facet string, n_docs long")
+        if not terms:
+            return empty
+        lex = self.lexicon_lookup(terms)
+        present = sorted(lex)
+        if not present:
+            return empty
+        postings = self._scored_postings(self._chunks(present), lex)
+        if mode == "conjunctive" and len(present) > 1:
+            # one row per (term, doc) in a posting list, so the plain
+            # count equals the distinct-term cover
+            matched = (
+                postings.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("_nt"))
+                .where(F.col("_nt") == len(present))
+                .select("doc_id")
+            )
+        else:
+            matched = postings.select("doc_id").distinct()
+        if facet == "host":
+            fcol = F.lower(
+                F.regexp_extract(
+                    "url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
+                )
+            )
+        else:
+            fcol = F.expr(facet)
+        doc_facets = self._stage_df("doc_table").select(
+            "doc_id", fcol.cast("string").alias("facet")
+        )
+        return (
+            matched.join(doc_facets, "doc_id")
+            .groupBy("facet")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("facet"))
+            .limit(top_n)
+        )
+
     def _positional_candidates(self, seq: list, dtype):
         """Shared front half of the positional operators: validate the
         index, prune the bucket-partitioned postings side table to the

@@ -585,3 +585,84 @@ def test_search_not_state_restored(engine, monkeypatch):
     want = oracle.topk("spark query")
     got = [(r["doc_id"], r["score"]) for r in qe.search("spark query").collect()]
     assert_rank_identical(got, want)
+
+
+# ------------------------------------------------------------ facet counts
+
+
+def _facet_oracle(oracle, docs_by_id, query, mode):
+    """Exact facet counts from the python index: matched docs (any/all
+    query terms) bucketed by the url host (== source in testdata)."""
+    from search_engine_spark.tokenizer import tokenize_query
+
+    terms = [t for t in tokenize_query(query) if t in oracle.postings]
+    if not terms:
+        return []
+    sets = [set(d for d, _ in oracle.postings[t]) for t in sorted(set(terms))]
+    matched = set.intersection(*sets) if mode == "conjunctive" else set.union(*sets)
+    counts: dict[str, int] = {}
+    for d in matched:
+        host = docs_by_id[d]
+        counts[host] = counts.get(host, 0) + 1
+    return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+@pytest.fixture(scope="module")
+def doc_hosts(spark):
+    rows = (
+        load_documents(spark, SF_DIR)
+        .select("doc_id", F.lower(F.regexp_extract(
+            "url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)).alias("h"))
+        .collect()
+    )
+    return {r["doc_id"]: r["h"] for r in rows}
+
+
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+def test_facet_counts_matches_oracle(engine, doc_hosts, mode):
+    qe, oracle = engine
+    for q in ("spark query", "data row filter join", "the fast table"):
+        want = _facet_oracle(oracle, doc_hosts, q, mode)
+        got = [
+            (r["facet"], r["n_docs"])
+            for r in qe.facet_counts(q, mode=mode, top_n=10**6).collect()
+        ]
+        assert got == want, (q, mode)
+
+
+def test_facet_counts_top_n_is_prefix(engine, doc_hosts):
+    qe, oracle = engine
+    full = [
+        (r["facet"], r["n_docs"])
+        for r in qe.facet_counts("spark query", top_n=10**6).collect()
+    ]
+    cut = [
+        (r["facet"], r["n_docs"])
+        for r in qe.facet_counts("spark query", top_n=3).collect()
+    ]
+    assert cut == full[:3]
+
+
+def test_facet_counts_custom_expr(engine, doc_hosts):
+    """An arbitrary SQL facet expression over the doc table."""
+    qe, oracle = engine
+    got = {
+        r["facet"]: r["n_docs"]
+        for r in qe.facet_counts(
+            "spark query", facet="CAST(doc_length % 3 AS STRING)"
+        ).collect()
+    }
+    matched = set(d for d, _ in oracle.postings.get("spark", ())) | set(
+        d for d, _ in oracle.postings.get("query", ())
+    )
+    want: dict[str, int] = {}
+    for d in matched:
+        key = str(oracle.doc_lengths[d] % 3)
+        want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+def test_facet_counts_empty_and_missing(engine):
+    qe, _ = engine
+    assert qe.facet_counts("").count() == 0
+    assert qe.facet_counts("zzznope qqqabsent").count() == 0
