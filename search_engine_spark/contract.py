@@ -1052,6 +1052,54 @@ def sql_stratified_sample(engine: str) -> str:
     )
 
 
+# mixture weights/budget sized so at the driver gate (sf0.01) the
+# fractions straddle BOTH branches: en/fr sample fractionally, de's
+# target exceeds its availability and keeps everything (cap at 1.0);
+# es/zh are absent from the weights and drop entirely
+MIX_WEIGHTS = {"en": 0.5, "fr": 0.1, "de": 0.4}
+MIX_BUDGET = 12_000
+
+
+def spark_mixture_sample(spark, sf_dir: str) -> DataFrame:
+    from .textstats import mixture_sample
+
+    _prepare(spark, sf_dir)
+    return mixture_sample(
+        spark.table("documents"), MIX_WEIGHTS, MIX_BUDGET, strat_col="lang"
+    )
+
+
+def sql_mixture_sample(engine: str) -> str:
+    """DuckDB twin of textstats.mixture_sample: same md5 hex-nibble
+    bucket, same floor(least(1, target/avail) * 65536) IEEE-double
+    threshold, same whitespace token mass."""
+    nib = (
+        "(strpos('0123456789abcdef', substr(md5('mix|' || "
+        "CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+    )
+    bucket = " + ".join(
+        nib.format(i=i + 1) + f" * {16 ** (3 - i)}" for i in range(4)
+    )
+    wsum = sum(MIX_WEIGHTS.values())
+    tgt_rows = ", ".join(
+        f"('{g}', {MIX_BUDGET * w / wsum!r})"
+        for g, w in sorted(MIX_WEIGHTS.items())
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, lang, CAST(CASE WHEN text IS NULL "
+        "OR trim(text) = '' THEN 0 ELSE len(regexp_split_to_array("
+        "trim(text), '\\s+')) END AS BIGINT) AS tokens FROM documents), "
+        "avail AS (SELECT lang, CAST(sum(tokens) AS DOUBLE) AS a "
+        "FROM toks GROUP BY lang), "
+        f"tgt(lang, t) AS (VALUES {tgt_rows}), "
+        "thr AS (SELECT avail.lang, CAST(floor(least(1.0, t / a) * 65536) "
+        "AS BIGINT) AS thr FROM avail JOIN tgt ON avail.lang = tgt.lang), "
+        f"b AS (SELECT doc_id, lang, tokens, {bucket} AS bucket FROM toks) "
+        "SELECT b.doc_id, b.lang, b.tokens FROM b "
+        "JOIN thr ON b.lang = thr.lang WHERE b.bucket < thr.thr"
+    )
+
+
 PACK_SEQ_LEN = 128
 PACK_SHARDS = 4
 
@@ -2462,6 +2510,7 @@ def _registry() -> dict:
         "repetition_ratio": (spark_repetition_ratio, sql_repetition_ratio),
         "source_stats": (spark_source_stats, sql_source_stats),
         "stratified_sample": (spark_stratified_sample, sql_stratified_sample),
+        "mixture_sample": (spark_mixture_sample, sql_mixture_sample),
         "pack_sequences": (spark_pack_sequences, sql_pack_sequences),
         "ann_cosine_topk": (spark_ann_bruteforce, sql_ann_cosine),
         "ann_ivf_topk": (spark_ann_ivf, sql_ann_ivf),

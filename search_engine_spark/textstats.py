@@ -321,6 +321,74 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    strat_col: str = "lang",
+    seed_tag: str = "mix",
+) -> DataFrame:
+    """Token-budget mixture sampling — the training-data mixing step
+    (The-Pile/Llama-style domain weights): deterministically sample
+    docs so each group's sampled TOKEN mass approaches
+    ``token_budget * weight``, capped by availability (a group with
+    less mass than its target keeps everything — the standard
+    without-replacement mixing rule; weights are normalized, groups
+    absent from ``weights`` drop).
+
+    Keep rule: bucket(doc_id) < floor(min(1, target/available) *
+    65536) with the same portable md5 bucket as
+    :func:`stratified_sample` — no RNG, so re-runs and resumed
+    pipelines keep identical rows and the DuckDB oracle regenerates
+    the exact kept set. Token mass = whitespace tokens (the
+    tokenizer-independent proxy; swap the mass expression for real
+    tokenizer counts when available).
+
+    Plan: one map-side-combinable group agg (|groups| rows), the
+    per-group threshold broadcasts back, then a map-only filter — no
+    corpus-sized shuffle anywhere, the same 100 TB shape as
+    stratified_sample. Returns (doc_id, <strat_col>, tokens) of kept
+    docs.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    wsum = float(sum(weights.values()))
+    if not weights or wsum <= 0:
+        raise ValueError("weights must contain at least one positive weight")
+    ws = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), "\\s+"))
+    )
+    toks = docs.select(
+        "doc_id", strat_col, ws.cast("long").alias("tokens")
+    )
+    spark = docs.sparkSession
+    targets = spark.createDataFrame(
+        [(g, token_budget * w / wsum) for g, w in sorted(weights.items())],
+        f"{strat_col} string, _target double",
+    )
+    avail = toks.groupBy(strat_col).agg(
+        F.sum("tokens").cast("double").alias("_avail")
+    )
+    thr = (
+        avail.join(F.broadcast(targets), strat_col)
+        .select(
+            strat_col,
+            F.floor(
+                F.least(F.lit(1.0), F.col("_target") / F.col("_avail"))
+                * SAMPLE_BUCKETS
+            )
+            .cast("long")
+            .alias("_thr"),
+        )
+    )
+    bucket = _hex_bucket(seed_tag)
+    return (
+        toks.join(F.broadcast(thr), strat_col)
+        .where(bucket < F.col("_thr"))
+        .select("doc_id", strat_col, "tokens")
+    )
+
+
 # -------------------------------------------------- PII / URL curation
 # Portable regexes only (identical semantics in Java regex and DuckDB's
 # RE2 for these linear, lookaround-free patterns), so the contract

@@ -192,6 +192,81 @@ def test_stratified_sample_matches_pure_md5(curation_docs):
     assert got == again
 
 
+def test_mixture_sample_semantics(curation_docs):
+    """Token-budget mixing: per-group kept mass ~= budget*weight (one
+    doc granularity), availability-capped groups keep everything,
+    unweighted groups drop, and the kept set is a pure md5 function."""
+    import hashlib
+    import math
+
+    # en mass = 4 tokens * 40 docs = 160; fr mass = 2 * 10 = 20
+    # weights en .5 / fr .5, budget 80 -> en target 40 (fraction .25),
+    # fr target 40 > avail 20 (cap: keep all fr)
+    got = {
+        (r["doc_id"], r["lang"], r["tokens"])
+        for r in textstats.mixture_sample(
+            curation_docs, {"en": 0.5, "fr": 0.5}, 80
+        ).collect()
+    }
+
+    def bucket(i):
+        return int(hashlib.md5(f"mix|{i}".encode()).hexdigest()[:4], 16)
+
+    thr = {"en": math.floor(40 / 160 * 65536), "fr": 65536}
+    want = set()
+    for i in range(50):
+        lang = "en" if i < 40 else "fr"
+        toks = 4 if i < 40 else 2
+        if bucket(i) < thr[lang]:
+            want.add((i, lang, toks))
+    assert got == want
+    assert sum(1 for _, l, _ in got if l == "fr") == 10  # capped: all kept
+    en_mass = sum(t for _, l, t in got if l == "en")
+    assert 0 < en_mass <= 160
+    # deterministic across runs
+    again = {
+        (r["doc_id"], r["lang"], r["tokens"])
+        for r in textstats.mixture_sample(
+            curation_docs, {"en": 0.5, "fr": 0.5}, 80
+        ).collect()
+    }
+    assert got == again
+    # unweighted groups drop entirely
+    only_en = textstats.mixture_sample(curation_docs, {"en": 1.0}, 80)
+    assert {r["lang"] for r in only_en.collect()} == {"en"}
+
+
+def test_mixture_sample_mass_tracks_weights(curation_docs):
+    """With a large sample the kept token mass per group approaches
+    budget * normalized weight (law-of-large-numbers sanity)."""
+    rows = [
+        (i, "tok " * 10, ("en", "fr", "de")[i % 3], "s", 40)
+        for i in range(3000)
+    ]
+    docs = curation_docs.sparkSession.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    kept = textstats.mixture_sample(
+        docs, {"en": 3.0, "fr": 1.0}, 4000
+    ).collect()
+    mass = {}
+    for r in kept:
+        mass[r["lang"]] = mass.get(r["lang"], 0) + r["tokens"]
+    assert set(mass) == {"en", "fr"}
+    assert abs(mass["en"] - 3000) / 3000 < 0.15
+    assert abs(mass["fr"] - 1000) / 1000 < 0.25
+
+
+def test_mixture_sample_validation(curation_docs):
+    with pytest.raises(ValueError, match="token_budget"):
+        textstats.mixture_sample(curation_docs, {"en": 1.0}, 0)
+    with pytest.raises(ValueError, match="weight"):
+        textstats.mixture_sample(curation_docs, {}, 100)
+    with pytest.raises(ValueError, match="weight"):
+        textstats.mixture_sample(curation_docs, {"en": 0.0}, 100)
+
+
 # ----------------------------------------------------- PII / URL ops
 
 
