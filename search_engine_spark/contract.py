@@ -1592,6 +1592,43 @@ def sql_boolean_not_e2e_topk() -> str:
     )
 
 
+def spark_expansion_terms_e2e(spark, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion through the REAL chunked
+    index (cache shared with index_e2e_topk), HARD-ORACLED: top-10
+    retrieval -> point doc fetch -> candidate terms scored by log
+    co-occurrence lift vs corpus df, top-20."""
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    index_dir = _e2e_index(spark, sf_dir)
+    qe = QueryEngine(spark, index_dir)
+    return qe.expansion_terms(
+        " ".join(BM25_DISJ_TERMS), k_docs=10, top_n=20, min_co=2
+    )
+
+
+def sql_expansion_terms_e2e() -> str:
+    """DuckDB twin: the flagship BM25 top-10 doc set (rank-identical
+    by construction), distinct terms per feedback doc, lift vs the
+    full-corpus dfs CTE. Assumes >= 10 matching docs at the gate SF
+    (holds for the flagship terms at every testdata SF)."""
+    in_list = ", ".join(f"'{t}'" for t in BM25_DISJ_TERMS)
+    return (
+        _bm25_base("duckdb") + f"WHERE tf.term IN ({in_list})), "
+        "topk AS (SELECT s.doc_id FROM scored s GROUP BY s.doc_id "
+        "ORDER BY sum(s.score) DESC, s.doc_id LIMIT 10), "
+        "cand AS (SELECT t.term, CAST(count(*) AS BIGINT) AS co_docs "
+        "FROM (SELECT DISTINCT tok.doc_id, tok.term FROM tok "
+        "JOIN topk ON tok.doc_id = topk.doc_id) t GROUP BY t.term) "
+        "SELECT c.term, c.co_docs, d.df, "
+        "round(ln((CAST(c.co_docs AS DOUBLE) / 10.0) / "
+        "(CAST(d.df AS DOUBLE) / CAST(st.n_docs AS DOUBLE))), 4) AS score "
+        "FROM cand c JOIN dfs d ON c.term = d.term CROSS JOIN stats st "
+        f"WHERE c.co_docs >= 2 AND c.term NOT IN ({in_list}) "
+        "ORDER BY score DESC, c.term ASC LIMIT 20"
+    )
+
+
 def spark_facet_counts_e2e(spark, sf_dir: str) -> DataFrame:
     """Faceted search through the REAL chunked index (cache shared
     with index_e2e_topk), HARD-ORACLED: exact per-host document counts
@@ -2606,6 +2643,11 @@ def _registry() -> dict:
     q["facet_counts_e2e"] = {
         "spark": spark_facet_counts_e2e,
         "sql": sql_facet_counts_e2e(),
+    }
+    # pseudo-relevance-feedback expansion over the top-10 doc set
+    q["expansion_terms_e2e"] = {
+        "spark": spark_expansion_terms_e2e,
+        "sql": sql_expansion_terms_e2e(),
     }
     # input_hint html:binary column -> extract_text byte-identity
     q["html_extract_e2e"] = {

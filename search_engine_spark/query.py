@@ -2903,6 +2903,74 @@ class QueryEngine:
             .limit(top_n)
         )
 
+    def expansion_terms(
+        self,
+        query: str,
+        k_docs: int = 10,
+        top_n: int = 20,
+        min_co: int = 2,
+        mode: str = "disjunctive",
+        dtype=np.float64,
+    ) -> DataFrame:
+        """Pseudo-relevance-feedback query expansion (RM/Rocchio
+        lineage): candidate terms mined from the TOP-``k_docs``
+        retrieved documents, scored by log co-occurrence lift
+        ``ln((co_docs/k) / (df/N))`` — how much more often a term
+        appears in the feedback docs than in the corpus at large.
+        Returns (term, co_docs, df, score), ``top_n`` rows by (score
+        DESC, term ASC); query terms themselves are excluded and
+        candidates must hit ``min_co`` feedback docs.
+
+        Plan — PRF is top-k-bounded BY DEFINITION, so every stage is a
+        point access: the retrieval runs through the ordinary
+        block-max-WAND machinery, the k winning docs fetch via the
+        IN(doc_id) row-group-pruned lookup (fetch_docs), their texts
+        tokenize driver-side with the python tokenizer twin (asserted
+        byte-identical to the JVM path; k docs, not a corpus scan),
+        and candidate dfs resolve through the bucket-pruned
+        ``lexicon_lookup`` point access — never a full-lexicon scan.
+        Driver memory is O(k · doc_len) tokens, the operator's
+        inherent footprint at any corpus size.
+        """
+        from .tokenizer import tokenize_text
+
+        empty = self.spark.createDataFrame(
+            [], "term string, co_docs long, df long, score double"
+        )
+        seeds = set(tokenize_query(query))
+        topk_rows = self.search(query, mode=mode, k=k_docs, dtype=dtype).collect()
+        if not topk_rows:
+            return empty
+        k = len(topk_rows)
+        small = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in topk_rows],
+            "doc_id long, score double",
+        )
+        texts = self.fetch_docs(small).select("doc_id", "text").collect()
+        co: dict[str, int] = {}
+        for r in texts:
+            for t in set(tokenize_text(r["text"] or "")):
+                co[t] = co.get(t, 0) + 1
+        cand = sorted(
+            t for t, c in co.items() if c >= min_co and t not in seeds
+        )
+        if not cand:
+            return empty
+        lex = self.lexicon_lookup(cand)
+        n = float(self.n_docs)
+        rows = []
+        for t in cand:
+            e = lex.get(t)
+            if e is None:
+                continue
+            df_t = int(self._df_of(t, e["df"]))
+            score = float(np.log((co[t] / k) / (df_t / n)))
+            rows.append((t, co[t], df_t, round(score, 4)))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        return self.spark.createDataFrame(
+            rows[:top_n], "term string, co_docs long, df long, score double"
+        )
+
     def _positional_candidates(self, seq: list, dtype):
         """Shared front half of the positional operators: validate the
         index, prune the bucket-partitioned postings side table to the

@@ -666,3 +666,56 @@ def test_facet_counts_empty_and_missing(engine):
     qe, _ = engine
     assert qe.facet_counts("").count() == 0
     assert qe.facet_counts("zzznope qqqabsent").count() == 0
+
+
+# ------------------------------------------------- expansion terms (PRF)
+
+
+def test_expansion_terms_matches_oracle(engine):
+    """expansion_terms == a pure-python PRF twin: top-k docs from the
+    oracle ranking, distinct-term co counts, log lift vs corpus df."""
+    import math
+
+    from search_engine_spark.tokenizer import tokenize_query, tokenize_text
+
+    qe, oracle = engine
+    docs_text = {
+        r["doc_id"]: r["text"]
+        for r in qe._stage_df("doc_table").select("doc_id", "text").collect()
+    }
+    for q in ("spark query", "data row filter join"):
+        k_docs, top_n, min_co = 5, 8, 2
+        top = [d for d, _ in oracle.topk(q, k=k_docs)]
+        k = len(top)
+        seeds = set(tokenize_query(q))
+        co: dict[str, int] = {}
+        for d in top:
+            for t in set(tokenize_text(docs_text[d] or "")):
+                co[t] = co.get(t, 0) + 1
+        want = []
+        for t, c in co.items():
+            if c < min_co or t in seeds:
+                continue
+            score = round(
+                math.log((c / k) / (oracle.df(t) / oracle.n_docs)), 4
+            )
+            want.append((t, c, oracle.df(t), score))
+        want.sort(key=lambda r: (-r[3], r[0]))
+        want = want[:top_n]
+        got = [
+            (r["term"], r["co_docs"], r["df"], r["score"])
+            for r in qe.expansion_terms(
+                q, k_docs=k_docs, top_n=top_n, min_co=min_co
+            ).collect()
+        ]
+        assert got == want, q
+        assert all(t not in seeds for t, *_ in got)
+        assert all(c >= min_co for _, c, *_ in got)
+
+
+def test_expansion_terms_empty_cases(engine):
+    qe, _ = engine
+    assert qe.expansion_terms("").count() == 0
+    assert qe.expansion_terms("zzznope").count() == 0
+    # min_co above k can never be met
+    assert qe.expansion_terms("spark", k_docs=3, min_co=4).count() == 0
