@@ -1629,6 +1629,39 @@ def sql_expansion_terms_e2e() -> str:
     )
 
 
+MLT_SEED_DOC = 7
+
+
+def spark_more_like_this_e2e(spark, sf_dir: str) -> DataFrame:
+    """More-like-this through the REAL chunked index (cache shared
+    with index_e2e_topk), HARD-ORACLED: the seed doc's top-10 tf*idf
+    terms run as a disjunctive top-10 with the seed excluded."""
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    index_dir = _e2e_index(spark, sf_dir)
+    qe = QueryEngine(spark, index_dir)
+    res = qe.more_like_this(MLT_SEED_DOC, max_terms=10, k=10)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def sql_more_like_this_e2e() -> str:
+    """DuckDB twin: same tf*idf term selection (unclamped reference
+    idf, term-ASC tiebreak), BM25 over the selected terms, seed doc
+    filtered out of the ranking."""
+    return (
+        _bm25_base("duckdb") + "), "
+        "mlt AS (SELECT tf.term FROM tf JOIN dfs ON tf.term = dfs.term "
+        "CROSS JOIN stats s "
+        f"WHERE tf.doc_id = {MLT_SEED_DOC} "
+        "ORDER BY tf.tf * ln((CAST(s.n_docs AS DOUBLE) - dfs.df + 0.5) / "
+        "(CAST(dfs.df AS DOUBLE) + 0.5)) DESC, tf.term ASC LIMIT 10) "
+        "SELECT sc.doc_id, round(sum(sc.score), 4) AS score FROM scored sc "
+        f"JOIN mlt ON sc.term = mlt.term WHERE sc.doc_id != {MLT_SEED_DOC} "
+        "GROUP BY sc.doc_id ORDER BY sum(sc.score) DESC, sc.doc_id LIMIT 10"
+    )
+
+
 def spark_facet_counts_e2e(spark, sf_dir: str) -> DataFrame:
     """Faceted search through the REAL chunked index (cache shared
     with index_e2e_topk), HARD-ORACLED: exact per-host document counts
@@ -2648,6 +2681,11 @@ def _registry() -> dict:
     q["expansion_terms_e2e"] = {
         "spark": spark_expansion_terms_e2e,
         "sql": sql_expansion_terms_e2e(),
+    }
+    # more-like-this: seed doc's top tf*idf terms as a query
+    q["more_like_this_e2e"] = {
+        "spark": spark_more_like_this_e2e,
+        "sql": sql_more_like_this_e2e(),
     }
     # input_hint html:binary column -> extract_text byte-identity
     q["html_extract_e2e"] = {

@@ -2971,6 +2971,70 @@ class QueryEngine:
             rows[:top_n], "term string, co_docs long, df long, score double"
         )
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        max_terms: int = 10,
+        k: int = 10,
+        mode: str = "disjunctive",
+        dtype=np.float64,
+    ) -> DataFrame:
+        """More-like-this (Lucene MLT semantics): find the documents
+        most similar to a SEED document by running its most
+        characteristic terms as a query. Term selection = the seed's
+        top ``max_terms`` by tf·idf (idf = the engine's own unclamped
+        ln((N-df+0.5)/(df+0.5)); ties break on term ASC), then an
+        ordinary top-k retrieval over them with the seed itself
+        excluded from the results.
+
+        Plan — like :meth:`expansion_terms`, every stage is a point
+        access: the seed fetches via the IN(doc_id) row-group-pruned
+        lookup (one doc), its terms' dfs resolve through the
+        bucket-pruned ``lexicon_lookup``, and the follow-up query runs
+        through the ordinary block-max-WAND machinery (banded planner
+        above the metadata cap), so the whole operator is
+        O(max_terms)-bounded regardless of corpus size. Returns
+        (doc_id, score) like ``search``.
+        """
+        from .tokenizer import tokenize_text
+
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, score " + (
+                "double" if dtype is np.float64 else "float"
+            )
+        )
+        seed = self.spark.createDataFrame(
+            [(int(doc_id), 0.0)], "doc_id long, score double"
+        )
+        rows = self.fetch_docs(seed).select("text").collect()
+        if not rows:
+            raise KeyError(f"doc_id {doc_id} not in the doc table")
+        toks = tokenize_text(rows[0]["text"] or "")
+        if not toks:
+            return empty
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        lex = self.lexicon_lookup(sorted(tf))
+        scored = sorted(
+            (
+                (
+                    -tf[t] * wand.idf(self._df_of(t, e["df"]), self.n_docs),
+                    t,
+                )
+                for t, e in lex.items()
+            ),
+        )
+        terms = [t for _, t in scored[:max_terms]]
+        if not terms:
+            return empty
+        res = self.search(" ".join(terms), mode=mode, k=k + 1, dtype=dtype)
+        return (
+            res.where(F.col("doc_id") != int(doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def _positional_candidates(self, seq: list, dtype):
         """Shared front half of the positional operators: validate the
         index, prune the bucket-partitioned postings side table to the

@@ -719,3 +719,53 @@ def test_expansion_terms_empty_cases(engine):
     assert qe.expansion_terms("zzznope").count() == 0
     # min_co above k can never be met
     assert qe.expansion_terms("spark", k_docs=3, min_co=4).count() == 0
+
+
+# --------------------------------------------------------- more like this
+
+
+def test_more_like_this_matches_oracle(engine):
+    """MLT == pure-python twin: seed's top tf*idf terms (unclamped
+    reference idf, term-ASC tiebreak) run disjunctively, seed doc
+    filtered from the ranking."""
+    import math
+
+    from search_engine_spark.tokenizer import tokenize_text
+
+    qe, oracle = engine
+    docs_text = {
+        r["doc_id"]: r["text"]
+        for r in qe._stage_df("doc_table").select("doc_id", "text").collect()
+    }
+    for seed in (0, 7, 42):
+        tf: dict[str, int] = {}
+        for t in tokenize_text(docs_text[seed] or ""):
+            tf[t] = tf.get(t, 0) + 1
+        sel = sorted(
+            (
+                (-c * math.log(
+                    (oracle.n_docs - oracle.df(t) + 0.5)
+                    / (oracle.df(t) + 0.5)
+                ), t)
+                for t, c in tf.items()
+            )
+        )
+        terms = [t for _, t in sel[:10]]
+        full = oracle.topk(" ".join(terms), k=oracle.n_docs + 1)
+        want = [(d, s) for d, s in full if d != seed][:10]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in qe.more_like_this(seed, max_terms=10, k=10).collect()
+        ]
+        assert_rank_identical(got, want)
+        assert all(d != seed for d, _ in got)
+
+
+def test_more_like_this_edge_cases(engine):
+    qe, _ = engine
+    with pytest.raises(KeyError, match="doc table"):
+        qe.more_like_this(10**12)
+    # k and max_terms honored
+    assert qe.more_like_this(0, k=3).count() == 3
+    one = qe.more_like_this(0, max_terms=1, k=5)
+    assert one.count() == 5
