@@ -1053,3 +1053,75 @@ def build_index(
     spark, docs: DataFrame, index_dir: str, resume: bool = True, **kwargs
 ) -> dict:
     return IndexBuilder(spark, index_dir, **kwargs).build(docs, resume=resume)
+
+
+def build_fuzzy_index(
+    spark, index_dir: str, max_term_len: int = 64
+) -> None:
+    """Derive the SymSpell-style deletion-neighborhood side table for
+    typo-tolerant (edit-distance <= 1) term matching.
+
+    For every lexicon term, emit the term itself plus each
+    single-character-deletion variant as (bucket, variant, term, df)
+    rows, bucket-partitioned and variant-sorted exactly like the
+    lexicon — so query-time expansion is the SAME bucket-pruned
+    IN(variant) point access as any lexicon lookup. Completeness:
+    Levenshtein(s, t) <= 1 iff the deletion neighborhoods
+    D1(s) ∪ {s} and D1(t) ∪ {t} intersect (the SymSpell max_edits=1
+    guarantee), so a point lookup of the QUERY term's <= len+1
+    variants retrieves every candidate; an exact driver-side
+    Levenshtein filter then removes the false positives the
+    intersection admits at distance 2 (e.g. two different deletions
+    landing on one variant).
+
+    Scale shape: output rows = Σ(len(term)+1) over the lexicon —
+    ~(avg_len+1)× the lexicon, generated map-only from the lexicon
+    stage with one partitionBy write; no corpus access. Empty-string
+    variants (from 1-char terms) are kept — they are what links
+    "a" <-> "b" at distance 1 — and form a deliberately hot bucket
+    that the query-side expansion cap bounds.
+
+    Terms longer than ``max_term_len`` are skipped (their deletion
+    fan-out is large and typo queries for 64+-char tokens are not a
+    real workload); they remain exactly matchable via the lexicon.
+    """
+    import json
+
+    with open(os.path.join(index_dir, "_manifest.json")) as f:
+        cfg = json.load(f)["config"]
+    if cfg.get("table_format") == "iceberg":
+        raise NotImplementedError(
+            "fuzzy side table under the Iceberg layout: derive with "
+            "writeTo against the catalog (local parquet path only in v1)"
+        )
+    bucket_count = int(cfg["bucket_count"])
+    lex = read_stage_parquet(
+        spark, os.path.join(index_dir, "lexicon"), "lexicon"
+    ).select("term", "df")
+    term = F.col("term")
+    deletes = F.transform(
+        F.sequence(F.lit(1), F.length(term)),
+        lambda i: F.concat(
+            term.substr(F.lit(1), i - 1),
+            term.substr(i + 1, F.length(term)),
+        ),
+    )
+    variants = F.array_distinct(
+        F.concat(F.array(term), deletes)
+    )
+    fuzzy = (
+        lex.where(F.length(term) <= max_term_len)
+        .select(
+            F.explode(variants).alias("variant"),
+            "term",
+            "df",
+        )
+        .withColumn("bucket", term_bucket_col(F.col("variant"), bucket_count))
+    )
+    (
+        fuzzy.repartition("bucket")
+        .sortWithinPartitions("variant")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(index_dir, "fuzzy"))
+    )

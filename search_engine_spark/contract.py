@@ -1629,6 +1629,58 @@ def sql_expansion_terms_e2e() -> str:
     )
 
 
+# two misspelled flagship terms: each expands to its ED<=1 lexicon
+# neighborhood (df-ranked, capped) and the union scores disjunctively
+FUZZY_QUERY = ("qery", "sparkk")
+FUZZY_CAP = 8
+
+
+def spark_fuzzy_e2e_topk(spark, sf_dir: str) -> DataFrame:
+    """Typo-tolerant top-10 through the REAL chunked index plus its
+    SymSpell deletion side table (built once into the shared e2e
+    cache), HARD-ORACLED: per-term ED<=1 expansion (df DESC, term ASC,
+    cap 8) then one disjunctive BM25 over the union."""
+    import os
+
+    import numpy as np
+
+    from .build import build_fuzzy_index
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    index_dir = _e2e_index(spark, sf_dir)
+    if not os.path.isdir(os.path.join(index_dir, "fuzzy")):
+        build_fuzzy_index(spark, index_dir)
+    qe = QueryEngine(spark, index_dir)
+    res = qe.fuzzy_search(
+        " ".join(FUZZY_QUERY), k=10, max_expansions=FUZZY_CAP,
+        dtype=np.float64,
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def sql_fuzzy_e2e_topk() -> str:
+    """DuckDB twin: brute-force Levenshtein<=1 over the derived term
+    universe replaces the deletion-neighborhood lookup (same candidate
+    set by the SymSpell completeness guarantee), same (df DESC, term)
+    cap, same disjunctive BM25 over the union."""
+    exps = ", ".join(
+        f"e{i} AS (SELECT term FROM dfs WHERE levenshtein(term, '{t}') <= 1 "
+        f"ORDER BY df DESC, term ASC LIMIT {FUZZY_CAP})"
+        for i, t in enumerate(FUZZY_QUERY)
+    )
+    union = " UNION ".join(
+        f"SELECT term FROM e{i}" for i in range(len(FUZZY_QUERY))
+    )
+    return (
+        _bm25_base("duckdb") + "), "
+        f"{exps}, exp AS ({union}) "
+        "SELECT sc.doc_id, round(sum(sc.score), 4) AS score FROM scored sc "
+        "JOIN exp ON sc.term = exp.term "
+        "GROUP BY sc.doc_id ORDER BY sum(sc.score) DESC, sc.doc_id LIMIT 10"
+    )
+
+
 MLT_SEED_DOC = 7
 
 
@@ -2686,6 +2738,11 @@ def _registry() -> dict:
     q["more_like_this_e2e"] = {
         "spark": spark_more_like_this_e2e,
         "sql": sql_more_like_this_e2e(),
+    }
+    # typo-tolerant search through the SymSpell deletion side table
+    q["fuzzy_e2e_topk"] = {
+        "spark": spark_fuzzy_e2e_topk,
+        "sql": sql_fuzzy_e2e_topk(),
     }
     # input_hint html:binary column -> extract_text byte-identity
     q["html_extract_e2e"] = {

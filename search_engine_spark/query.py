@@ -3035,6 +3035,107 @@ class QueryEngine:
             .limit(k)
         )
 
+    def fuzzy_expand(self, term: str, max_expansions: int = 8) -> list[str]:
+        """Edit-distance<=1 lexicon candidates for one query term via
+        the SymSpell deletion-neighborhood side table
+        (build.build_fuzzy_index): look up the term's own deletion
+        variants (<= len+1 strings) with the SAME bucket-pruned
+        IN(variant) point access as a lexicon lookup, then exact-filter
+        to Levenshtein <= 1 driver-side (the D1-intersection admits a
+        few distance-2 false positives) and cap to ``max_expansions``
+        by (df DESC, term ASC) — Lucene's fuzzy rewrite policy.
+
+        Never scans the lexicon: candidate volume is bounded by the
+        variants' bucket rows, and the cap bounds the follow-up query
+        regardless of how popular the neighborhood is (the deliberate
+        guard for the hot empty-string bucket 1-char terms share).
+        """
+        if tokenize_query(term) != [term] or not term:
+            raise ValueError(
+                f"fuzzy term {term!r} must be a single delimiter-free token"
+            )
+        fuzzy_dir = f"{self.index_dir}/fuzzy"
+        import os
+
+        if self.config.get("table_format") == "iceberg" or not os.path.isdir(
+            fuzzy_dir
+        ):
+            raise ValueError(
+                "no fuzzy side table at this index: run "
+                "build.build_fuzzy_index(spark, index_dir) first"
+            )
+        variants = {term} | {
+            term[:i] + term[i + 1 :] for i in range(len(term))
+        }
+        buckets = sorted(
+            {term_bucket(v, self.bucket_count) for v in variants}
+        )
+        from .build import read_stage_parquet
+
+        rows = (
+            read_stage_parquet(self.spark, fuzzy_dir, "fuzzy")
+            .where(
+                F.col("bucket").isin(buckets)
+                & F.col("variant").isin(sorted(variants))
+            )
+            .select("term", "df")
+            .distinct()
+            .collect()
+        )
+
+        def ed_le1(a: str, b: str) -> bool:
+            if a == b:
+                return True
+            la, lb = len(a), len(b)
+            if abs(la - lb) > 1:
+                return False
+            if la > lb:
+                a, b, la, lb = b, a, lb, la
+            i = 0
+            while i < la and a[i] == b[i]:
+                i += 1
+            if la == lb:  # one substitution allowed
+                return a[i + 1 :] == b[i + 1 :]
+            return a[i:] == b[i + 1 :]  # one insertion into a
+
+        cand = sorted(
+            ((int(r["df"]), r["term"]) for r in rows if ed_le1(term, r["term"])),
+            key=lambda x: (-x[0], x[1]),
+        )
+        return [t for _, t in cand[:max_expansions]]
+
+    def fuzzy_search(
+        self,
+        query: str,
+        k: int = 10,
+        max_expansions: int = 8,
+        explain: bool = False,
+        dtype=np.float32,
+    ) -> DataFrame:
+        """Typo-tolerant retrieval: every query term expands to its
+        edit-distance<=1 lexicon neighborhood (``fuzzy_expand``, df-
+        ranked and capped per term), and the union scores as ONE
+        disjunctive BM25 query — the classic fuzzy-query rewrite (each
+        candidate keeps its own idf). Terms with an empty neighborhood
+        drop, mirroring the openList skip on unindexed exact terms.
+        """
+        terms: set[str] = set()
+        for raw in tokenize_query(query):
+            terms.update(self.fuzzy_expand(raw, max_expansions))
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score " + (
+                    "double" if dtype is np.float64 else "float"
+                )
+            )
+        return self.search(
+            " ".join(sorted(terms)),
+            mode="disjunctive",
+            k=k,
+            explain=explain,
+            dtype=dtype,
+        )
+
     def _positional_candidates(self, seq: list, dtype):
         """Shared front half of the positional operators: validate the
         index, prune the bucket-partitioned postings side table to the

@@ -769,3 +769,95 @@ def test_more_like_this_edge_cases(engine):
     assert qe.more_like_this(0, k=3).count() == 3
     one = qe.more_like_this(0, max_terms=1, k=5)
     assert one.count() == 5
+
+
+# ----------------------------------------------------------- fuzzy search
+
+
+def _brute_ed1(lex_rows, term, cap):
+    def ed(a, b):
+        if abs(len(a) - len(b)) > 1:
+            return 99
+        # tiny DP, fine at test scale
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    cand = sorted(
+        ((int(r["df"]), r["term"]) for r in lex_rows
+         if ed(term, r["term"]) <= 1),
+        key=lambda x: (-x[0], x[1]),
+    )
+    return [t for _, t in cand[:cap]]
+
+
+@pytest.fixture(scope="module")
+def fuzzy_engine(engine):
+    from search_engine_spark.build import build_fuzzy_index
+
+    qe, oracle = engine
+    import os
+
+    if not os.path.isdir(os.path.join(qe.index_dir, "fuzzy")):
+        build_fuzzy_index(qe.spark, qe.index_dir)
+    lex_rows = qe._stage_df("lexicon").select("term", "df").collect()
+    return qe, oracle, lex_rows
+
+
+def test_fuzzy_expand_matches_bruteforce(fuzzy_engine):
+    """Deletion-neighborhood expansion == brute-force Levenshtein<=1
+    over the whole lexicon, for caps below and above the match count."""
+    qe, _, lex_rows = fuzzy_engine
+    for term in ("spark", "sparkk", "qery", "dat", "a", "zz"):
+        for cap in (1, 4, 100):
+            want = _brute_ed1(lex_rows, term, cap)
+            assert qe.fuzzy_expand(term, cap) == want, (term, cap)
+
+
+def test_fuzzy_search_equals_expanded_disjunctive(fuzzy_engine):
+    import numpy as np
+
+    qe, _, _ = fuzzy_engine
+    exp = set(qe.fuzzy_expand("qery", 8)) | set(qe.fuzzy_expand("sparkk", 8))
+    want = qe.search(
+        " ".join(sorted(exp)), mode="disjunctive", k=10, dtype=np.float64
+    ).collect()
+    got = qe.fuzzy_search(
+        "qery sparkk", k=10, max_expansions=8, dtype=np.float64
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_fuzzy_search_no_neighborhood_and_validation(fuzzy_engine):
+    qe, _, lex_rows = fuzzy_engine
+    # a term with no ED<=1 lexicon neighbor
+    probe = "qqqqqqzzzzzz"
+    assert _brute_ed1(lex_rows, probe, 100) == []
+    assert qe.fuzzy_search(probe).count() == 0
+    with pytest.raises(ValueError, match="delimiter-free"):
+        qe.fuzzy_expand("has space")
+    with pytest.raises(ValueError, match="delimiter-free"):
+        qe.fuzzy_expand("")
+
+
+def test_fuzzy_requires_side_table(spark, tmp_path_factory):
+    from search_engine_spark.build import IndexBuilder
+
+    index_dir = str(tmp_path_factory.mktemp("idx_nofuzzy"))
+    docs = spark.createDataFrame(
+        [(0, "u0", "alpha beta"), (1, "u1", "beta gamma")],
+        "doc_id long, url string, text string",
+    )
+    IndexBuilder(spark, index_dir, n_salts=2, bucket_count=4).build(
+        docs, resume=False
+    )
+    qe = QueryEngine(spark, index_dir)
+    with pytest.raises(ValueError, match="build_fuzzy_index"):
+        qe.fuzzy_expand("alpha")
