@@ -217,6 +217,25 @@ def run_suite() -> dict:
             lambda: qe.facet_counts("spark query data").collect()
         )
 
+        # PRF expansion + MLT: top-k-bounded point-access pipelines
+        timings["expansion_terms"] = _min_of(
+            lambda: qe.expansion_terms("spark query data").collect()
+        )
+        timings["more_like_this"] = _min_of(
+            lambda: qe.more_like_this(7).collect()
+        )
+
+        # typo tolerance: side-table derivation once, then the
+        # point-lookup expansion + capped disjunctive per query
+        from search_engine_spark.build import build_fuzzy_index
+
+        t0 = time.time()
+        build_fuzzy_index(spark, index_dir)
+        timings["fuzzy_index_build"] = round(time.time() - t0, 3)
+        timings["fuzzy_search"] = _min_of(
+            lambda: qe.fuzzy_search("qery sparkk").collect()
+        )
+
         # positional index + its consumers (phrase / NEAR-window);
         # min-of-2 cold builds like the main index
         import numpy as np
