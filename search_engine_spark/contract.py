@@ -1629,6 +1629,62 @@ def sql_expansion_terms_e2e() -> str:
     )
 
 
+SUGGEST_PREFIX = "s"
+
+
+def spark_suggest_terms(spark, sf_dir: str) -> DataFrame:
+    """Autocomplete through the REAL index lexicon (shared e2e cache),
+    HARD-ORACLED: top-10 terms for a prefix by (df DESC, term ASC)."""
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    index_dir = _e2e_index(spark, sf_dir)
+    qe = QueryEngine(spark, index_dir)
+    return qe.suggest(SUGGEST_PREFIX, n=10)
+
+
+def sql_suggest_terms() -> str:
+    """DuckDB twin: per-term posting counts over the corpus replace
+    the lexicon (df == distinct-doc posting count by construction)."""
+    return (
+        f"WITH {_toks_cte('duckdb')}, {_tok_cte('duckdb')}, "
+        "tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term) "
+        "SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf "
+        f"WHERE term LIKE '{SUGGEST_PREFIX}%' "
+        "GROUP BY term ORDER BY df DESC, term ASC LIMIT 10"
+    )
+
+
+def spark_index_stats(spark, sf_dir: str) -> DataFrame:
+    """Index observability summary through the REAL index (shared e2e
+    cache), HARD-ORACLED on the corpus-derivable columns: n_chunks is
+    dropped here because the physical chunk count depends on the
+    build's doc-id range partitioning (each range chunks its local
+    run), not on the corpus alone — pytest covers it structurally."""
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    index_dir = _e2e_index(spark, sf_dir)
+    qe = QueryEngine(spark, index_dir)
+    return qe.index_stats().drop("n_chunks")
+
+
+def sql_index_stats() -> str:
+    """DuckDB twin: every column re-derived relationally from the
+    corpus (df == distinct-doc posting count per term)."""
+    return (
+        f"WITH {_toks_cte('duckdb')}, {_tok_cte('duckdb')}, "
+        "tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term), "
+        "dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df "
+        "FROM tf GROUP BY term) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs, "
+        "(SELECT round(avg(len(ts)), 4) FROM toks) AS avgdl, "
+        "CAST(count(*) AS BIGINT) AS n_terms, "
+        "CAST(sum(df) AS BIGINT) AS n_postings, "
+        "CAST(max(df) AS BIGINT) AS max_df FROM dfs"
+    )
+
+
 # two misspelled flagship terms: each expands to its ED<=1 lexicon
 # neighborhood (df-ranked, capped) and the union scores disjunctively
 FUZZY_QUERY = ("qery", "sparkk")
@@ -2743,6 +2799,16 @@ def _registry() -> dict:
     q["fuzzy_e2e_topk"] = {
         "spark": spark_fuzzy_e2e_topk,
         "sql": sql_fuzzy_e2e_topk(),
+    }
+    # autocomplete: df-ranked prefix suggestions off the lexicon
+    q["suggest_terms"] = {
+        "spark": spark_suggest_terms,
+        "sql": sql_suggest_terms(),
+    }
+    # one-row index observability summary (stats + lexicon aggregates)
+    q["index_stats"] = {
+        "spark": spark_index_stats,
+        "sql": sql_index_stats(),
     }
     # input_hint html:binary column -> extract_text byte-identity
     q["html_extract_e2e"] = {

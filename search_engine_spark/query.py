@@ -3035,6 +3035,46 @@ class QueryEngine:
             .limit(k)
         )
 
+    def suggest(self, prefix: str, n: int = 10) -> DataFrame:
+        """Query autocomplete: the top ``n`` indexed terms starting
+        with ``prefix``, ranked (df DESC, term ASC) — the suggestion
+        box's data source, straight off the lexicon via the same
+        pushed-StartsWith TakeOrdered scan as ``expand_prefix``
+        (row-group min/max pruning on the term-sorted files; no corpus
+        access). Returns (term, df)."""
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        return (
+            self._stage_df("lexicon")
+            .where(F.col("term").startswith(prefix))
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .limit(int(n))
+            .select("term", F.col("df").cast("long").alias("df"))
+        )
+
+    def index_stats(self) -> DataFrame:
+        """One-row observability summary of the served index —
+        collection stats plus lexicon-derived aggregates: (n_docs,
+        avgdl, n_terms, n_postings, n_chunks, max_df). Costs one
+        lexicon-sized agg (map-side partials; the stats row is already
+        pinned on the engine), never touches postings payloads or the
+        corpus — the dashboard/ops query a serving fleet runs per
+        segment."""
+        lex = self._stage_df("lexicon").agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.max("df").cast("long").alias("max_df"),
+        )
+        return lex.select(
+            F.lit(int(self.built_n_docs)).cast("long").alias("n_docs"),
+            F.round(F.lit(float(self.built_avgdl)), 4).alias("avgdl"),
+            "n_terms",
+            "n_postings",
+            "n_chunks",
+            "max_df",
+        )
+
     def fuzzy_expand(self, term: str, max_expansions: int = 8) -> list[str]:
         """Edit-distance<=1 lexicon candidates for one query term via
         the SymSpell deletion-neighborhood side table

@@ -861,3 +861,43 @@ def test_fuzzy_requires_side_table(spark, tmp_path_factory):
     qe = QueryEngine(spark, index_dir)
     with pytest.raises(ValueError, match="build_fuzzy_index"):
         qe.fuzzy_expand("alpha")
+
+
+# ------------------------------------------------- suggest / index stats
+
+
+def test_suggest_matches_lexicon(engine):
+    qe, oracle = engine
+    lex = qe._stage_df("lexicon").select("term", "df").collect()
+    for prefix in ("s", "sp", "t", "zzz"):
+        matches = sorted(
+            ((int(r["df"]), r["term"]) for r in lex
+             if r["term"].startswith(prefix)),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for n in (1, 3, 100):
+            want = [(t, d) for d, t in matches[:n]]
+            got = [
+                (r["term"], r["df"])
+                for r in qe.suggest(prefix, n=n).collect()
+            ]
+            assert got == want, (prefix, n)
+    with pytest.raises(ValueError, match="non-empty"):
+        qe.suggest("")
+
+
+def test_index_stats_consistent(engine):
+    qe, oracle = engine
+    row = qe.index_stats().collect()[0]
+    assert row["n_docs"] == oracle.n_docs
+    assert abs(row["avgdl"] - oracle.avgdl) < 1e-3
+    assert row["n_terms"] == len(oracle.postings)
+    assert row["n_postings"] == sum(len(p) for p in oracle.postings.values())
+    assert row["max_df"] == max(len(p) for p in oracle.postings.values())
+    # physical chunk count: >= the global-chunking lower bound, and
+    # equals the actual chunk-table row count
+    lower = sum(
+        (len(p) + 127) // 128 for p in oracle.postings.values()
+    )
+    n_chunks_actual = qe._stage_df("chunks").count()
+    assert row["n_chunks"] == n_chunks_actual >= lower
