@@ -1629,6 +1629,47 @@ def sql_expansion_terms_e2e() -> str:
     )
 
 
+def spark_collapsed_e2e_topk(spark, sf_dir: str) -> DataFrame:
+    """Host-collapsed top-10 through the REAL chunked index (shared
+    e2e cache), HARD-ORACLED: at most one result per url host, each
+    host represented by its best-scoring doc (tie doc_id ASC)."""
+    import numpy as np
+
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    index_dir = _e2e_index(spark, sf_dir)
+    qe = QueryEngine(spark, index_dir)
+    res = qe.search_collapsed(
+        " ".join(BM25_DISJ_TERMS), k=10, dtype=np.float64
+    )
+    return res.select(
+        "doc_id", "host", F.round("score", 4).alias("score")
+    )
+
+
+def sql_collapsed_e2e_topk() -> str:
+    """DuckDB twin: per-doc BM25 sums, host re-derived from the
+    synthesized url, one row per host via a (score DESC, doc_id ASC)
+    window, top-10 hosts by their representative's score."""
+    in_list = ", ".join(f"'{t}'" for t in BM25_DISJ_TERMS)
+    return (
+        _bm25_base("duckdb") + f"WHERE tf.term IN ({in_list})), "
+        "agg AS (SELECT doc_id, sum(score) AS score FROM scored "
+        "GROUP BY doc_id), "
+        "hosts AS (SELECT a.doc_id, lower(regexp_extract("
+        "'https://' || d.source || '/doc/' || CAST(d.doc_id AS VARCHAR), "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host, a.score, "
+        "row_number() OVER (PARTITION BY lower(regexp_extract("
+        "'https://' || d.source || '/doc/' || CAST(d.doc_id AS VARCHAR), "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) "
+        "ORDER BY a.score DESC, a.doc_id ASC) AS rn "
+        "FROM agg a JOIN documents d ON a.doc_id = d.doc_id) "
+        "SELECT doc_id, host, round(hosts.score, 4) AS score FROM hosts "
+        "WHERE rn = 1 ORDER BY hosts.score DESC, doc_id ASC LIMIT 10"
+    )
+
+
 SUGGEST_PREFIX = "s"
 
 
@@ -2799,6 +2840,11 @@ def _registry() -> dict:
     q["fuzzy_e2e_topk"] = {
         "spark": spark_fuzzy_e2e_topk,
         "sql": sql_fuzzy_e2e_topk(),
+    }
+    # host-collapsed retrieval (site diversification, 1 result/host)
+    q["collapsed_e2e_topk"] = {
+        "spark": spark_collapsed_e2e_topk,
+        "sql": sql_collapsed_e2e_topk(),
     }
     # autocomplete: df-ranked prefix suggestions off the lexicon
     q["suggest_terms"] = {

@@ -3075,6 +3075,76 @@ class QueryEngine:
             "max_df",
         )
 
+    def search_collapsed(
+        self,
+        query: str,
+        mode: str = "disjunctive",
+        k: int = 10,
+        dtype=np.float32,
+    ) -> DataFrame:
+        """Host-collapsed retrieval (web-search site diversification):
+        the top-k documents with AT MOST ONE result per url host —
+        each host is represented by its best-scoring doc (ties break
+        doc_id ASC), then hosts rank by that representative's score.
+        Returns (doc_id, host, score).
+
+        Plan — exact collapse needs the FULL ranking in the worst case
+        (one host could own every top-k' prefix for any fixed k'), so
+        like ``facet_counts`` this scores the whole match set instead
+        of WAND-pruning: postings decode (Σdf, the exact-collapse
+        lower bound), per-doc aggregation, a column-pruned (doc_id,
+        url) doc-table join, then a per-host max — expressed as
+        ``max_by`` aggregation rather than a window sort, so the
+        per-host reduction is one partial-aggregating shuffle keyed on
+        the host (hosts << docs) and never materializes a global sort.
+        """
+        terms = tokenize_query(query)
+        out_t = "double" if dtype is np.float64 else "float"
+        empty = self.spark.createDataFrame(
+            [], f"doc_id long, host string, score {out_t}"
+        )
+        if not terms:
+            return empty
+        lex = self.lexicon_lookup(terms)
+        present = sorted(lex)
+        if not present:
+            return empty
+        scored = self._scored_postings(
+            self._chunks(present), lex, dtype=dtype
+        )
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("score").cast(out_t).alias("score"),
+            F.count(F.lit(1)).alias("_nt"),
+        )
+        if mode == "conjunctive" and len(present) > 1:
+            agg = agg.where(F.col("_nt") == len(present))
+        host = F.lower(
+            F.regexp_extract(
+                "url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
+            )
+        )
+        docs = self._stage_df("doc_table").select(
+            "doc_id", host.alias("host")
+        )
+        per_host = (
+            agg.drop("_nt")
+            .join(docs, "doc_id")
+            .groupBy("host")
+            .agg(
+                F.max("score").alias("score"),
+                # representative: smallest doc_id among the max-score
+                # docs of the host (deterministic under score ties)
+                F.max_by(
+                    "doc_id", F.struct(F.col("score"), -F.col("doc_id"))
+                ).alias("doc_id"),
+            )
+        )
+        return (
+            per_host.select("doc_id", "host", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def fuzzy_expand(self, term: str, max_expansions: int = 8) -> list[str]:
         """Edit-distance<=1 lexicon candidates for one query term via
         the SymSpell deletion-neighborhood side table

@@ -901,3 +901,39 @@ def test_index_stats_consistent(engine):
     )
     n_chunks_actual = qe._stage_df("chunks").count()
     assert row["n_chunks"] == n_chunks_actual >= lower
+
+
+# --------------------------------------------------------- host collapse
+
+
+def _collapse_oracle(oracle, hosts, query, mode, k=10):
+    full = oracle.topk(query, mode=mode, k=oracle.n_docs + 1)
+    best: dict[str, tuple[int, float]] = {}
+    for d, s in full:  # already (score desc, doc_id asc) ordered
+        h = hosts[d]
+        if h not in best:
+            best[h] = (d, s)
+    rows = sorted(best.items(), key=lambda kv: (-kv[1][1], kv[1][0]))
+    return [(d, h, s) for h, (d, s) in rows][:k]
+
+
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+def test_search_collapsed_matches_oracle(engine, doc_hosts, mode):
+    qe, oracle = engine
+    for q in ("spark query", "data row filter join"):
+        want = _collapse_oracle(oracle, doc_hosts, q, mode)
+        got = [
+            (r["doc_id"], r["host"], r["score"])
+            for r in qe.search_collapsed(q, mode=mode).collect()
+        ]
+        assert [(d, h) for d, h, _ in got] == [(d, h) for d, h, _ in want]
+        for (_, _, gs), (_, _, ws) in zip(got, want):
+            assert abs(gs - ws) <= 2e-4 * max(1.0, abs(ws))
+        # one result per host, by construction
+        assert len({h for _, h, _ in got}) == len(got)
+
+
+def test_search_collapsed_empty(engine):
+    qe, _ = engine
+    assert qe.search_collapsed("").count() == 0
+    assert qe.search_collapsed("zzznope").count() == 0
