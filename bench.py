@@ -217,6 +217,12 @@ def run_suite() -> dict:
             lambda: qe.facet_counts("spark query data").collect()
         )
 
+        # host-collapsed retrieval: full-match-set scoring + per-host
+        # max_by reduction (site diversification)
+        timings["collapsed_search"] = _min_of(
+            lambda: qe.search_collapsed("spark query data").collect()
+        )
+
         # PRF expansion + MLT: top-k-bounded point-access pipelines
         timings["expansion_terms"] = _min_of(
             lambda: qe.expansion_terms("spark query data").collect()

@@ -3617,6 +3617,59 @@ class MultiIndexQueryEngine:
         rows.sort(key=lambda x: (-x[1], x[0]))
         return rows[:k]
 
+    def facet_counts(
+        self,
+        query: str,
+        mode: str = "disjunctive",
+        facet: str = "host",
+        top_n: int = 20,
+    ) -> DataFrame:
+        """Global facet counts across segments: every doc lives in
+        exactly one segment, so the exact global count per facet is
+        the SUM of per-segment exact counts — each segment runs its
+        own (uncapped) ``QueryEngine.facet_counts`` as an independent
+        job on the scatter-gather pool, the driver sums by facet and
+        applies the (n_docs DESC, facet ASC) top_n. No stats override
+        needed: facet membership never depends on scores."""
+
+        def _one(e):
+            return [
+                (r["facet"], int(r["n_docs"]))
+                for r in e.facet_counts(
+                    query, mode=mode, facet=facet, top_n=1 << 30
+                ).collect()
+            ]
+
+        counts: dict[str, int] = {}
+        for part in self._pmap(_one, self.engines):
+            for f, n in part:
+                counts[f] = counts.get(f, 0) + n
+        rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return self.spark.createDataFrame(
+            rows[:top_n], "facet string, n_docs long"
+        )
+
+    def suggest(self, prefix: str, n: int = 10) -> DataFrame:
+        """Global autocomplete across segments: per-term dfs sum over
+        segment lexicons, so each segment contributes its FULL
+        (uncapped) prefix match list — a term just below one segment's
+        cut could still be the global top suggestion — and the driver
+        merges to the (df DESC, term ASC) top n. Vocab-bounded, like
+        any lexicon-side operation."""
+
+        def _one(e):
+            return [
+                (r["term"], int(r["df"]))
+                for r in e.suggest(prefix, n=1 << 30).collect()
+            ]
+
+        dfs: dict[str, int] = {}
+        for part in self._pmap(_one, self.engines):
+            for t, d in part:
+                dfs[t] = dfs.get(t, 0) + d
+        rows = sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))
+        return self.spark.createDataFrame(rows[:n], "term string, df long")
+
     def doc_urls(self, doc_ids: list[int]) -> dict[int, str]:
         """Map GLOBAL result ids back to urls via the segment doc
         tables (per-segment point lookups, same pruning as snippets)."""

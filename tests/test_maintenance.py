@@ -618,3 +618,44 @@ def test_engine_close_releases_metadata_cache(spark, corpus, base_index):
     got = _topk(reopened.search(QUERY, mode="disjunctive", k=10))
     assert len(got) == 10
     reopened.close()
+
+
+def test_multi_segment_facets_and_suggest_match_full_build(
+    spark, corpus, base_index, tmp_path_factory
+):
+    """Facet counts and suggestions across two half shards == one
+    engine over the full build: docs partition across segments (counts
+    sum exactly), term dfs sum across segment lexicons."""
+    from search_engine_spark.query import MultiIndexQueryEngine
+
+    docs_df, rows = corpus
+    mid = rows[len(rows) // 2][0]
+    dir_a = str(tmp_path_factory.mktemp("fs_a"))
+    dir_b = str(tmp_path_factory.mktemp("fs_b"))
+    IndexBuilder(spark, dir_a, n_salts=2, bucket_count=8).build(
+        docs_df.where(F.col("doc_id") < mid), resume=False
+    )
+    IndexBuilder(spark, dir_b, n_salts=2, bucket_count=8).build(
+        docs_df.where(F.col("doc_id") >= mid), resume=False
+    )
+    full = QueryEngine(spark, base_index)
+    mqe = MultiIndexQueryEngine(spark, [dir_a, dir_b], offsets=[0, 0])
+    for mode in ("disjunctive", "conjunctive"):
+        want = [
+            (r["facet"], r["n_docs"])
+            for r in full.facet_counts(QUERY, mode=mode, top_n=10**6).collect()
+        ]
+        got = [
+            (r["facet"], r["n_docs"])
+            for r in mqe.facet_counts(QUERY, mode=mode, top_n=10**6).collect()
+        ]
+        assert got == want, mode
+    for prefix in ("s", "d"):
+        want = [
+            (r["term"], r["df"])
+            for r in full.suggest(prefix, n=100).collect()
+        ]
+        got = [
+            (r["term"], r["df"]) for r in mqe.suggest(prefix, n=100).collect()
+        ]
+        assert got == want, prefix
