@@ -1670,6 +1670,52 @@ def sql_collapsed_e2e_topk() -> str:
     )
 
 
+DYM_TERMS = ("spark", "qery", "zzzzunfixable")
+
+
+def spark_did_you_mean(spark, sf_dir: str) -> DataFrame:
+    """Spell correction through the REAL index + SymSpell side table
+    (shared e2e cache), HARD-ORACLED: per query term, the exact term
+    when indexed, else the (df DESC, term ASC) best ED<=1 lexicon
+    term, else the ('', -1) sentinel."""
+    import os
+
+    from .build import build_fuzzy_index
+    from .query import QueryEngine
+
+    _prepare(spark, sf_dir)
+    index_dir = _e2e_index(spark, sf_dir)
+    if not os.path.isdir(os.path.join(index_dir, "fuzzy")):
+        build_fuzzy_index(spark, index_dir)
+    qe = QueryEngine(spark, index_dir)
+    return qe.did_you_mean(" ".join(DYM_TERMS))
+
+
+def sql_did_you_mean() -> str:
+    """DuckDB twin: brute-force levenshtein<=1 per query term with
+    exact-match priority, same (df DESC, term ASC) pick and the same
+    ('', -1) no-candidate sentinel."""
+    # tokenize_query dedups + sorts, so pos follows sorted term order
+    vals = ", ".join(
+        f"({i}, '{t}')" for i, t in enumerate(sorted(set(DYM_TERMS)))
+    )
+    return (
+        f"WITH {_toks_cte('duckdb')}, {_tok_cte('duckdb')}, "
+        "tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term), "
+        "dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df "
+        "FROM tf GROUP BY term), "
+        f"q(pos, term) AS (VALUES {vals}), "
+        "best AS (SELECT q.pos, q.term, d.term AS correction, d.df, "
+        "row_number() OVER (PARTITION BY q.pos ORDER BY "
+        "(d.term = q.term) DESC, d.df DESC, d.term ASC) AS rn "
+        "FROM q LEFT JOIN dfs d ON levenshtein(q.term, d.term) <= 1) "
+        "SELECT CAST(pos AS INT) AS pos, term, "
+        "coalesce(correction, '') AS correction, "
+        "CAST(coalesce(df, -1) AS BIGINT) AS df "
+        "FROM best WHERE rn = 1 ORDER BY pos"
+    )
+
+
 SUGGEST_PREFIX = "s"
 
 
@@ -2850,6 +2896,11 @@ def _registry() -> dict:
     q["suggest_terms"] = {
         "spark": spark_suggest_terms,
         "sql": sql_suggest_terms(),
+    }
+    # spell correction over the SymSpell side table
+    q["did_you_mean"] = {
+        "spark": spark_did_you_mean,
+        "sql": sql_did_you_mean(),
     }
     # one-row index observability summary (stats + lexicon aggregates)
     q["index_stats"] = {

@@ -3214,6 +3214,35 @@ class QueryEngine:
         )
         return [t for _, t in cand[:max_expansions]]
 
+    def did_you_mean(self, query: str) -> DataFrame:
+        """Spell correction ("did you mean") over the same SymSpell
+        side table as ``fuzzy_expand``: for each query term, the most
+        frequent (df DESC, term ASC) edit-distance<=1 lexicon term —
+        the term itself when indexed (an indexed term is its own best
+        correction at distance 0; the web-search convention), or the
+        sentinel ('', -1) when nothing is within distance 1. Returns
+        one row per deduped query term in the tokenizer's canonical
+        sorted order: (pos, term, correction, df).
+
+        Per term this is the same bucket-pruned point lookup as
+        ``fuzzy_expand`` — no lexicon scan, bounded by the variants'
+        bucket rows."""
+        rows = []
+        for pos, raw in enumerate(tokenize_query(query)):
+            lex = self.lexicon_lookup([raw])
+            if raw in lex:
+                rows.append((pos, raw, raw, int(lex[raw]["df"])))
+                continue
+            cand = self.fuzzy_expand(raw, max_expansions=1)
+            if cand:
+                cdf = int(self.lexicon_lookup(cand)[cand[0]]["df"])
+                rows.append((pos, raw, cand[0], cdf))
+            else:
+                rows.append((pos, raw, "", -1))
+        return self.spark.createDataFrame(
+            rows, "pos int, term string, correction string, df long"
+        )
+
     def fuzzy_search(
         self,
         query: str,

@@ -937,3 +937,21 @@ def test_search_collapsed_empty(engine):
     qe, _ = engine
     assert qe.search_collapsed("").count() == 0
     assert qe.search_collapsed("zzznope").count() == 0
+
+
+def test_did_you_mean(fuzzy_engine):
+    """Exact terms correct to themselves; misspellings to the highest-
+    df ED<=1 term; hopeless terms get the ('', -1) sentinel."""
+    qe, oracle, lex_rows = fuzzy_engine
+    rows = {r["term"]: r for r in qe.did_you_mean(
+        "spark qery zzzzunfixable").collect()}
+    assert rows["spark"]["correction"] == "spark"
+    assert rows["spark"]["df"] == oracle.df("spark")
+    best = _brute_ed1(lex_rows, "qery", 1)
+    assert rows["qery"]["correction"] == best[0]
+    assert rows["zzzzunfixable"]["correction"] == ""
+    assert rows["zzzzunfixable"]["df"] == -1
+    # pos follows the tokenizer's canonical sorted order
+    ordered = [r["term"] for r in sorted(
+        qe.did_you_mean("spark qery").collect(), key=lambda r: r["pos"])]
+    assert ordered == sorted(ordered)
