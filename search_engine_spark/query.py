@@ -176,6 +176,17 @@ def bm25_scores(
     return (idf * (k1 + np.float32(1.0)) * tf32 / (K + tf32)).astype(np.float32)
 
 
+# the url-authority facet shared by facet_counts / search_collapsed
+# (scheme-agnostic authority capture; lower-cased — hosts are
+# case-insensitive, paths are not)
+HOST_RX = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+
+
+def host_col():
+    """Lower-cased url host as a Column (the web facet)."""
+    return F.lower(F.regexp_extract("url", HOST_RX, 1))
+
+
 class QueryEngine:
     def __init__(
         self, spark, index_dir: str, stats_override: dict | None = None
@@ -1330,10 +1341,15 @@ class QueryEngine:
         neg_present = sorted(lex_neg)
         if not neg_present:
             return self.search(query, mode, k, explain, dtype)
+        # localCheckpoint materializes the excluded doc set ONCE — the
+        # lazy frame is referenced by the phase-1 theta probe AND the
+        # returned plan, which would otherwise re-decode the excluded
+        # postings on every action (2-3x for a high-df exclude)
         neg_ids = (
             self._scored_postings(self._chunks(neg_present), lex_neg)
             .select("doc_id")
             .distinct()
+            .localCheckpoint()
         )
         self._exclude_df = neg_ids
         try:
@@ -2733,6 +2749,33 @@ class QueryEngine:
             )
         return self._positional_topk(per_doc, uniq, lex, k, dtype)
 
+    def _prefix_rows(self, prefix: str, cap: int):
+        """Shared lexicon prefix scan for expand_prefix / suggest: the
+        top ``cap`` matches by (df DESC, term ASC) via a pushed
+        StartsWith TakeOrdered, rows seeding the per-engine lexicon
+        cache (same raw-entry contract as lexicon_lookup)."""
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        rows = (
+            self._stage_df("lexicon")
+            .where(F.col("term").startswith(prefix))
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .limit(int(cap))
+            .select("term", "df", "n_chunks", "min_doc_id", "max_doc_id")
+            .collect()
+        )
+        for r in rows:
+            self._lex_raw_cache.setdefault(
+                r["term"],
+                {
+                    "df": int(r["df"]),
+                    "n_chunks": int(r["n_chunks"]),
+                    "min_doc_id": int(r["min_doc_id"]),
+                    "max_doc_id": int(r["max_doc_id"]),
+                },
+            )
+        return rows
+
     def expand_prefix(self, prefix: str, max_expansions: int = 128) -> list[str]:
         """Expand a term prefix against the lexicon: the top
         ``max_expansions`` indexed terms starting with ``prefix``,
@@ -2750,30 +2793,9 @@ class QueryEngine:
         entries seed the per-engine lexicon cache, so the follow-up
         search pays no second lexicon job for the expanded terms.
         """
-        if not prefix:
-            raise ValueError("prefix must be non-empty")
-        rows = (
-            self._stage_df("lexicon")
-            .where(F.col("term").startswith(prefix))
-            .orderBy(F.col("df").desc(), F.col("term"))
-            .limit(int(max_expansions))
-            .select("term", "df", "n_chunks", "min_doc_id", "max_doc_id")
-            .collect()
-        )
-        terms: list[str] = []
-        for r in rows:
-            terms.append(r["term"])
-            # raw (pre-override) entry, same contract as lexicon_lookup
-            self._lex_raw_cache.setdefault(
-                r["term"],
-                {
-                    "df": int(r["df"]),
-                    "n_chunks": int(r["n_chunks"]),
-                    "min_doc_id": int(r["min_doc_id"]),
-                    "max_doc_id": int(r["max_doc_id"]),
-                },
-            )
-        return terms
+        return [
+            r["term"] for r in self._prefix_rows(prefix, max_expansions)
+        ]
 
     def prefix_search(
         self,
@@ -2884,14 +2906,7 @@ class QueryEngine:
             )
         else:
             matched = postings.select("doc_id").distinct()
-        if facet == "host":
-            fcol = F.lower(
-                F.regexp_extract(
-                    "url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
-                )
-            )
-        else:
-            fcol = F.expr(facet)
+        fcol = host_col() if facet == "host" else F.expr(facet)
         doc_facets = self._stage_df("doc_table").select(
             "doc_id", fcol.cast("string").alias("facet")
         )
@@ -3040,16 +3055,13 @@ class QueryEngine:
         with ``prefix``, ranked (df DESC, term ASC) — the suggestion
         box's data source, straight off the lexicon via the same
         pushed-StartsWith TakeOrdered scan as ``expand_prefix``
-        (row-group min/max pruning on the term-sorted files; no corpus
-        access). Returns (term, df)."""
-        if not prefix:
-            raise ValueError("prefix must be non-empty")
-        return (
-            self._stage_df("lexicon")
-            .where(F.col("term").startswith(prefix))
-            .orderBy(F.col("df").desc(), F.col("term"))
-            .limit(int(n))
-            .select("term", F.col("df").cast("long").alias("df"))
+        (``_prefix_rows`` — row-group min/max pruning on the
+        term-sorted files; no corpus access, and the rows seed the
+        lexicon cache). Returns (term, df)."""
+        rows = self._prefix_rows(prefix, n)
+        return self.spark.createDataFrame(
+            [(r["term"], int(r["df"])) for r in rows],
+            "term string, df long",
         )
 
     def index_stats(self) -> DataFrame:
@@ -3118,13 +3130,8 @@ class QueryEngine:
         )
         if mode == "conjunctive" and len(present) > 1:
             agg = agg.where(F.col("_nt") == len(present))
-        host = F.lower(
-            F.regexp_extract(
-                "url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
-            )
-        )
         docs = self._stage_df("doc_table").select(
-            "doc_id", host.alias("host")
+            "doc_id", host_col().alias("host")
         )
         per_host = (
             agg.drop("_nt")
@@ -3145,25 +3152,45 @@ class QueryEngine:
             .limit(k)
         )
 
-    def fuzzy_expand(self, term: str, max_expansions: int = 8) -> list[str]:
-        """Edit-distance<=1 lexicon candidates for one query term via
-        the SymSpell deletion-neighborhood side table
-        (build.build_fuzzy_index): look up the term's own deletion
-        variants (<= len+1 strings) with the SAME bucket-pruned
-        IN(variant) point access as a lexicon lookup, then exact-filter
-        to Levenshtein <= 1 driver-side (the D1-intersection admits a
-        few distance-2 false positives) and cap to ``max_expansions``
-        by (df DESC, term ASC) — Lucene's fuzzy rewrite policy.
+    @staticmethod
+    def _ed_le1(a: str, b: str) -> bool:
+        """Exact Levenshtein-distance<=1 check (sub/ins/del)."""
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        if la == lb:  # one substitution allowed
+            return a[i + 1 :] == b[i + 1 :]
+        return a[i:] == b[i + 1 :]  # one insertion into a
+
+    def _fuzzy_candidates(
+        self, terms: list[str], max_expansions: int
+    ) -> dict[str, list[tuple[str, int]]]:
+        """Batched core of the fuzzy family: ONE side-table point
+        lookup over the UNION of all terms' deletion variants, then
+        per-term exact-Levenshtein assignment, (df DESC, term ASC)
+        ranking and capping on the driver. Returns
+        {query_term: [(candidate, df), ...]}.
 
         Never scans the lexicon: candidate volume is bounded by the
         variants' bucket rows, and the cap bounds the follow-up query
         regardless of how popular the neighborhood is (the deliberate
         guard for the hot empty-string bucket 1-char terms share).
+        dfs come from the side table (== lexicon df at build time).
         """
-        if tokenize_query(term) != [term] or not term:
-            raise ValueError(
-                f"fuzzy term {term!r} must be a single delimiter-free token"
-            )
+        if not terms:
+            return {}
+        for t in terms:
+            if tokenize_query(t) != [t] or not t:
+                raise ValueError(
+                    f"fuzzy term {t!r} must be a single delimiter-free token"
+                )
         fuzzy_dir = f"{self.index_dir}/fuzzy"
         import os
 
@@ -3174,9 +3201,10 @@ class QueryEngine:
                 "no fuzzy side table at this index: run "
                 "build.build_fuzzy_index(spark, index_dir) first"
             )
-        variants = {term} | {
-            term[:i] + term[i + 1 :] for i in range(len(term))
-        }
+        variants: set[str] = set()
+        for t in terms:
+            variants.add(t)
+            variants.update(t[:i] + t[i + 1 :] for i in range(len(t)))
         buckets = sorted(
             {term_bucket(v, self.bucket_count) for v in variants}
         )
@@ -3192,27 +3220,29 @@ class QueryEngine:
             .distinct()
             .collect()
         )
+        cands = [(r["term"], int(r["df"])) for r in rows]
+        out: dict[str, list[tuple[str, int]]] = {}
+        for t in terms:
+            mine = sorted(
+                ((c, d) for c, d in cands if self._ed_le1(t, c)),
+                key=lambda x: (-x[1], x[0]),
+            )
+            out[t] = mine[:max_expansions]
+        return out
 
-        def ed_le1(a: str, b: str) -> bool:
-            if a == b:
-                return True
-            la, lb = len(a), len(b)
-            if abs(la - lb) > 1:
-                return False
-            if la > lb:
-                a, b, la, lb = b, a, lb, la
-            i = 0
-            while i < la and a[i] == b[i]:
-                i += 1
-            if la == lb:  # one substitution allowed
-                return a[i + 1 :] == b[i + 1 :]
-            return a[i:] == b[i + 1 :]  # one insertion into a
-
-        cand = sorted(
-            ((int(r["df"]), r["term"]) for r in rows if ed_le1(term, r["term"])),
-            key=lambda x: (-x[0], x[1]),
-        )
-        return [t for _, t in cand[:max_expansions]]
+    def fuzzy_expand(self, term: str, max_expansions: int = 8) -> list[str]:
+        """Edit-distance<=1 lexicon candidates for one query term via
+        the SymSpell deletion-neighborhood side table
+        (build.build_fuzzy_index): look up the term's own deletion
+        variants (<= len+1 strings) with the SAME bucket-pruned
+        IN(variant) point access as a lexicon lookup, then exact-filter
+        to Levenshtein <= 1 driver-side (the D1-intersection admits a
+        few distance-2 false positives) and cap to ``max_expansions``
+        by (df DESC, term ASC) — Lucene's fuzzy rewrite policy.
+        Batched twin: ``_fuzzy_candidates`` (one lookup for a whole
+        query)."""
+        got = self._fuzzy_candidates([term], max_expansions)
+        return [c for c, _ in got[term]]
 
     def did_you_mean(self, query: str) -> DataFrame:
         """Spell correction ("did you mean") over the same SymSpell
@@ -3224,19 +3254,22 @@ class QueryEngine:
         one row per deduped query term in the tokenizer's canonical
         sorted order: (pos, term, correction, df).
 
-        Per term this is the same bucket-pruned point lookup as
-        ``fuzzy_expand`` — no lexicon scan, bounded by the variants'
-        bucket rows."""
+        TWO driver jobs regardless of query length: one batched
+        lexicon lookup for the exact terms, one batched side-table
+        lookup for the misses. Correction dfs come from the side
+        table, so a side table stale w.r.t. a rebuilt lexicon degrades
+        to stale-but-present suggestions instead of erroring."""
+        terms = tokenize_query(query)
+        lex = self.lexicon_lookup(terms)
+        missing = [t for t in terms if t not in lex]
+        fixes = self._fuzzy_candidates(missing, 1) if missing else {}
         rows = []
-        for pos, raw in enumerate(tokenize_query(query)):
-            lex = self.lexicon_lookup([raw])
+        for pos, raw in enumerate(terms):
             if raw in lex:
                 rows.append((pos, raw, raw, int(lex[raw]["df"])))
-                continue
-            cand = self.fuzzy_expand(raw, max_expansions=1)
-            if cand:
-                cdf = int(self.lexicon_lookup(cand)[cand[0]]["df"])
-                rows.append((pos, raw, cand[0], cdf))
+            elif fixes.get(raw):
+                cand, cdf = fixes[raw][0]
+                rows.append((pos, raw, cand, cdf))
             else:
                 rows.append((pos, raw, "", -1))
         return self.spark.createDataFrame(
@@ -3252,15 +3285,15 @@ class QueryEngine:
         dtype=np.float32,
     ) -> DataFrame:
         """Typo-tolerant retrieval: every query term expands to its
-        edit-distance<=1 lexicon neighborhood (``fuzzy_expand``, df-
-        ranked and capped per term), and the union scores as ONE
-        disjunctive BM25 query — the classic fuzzy-query rewrite (each
-        candidate keeps its own idf). Terms with an empty neighborhood
-        drop, mirroring the openList skip on unindexed exact terms.
+        edit-distance<=1 lexicon neighborhood (df-ranked and capped
+        per term, ONE batched side-table lookup for the whole query),
+        and the union scores as ONE disjunctive BM25 query — the
+        classic fuzzy-query rewrite (each candidate keeps its own
+        idf). Terms with an empty neighborhood drop, mirroring the
+        openList skip on unindexed exact terms.
         """
-        terms: set[str] = set()
-        for raw in tokenize_query(query):
-            terms.update(self.fuzzy_expand(raw, max_expansions))
+        got = self._fuzzy_candidates(tokenize_query(query), max_expansions)
+        terms = {c for lst in got.values() for c, _ in lst}
         if not terms:
             return self.spark.createDataFrame(
                 [], "doc_id long, score " + (

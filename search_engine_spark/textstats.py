@@ -355,8 +355,11 @@ def mixture_sample(
     wsum = float(sum(weights.values()))
     if not weights or wsum <= 0:
         raise ValueError("weights must contain at least one positive weight")
-    ws = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim("text"), "\\s+"))
+    # coalesce FIRST: trim(NULL) is NULL, which would fall through the
+    # when() to a NULL token count (the oracle maps NULL text to 0)
+    txt = F.trim(F.coalesce(F.col("text"), F.lit("")))
+    ws = F.when(F.length(txt) == 0, F.lit(0)).otherwise(
+        F.size(F.split(txt, "\\s+"))
     )
     toks = docs.select(
         "doc_id", strat_col, ws.cast("long").alias("tokens")

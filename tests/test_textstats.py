@@ -419,3 +419,18 @@ def test_pack_sequences_validates_args(spark):
         textstats.pack_sequences(df, seq_len=0)
     with pytest.raises(ValueError, match="n_shards"):
         textstats.pack_sequences(df, n_shards=0)
+
+
+def test_mixture_sample_null_text(spark):
+    """NULL text counts as 0 tokens (not NULL) — matches the oracle's
+    'WHEN text IS NULL THEN 0' branch; kept rows never carry NULL mass."""
+    ensure_shipped(spark)
+    docs = spark.createDataFrame(
+        [(0, None, "en", "s", 0), (1, "two words", "en", "s", 9),
+         (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    kept = textstats.mixture_sample(docs, {"en": 1.0}, 10_000).collect()
+    by_id = {r["doc_id"]: r["tokens"] for r in kept}
+    # budget >> avail -> keep-all branch; every row present, no NULLs
+    assert by_id == {0: 0, 1: 2, 2: 0}
