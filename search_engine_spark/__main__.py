@@ -101,11 +101,68 @@ def cmd_query(args) -> int:
         res = qe.phrase_search(args.query, k=args.k)
     elif args.mode == "near":
         res = qe.proximity_search(args.query, window=args.window, k=args.k)
+    elif args.mode == "prefix":
+        res = qe.prefix_search(args.query, k=args.k)
+    elif args.mode == "fuzzy":
+        res = qe.fuzzy_search(args.query, k=args.k)
+    elif args.mode == "not":
+        res = qe.search_not(args.query, args.exclude or "", k=args.k)
+    elif args.mode == "collapsed":
+        for r in qe.search_collapsed(args.query, k=args.k).collect():
+            print(f"{r['doc_id']}\t{r['host']}\t{r['score']:.6f}")
+        return 0
     else:
         res = qe.search(args.query, mode=args.mode, k=args.k)
     rows = res.collect()
     for r in rows:
         print(f"{r['doc_id']}\t{r['score']:.6f}")
+    return 0
+
+
+def cmd_suggest(args) -> int:
+    from search_engine_spark.query import QueryEngine
+
+    qe = QueryEngine(_spark(), args.index_dir)
+    for r in qe.suggest(args.prefix, n=args.n).collect():
+        print(f"{r['term']}\t{r['df']}")
+    return 0
+
+
+def cmd_correct(args) -> int:
+    from search_engine_spark.query import QueryEngine
+
+    qe = QueryEngine(_spark(), args.index_dir)
+    for r in sorted(
+        qe.did_you_mean(args.query).collect(), key=lambda r: r["pos"]
+    ):
+        print(f"{r['term']}\t{r['correction']}\t{r['df']}")
+    return 0
+
+
+def cmd_facets(args) -> int:
+    from search_engine_spark.query import QueryEngine
+
+    qe = QueryEngine(_spark(), args.index_dir)
+    res = qe.facet_counts(args.query, mode=args.mode, top_n=args.top_n)
+    for r in res.collect():
+        print(f"{r['facet']}\t{r['n_docs']}")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from search_engine_spark.query import QueryEngine
+
+    qe = QueryEngine(_spark(), args.index_dir)
+    row = qe.index_stats().collect()[0]
+    for name in row.asDict():
+        print(f"{name}={row[name]}")
+    return 0
+
+
+def cmd_build_fuzzy(args) -> int:
+    from search_engine_spark.build import build_fuzzy_index
+
+    build_fuzzy_index(_spark(), args.index_dir)
     return 0
 
 
@@ -135,11 +192,43 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index-dir", required=True)
     q.add_argument("--query", required=True)
     q.add_argument("--mode", default="disjunctive",
-                   choices=["disjunctive", "conjunctive", "phrase", "near"])
+                   choices=["disjunctive", "conjunctive", "phrase", "near",
+                            "prefix", "fuzzy", "not", "collapsed"])
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--window", type=int, default=8,
                    help="NEAR window size (mode=near)")
+    q.add_argument("--exclude", default="",
+                   help="excluded terms (mode=not)")
     q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("suggest", help="df-ranked prefix autocomplete")
+    s.add_argument("--index-dir", required=True)
+    s.add_argument("--prefix", required=True)
+    s.add_argument("-n", type=int, default=10)
+    s.set_defaults(fn=cmd_suggest)
+
+    c = sub.add_parser("correct", help="per-term spell correction")
+    c.add_argument("--index-dir", required=True)
+    c.add_argument("--query", required=True)
+    c.set_defaults(fn=cmd_correct)
+
+    f = sub.add_parser("facets", help="per-host facet counts")
+    f.add_argument("--index-dir", required=True)
+    f.add_argument("--query", required=True)
+    f.add_argument("--mode", default="disjunctive",
+                   choices=["disjunctive", "conjunctive"])
+    f.add_argument("--top-n", type=int, default=20)
+    f.set_defaults(fn=cmd_facets)
+
+    st = sub.add_parser("stats", help="one-row index summary")
+    st.add_argument("--index-dir", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    bf = sub.add_parser(
+        "build-fuzzy", help="derive the SymSpell typo side table"
+    )
+    bf.add_argument("--index-dir", required=True)
+    bf.set_defaults(fn=cmd_build_fuzzy)
 
     args = p.parse_args(argv)
     return args.fn(args)
