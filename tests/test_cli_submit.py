@@ -101,3 +101,47 @@ def test_spark_submit_py_files_build_and_query(spark, tmp_path):
         for r in qe.search("table scan", mode="conjunctive", k=5).collect()
     ]
     assert got == want
+
+    # the round-5 subcommands ship through the same zip: `stats` (one
+    # KEY=VALUE line per column) must agree with the in-process
+    # engine's summary, and `suggest` must return the df-ranked prefix
+    # expansion — both in a fresh spark-submit JVM with no checkout on
+    # the path.
+    r = subprocess.run(
+        base + ["stats", "--index-dir", idx],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    got_stats = dict(
+        line.split("=", 1)
+        for line in r.stdout.strip().splitlines()
+        if "=" in line
+    )
+    want_stats = qe.index_stats().collect()[0].asDict()
+    assert int(got_stats["n_docs"]) == int(want_stats["n_docs"])
+    assert int(got_stats["n_terms"]) == int(want_stats["n_terms"])
+
+    r = subprocess.run(
+        base + ["suggest", "--index-dir", idx, "--prefix", "ta", "-n", "5"],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    got_sugg = [
+        tuple(line.split("\t"))
+        for line in r.stdout.strip().splitlines()
+        if "\t" in line
+    ]
+    want_sugg = [
+        (r2["term"], str(r2["df"]))
+        for r2 in qe.suggest("ta", n=5).collect()
+    ]
+    assert got_sugg == want_sugg
+    assert len(got_sugg) > 0
