@@ -357,6 +357,32 @@ def run_suite() -> dict:
                         mqe.search(q, "disjunctive").collect()
 
                 timings["lsm_serve_3q"] = _min_of(lsm_3q)
+
+            # term-bloom-pruned serving: sidecars on all 3 segments,
+            # then a query for a delta-only token ("v3" exists only in
+            # the second upsert wave) — the bloom rules out base and
+            # delta1 driver-side, so only delta2 pays any Spark job.
+            # The common-vocab 3q batch re-times flat (every segment
+            # stays eligible; measures bloom probe overhead ~= 0).
+            from search_engine_spark.build import build_term_bloom
+
+            segs = [base_seg, os.path.join(work, "updelta0"), d2]
+            for s in segs:
+                build_term_bloom(spark, s)
+            with MultiIndexQueryEngine(spark, segs) as mqe:
+                mqe.search(DISJ_QUERIES[0], "disjunctive").collect()  # warm
+
+                def lsm_pruned():
+                    mqe.search("v3", "disjunctive").collect()
+                    assert mqe.last_searched_segments == 1
+
+                timings["lsm_bloom_pruned_q"] = _min_of(lsm_pruned)
+
+                def lsm_3q_bloom():
+                    for q in DISJ_QUERIES[1:4]:
+                        mqe.search(q, "disjunctive").collect()
+
+                timings["lsm_serve_3q_bloom"] = _min_of(lsm_3q_bloom)
         finally:
             # close() above released the per-segment pinned metadata
             # caches so the remaining timed entries run with clean

@@ -166,6 +166,13 @@ def cmd_build_fuzzy(args) -> int:
     return 0
 
 
+def cmd_build_bloom(args) -> int:
+    from search_engine_spark.build import build_term_bloom
+
+    print(json.dumps(build_term_bloom(_spark(), args.index_dir)))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="search_engine_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -229,6 +236,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     bf.add_argument("--index-dir", required=True)
     bf.set_defaults(fn=cmd_build_fuzzy)
+
+    bb = sub.add_parser(
+        "build-bloom",
+        help="derive the term Bloom sidecar (LSM segment pruning)",
+    )
+    bb.add_argument("--index-dir", required=True)
+    bb.set_defaults(fn=cmd_build_bloom)
 
     args = p.parse_args(argv)
     return args.fn(args)

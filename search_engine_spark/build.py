@@ -1125,3 +1125,90 @@ def build_fuzzy_index(
         .partitionBy("bucket")
         .parquet(os.path.join(index_dir, "fuzzy"))
     )
+
+
+def build_term_bloom(
+    spark,
+    index_dir: str,
+    k: int = 7,
+    bits_per_term: int = 10,
+    m: int | None = None,
+    max_bits: int = 1 << 30,
+) -> dict:
+    """Derive the per-segment term Bloom filter sidecar
+    (``term_bloom/``) — the LSM serving optimization: a
+    MultiIndexQueryEngine driver probes each segment's bloom BEFORE
+    submitting Spark jobs to it, so a query touching terms absent
+    from a delta segment skips that segment entirely (RocksDB SST /
+    Lucene terms-dictionary parity). False positives cost one wasted
+    job; false negatives cannot happen (the probe replays the exact
+    build-side positions — codecs.bloom_positions documents the
+    shared md5 double-hash family), so results are identical with or
+    without the sidecar.
+
+    Sizing: ``m`` defaults to the next power of two >=
+    ``bits_per_term * n_terms`` (>= 1024), capped at ``max_bits``
+    (default 2^30 = a 128 MB driver-resident filter). Past the cap
+    the filter SATURATES — false-positive rate rises, correctness
+    never moves — which is the right failure mode for a fat base
+    segment whose bloom would rarely prune anyway; the win case is
+    the many small deltas an LSM actually accumulates.
+
+    Scale shape: one map-only pass over the LEXICON (never postings,
+    never the corpus) explodes k positions per term, then ONE
+    shuffle bounded by m/64 rows (the 64-bit word index) bit-ORs the
+    masks; the driver materializes only the non-zero words. Runs
+    after (or any time after) ``build()``; pure derived data, safe
+    to rebuild.
+    """
+    with open(os.path.join(index_dir, "_manifest.json")) as f:
+        cfg = json.load(f)["config"]
+    if cfg.get("table_format") == "iceberg":
+        raise NotImplementedError(
+            "term bloom sidecar under the Iceberg layout: local "
+            "parquet path only in v1"
+        )
+    lex = read_stage_parquet(
+        spark, os.path.join(index_dir, "lexicon"), "lexicon"
+    ).select("term")
+    n_terms = lex.count()
+    if m is None:
+        m = 1024
+        while m < bits_per_term * n_terms and m < max_bits:
+            m <<= 1
+    if m & (m - 1):
+        raise ValueError(f"bloom size m={m} must be a power of two")
+    hexd = F.md5("term")
+    h1 = F.conv(F.substring(hexd, 1, 15), 16, 10).cast("long") % F.lit(m)
+    h2 = F.conv(F.substring(hexd, 16, 15), 16, 10).cast("long") % F.lit(m)
+    pos = (
+        lex.select(
+            h1.alias("h1"), h2.bitwiseOR(F.lit(1)).alias("h2")
+        )
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+            "h1",
+            "h2",
+        )
+        .select(((F.col("h1") + F.col("i") * F.col("h2")) % m).alias("pos"))
+    )
+    words_pdf = (
+        pos.select(
+            F.shiftright("pos", 6).alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            .alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+        .toPandas()
+    )
+    words = np.zeros(m >> 6, dtype=np.uint64)
+    if len(words_pdf):
+        words[words_pdf["word_idx"].to_numpy()] = (
+            words_pdf["word"].to_numpy().astype(np.int64).view(np.uint64)
+        )
+    codecs.bloom_save(
+        os.path.join(index_dir, codecs.BLOOM_DIR), words, m, k, n_terms
+    )
+    bits_set = int(np.unpackbits(words.view(np.uint8)).sum())
+    return {"m": m, "k": k, "n_terms": int(n_terms), "bits_set": bits_set}

@@ -653,3 +653,90 @@ def decode_inter_block(
         term, doc_ids, freqs, pos = decode_inter_posting(body, pos)
         out.append((term, doc_ids, freqs))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Term Bloom filter sidecar (LSM segment pruning)
+# ---------------------------------------------------------------------------
+# A per-segment Bloom filter over LEXICON TERMS, the RocksDB/Lucene
+# trick that makes many-segment LSM serving cheap: before paying a
+# Spark job on a segment, the driver asks the segment's bloom whether
+# any query term can possibly exist there. False positives cost one
+# wasted (correct) job; false negatives are impossible by
+# construction, so pruning never changes results.
+#
+# Layout: little-endian uint64 word array, bit ``p`` of the filter is
+# bit ``p & 63`` of word ``p >> 6``. Hash family is double hashing
+# (Kirsch-Mitzenmacher) over the md5 hex digest — the SAME split the
+# rest of the engine uses for md5-derived integers, so the build-side
+# Spark SQL expressions and this driver-side probe agree bit-for-bit
+# and a DuckDB oracle can recount the set-bit population:
+#
+#     h1 = int(md5(term)[0:15], 16) % m
+#     h2 = (int(md5(term)[15:30], 16) % m) | 1      (odd => full cycle
+#                                                    when m is 2^j)
+#     pos_i = (h1 + i*h2) % m       for i in 0..k-1
+#
+# All intermediates stay below 2^60, so the identical arithmetic runs
+# as BIGINT in Spark SQL and DuckDB without overflow.
+
+BLOOM_DIR = "term_bloom"
+
+
+def bloom_positions(term: str, m: int, k: int) -> list[int]:
+    """The k bit positions of ``term`` in an m-bit filter (driver-side
+    twin of the build's Spark expressions; see layout note above)."""
+    import hashlib
+
+    hexd = hashlib.md5(term.encode("utf-8")).hexdigest()
+    h1 = int(hexd[0:15], 16) % m
+    h2 = (int(hexd[15:30], 16) % m) | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def bloom_save(path_dir: str, words: np.ndarray, m: int, k: int,
+               n_terms: int) -> None:
+    import json
+    import os
+
+    os.makedirs(path_dir, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(path_dir, "bloom.npz"),
+        words=words.astype(np.uint64, copy=False),
+    )
+    with open(os.path.join(path_dir, "meta.json"), "w") as f:
+        json.dump(
+            {"m": int(m), "k": int(k), "n_terms": int(n_terms),
+             "version": 1},
+            f,
+        )
+
+
+def bloom_load(path_dir: str):
+    """Load a bloom sidecar; returns (words, m, k) or None if absent
+    or unreadable (a corrupt/missing bloom degrades to 'no pruning',
+    never to wrong answers)."""
+    import json
+    import os
+
+    npz = os.path.join(path_dir, "bloom.npz")
+    meta_p = os.path.join(path_dir, "meta.json")
+    if not (os.path.exists(npz) and os.path.exists(meta_p)):
+        return None
+    try:
+        with open(meta_p) as f:
+            meta = json.load(f)
+        words = np.load(npz)["words"]
+        if words.shape[0] * 64 != int(meta["m"]):
+            return None
+        return words, int(meta["m"]), int(meta["k"])
+    except Exception:
+        return None
+
+
+def bloom_may_contain(words: np.ndarray, m: int, k: int,
+                      term: str) -> bool:
+    for p in bloom_positions(term, m, k):
+        if not (int(words[p >> 6]) >> (p & 63)) & 1:
+            return False
+    return True

@@ -1772,6 +1772,68 @@ def sql_index_stats() -> str:
     )
 
 
+# fixed bloom geometry for the contract entry so the oracle can bake
+# the size in as a literal (production auto-sizes from n_terms)
+BLOOM_M = 131072
+BLOOM_K = 7
+
+
+def spark_term_bloom_stats(spark, sf_dir: str) -> DataFrame:
+    """The term Bloom sidecar (build.build_term_bloom — LSM segment
+    pruning), built for real into the shared e2e index and verified
+    at the ARTIFACT level: n_terms and the set-bit population are
+    recounted from the persisted bitset on disk, and the DuckDB twin
+    rebuilds the identical population relationally — the md5
+    double-hash family (codecs.bloom_positions) is engine-independent,
+    so COUNT(DISTINCT position) over the corpus-derived term set must
+    equal the artifact's popcount exactly. Building into the shared
+    cache is safe: pruning is lossless (no bloom false negatives), so
+    every other entry's results are unchanged by the sidecar's
+    presence."""
+    import os
+
+    import numpy as np
+
+    from . import codecs
+    from .build import build_term_bloom
+
+    _prepare(spark, sf_dir)
+    index_dir = _e2e_index(spark, sf_dir)
+    meta = build_term_bloom(spark, index_dir, m=BLOOM_M, k=BLOOM_K)
+    loaded = codecs.bloom_load(os.path.join(index_dir, codecs.BLOOM_DIR))
+    assert loaded is not None
+    words, m, k = loaded
+    assert (m, k) == (BLOOM_M, BLOOM_K)
+    bits_set = int(np.unpackbits(words.view(np.uint8)).sum())
+    assert bits_set == meta["bits_set"]
+    return spark.createDataFrame(
+        [(int(meta["n_terms"]), bits_set)],
+        "n_terms long, bits_set long",
+    )
+
+
+def sql_term_bloom_stats() -> str:
+    """DuckDB twin: the lexicon term set re-derived from the corpus
+    (same CTEs as lexicon_df), each term expanded to its k=7 double-
+    hash positions (h1 + i*h2 mod m, h1/h2 from md5 hex — all < 2^60,
+    overflow-free BIGINT math), and the filter's set-bit count
+    recovered as COUNT(DISTINCT position)."""
+    return (
+        f"WITH {_toks_cte('duckdb')}, {_tok_cte('duckdb')}, "
+        "lexterms AS (SELECT DISTINCT term FROM tok), "
+        "h AS (SELECT "
+        f"('0x' || substr(md5(term), 1, 15))::BIGINT % {BLOOM_M} AS h1, "
+        f"((('0x' || substr(md5(term), 16, 15))::BIGINT % {BLOOM_M}) | 1)"
+        " AS h2 FROM lexterms), "
+        "pos AS (SELECT (h1 + i * h2) % "
+        f"{BLOOM_M} AS p FROM h CROSS JOIN "
+        f"(SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i)) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM lexterms) "
+        "AS n_terms, "
+        "CAST(count(DISTINCT p) AS BIGINT) AS bits_set FROM pos"
+    )
+
+
 # two misspelled flagship terms: each expands to its ED<=1 lexicon
 # neighborhood (df-ranked, capped) and the union scores disjunctively
 FUZZY_QUERY = ("qery", "sparkk")
@@ -2906,6 +2968,12 @@ def _registry() -> dict:
     q["index_stats"] = {
         "spark": spark_index_stats,
         "sql": sql_index_stats(),
+    }
+    # term Bloom sidecar, artifact-level: persisted popcount ==
+    # relational COUNT(DISTINCT position) over the re-derived lexicon
+    q["term_bloom_stats"] = {
+        "spark": spark_term_bloom_stats,
+        "sql": sql_term_bloom_stats(),
     }
     # input_hint html:binary column -> extract_text byte-identity
     q["html_extract_e2e"] = {

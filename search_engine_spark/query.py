@@ -206,6 +206,7 @@ class QueryEngine:
         so the metadata-only theta fast path disables itself."""
         self.spark = spark
         self.index_dir = index_dir
+        self._bloom_state = "unloaded"
         ensure_shipped(spark)
         import json
         import os
@@ -366,6 +367,36 @@ class QueryEngine:
         if self._meta_df is not None:
             self._meta_df.unpersist()
             self._meta_df = None
+
+    def _term_bloom(self):
+        """Lazy driver-side term Bloom filter (build.build_term_bloom
+        sidecar), or None when the segment has none / it is
+        unreadable — in which case every term is a candidate and the
+        engine behaves exactly as before the sidecar existed."""
+        if self._bloom_state == "unloaded":
+            import os
+
+            self._bloom_state = codecs.bloom_load(
+                os.path.join(self.index_dir, codecs.BLOOM_DIR)
+            )
+        return self._bloom_state
+
+    def bloom_prune(self, terms: list[str]) -> list[str]:
+        """Subset of ``terms`` this segment MIGHT contain, by the term
+        bloom (order preserved). Without a sidecar returns the input
+        unchanged. Never drops an indexed term (bloom false negatives
+        are impossible — codecs.bloom_positions is the build's exact
+        twin), so callers may skip lookups/searches for pruned terms
+        with no effect on results."""
+        bl = self._term_bloom()
+        if bl is None:
+            return list(terms)
+        words, m, k = bl
+        return [
+            t
+            for t in terms
+            if codecs.bloom_may_contain(words, m, k, t)
+        ]
 
     def __enter__(self):
         return self
@@ -3537,7 +3568,11 @@ class MultiIndexQueryEngine:
     Topology: scatter-gather. Each segment answers its own top-k with
     global stats (a doc lives in exactly one segment, so per-segment
     scores are exact and conjunctive semantics hold); the driver
-    merges <= n_segments*k rows. The per-segment searches are
+    merges <= n_segments*k rows. Segments carrying a ``term_bloom``
+    sidecar (build.build_term_bloom) are bloom-probed driver-side
+    first and skipped when they cannot contain the query's terms —
+    the RocksDB/Lucene trick that keeps many-delta LSM serving cheap;
+    lossless because bloom false negatives are impossible. The per-segment searches are
     INDEPENDENT Spark jobs submitted from a thread pool (Spark
     supports concurrent job submission from one driver), so serve
     latency is max-of-segments, not sum-of-segments. Under the
@@ -3584,6 +3619,10 @@ class MultiIndexQueryEngine:
             )
             for d in self.index_dirs
         ]
+        # observability: segments actually scattered to by the last
+        # search/search_local call (after term-bloom pruning — see
+        # _segment_candidates; None until a query runs)
+        self.last_searched_segments: int | None = None
 
     def close(self) -> None:
         """Release every segment engine's pinned metadata cache (see
@@ -3611,25 +3650,82 @@ class MultiIndexQueryEngine:
         with ThreadPoolExecutor(max_workers=min(len(items), 8)) as pool:
             return list(pool.map(fn, items))
 
-    def _set_global_df(self, terms: list[str]) -> dict[str, int]:
+    def _segment_candidates(self, terms: list[str]) -> list[list[str]]:
+        """Per-segment bloom-pruned query terms — pure driver-side
+        bloom probes, no Spark jobs. A segment without a
+        ``term_bloom`` sidecar keeps all terms. Segments whose list
+        comes back empty skip their lexicon-lookup job entirely in
+        ``_set_global_df``; the exact per-segment presence sets that
+        come back from the surviving lookups then drive search
+        eligibility (``_eligible``). Bloom false positives only cost
+        one wasted point lookup; false negatives are impossible, so
+        the pruning is lossless."""
+        uniq = sorted(set(terms))
+        if not uniq:
+            return [[] for _ in self.engines]
+        return [e.bloom_prune(uniq) for e in self.engines]
+
+    def _set_global_df(
+        self, terms: list[str], pruned: list[list[str]] | None = None
+    ) -> tuple[dict[str, int], list[set]]:
         """Sum per-term df across segment lexicons and install it as
         every segment's df override. The per-segment lexicon lookups
         are independent bucket+term-pruned point jobs — submitted from
         the same thread pool as the searches, so stats collection is
-        max-of-segments too."""
+        max-of-segments too. With ``pruned`` (per-segment bloom-passed
+        terms) each segment looks up only the terms it might hold;
+        segments with none skip their lexicon job entirely (lossless:
+        a bloom never misses an indexed term, so the lookup results —
+        hence the returned presence sets and the df sums — are
+        identical with or without the pruning).
 
-        def _lookup(e):
+        Returns ``(df_map, found)``: the global per-term df, plus each
+        segment's EXACT locally-present term set — the eligibility
+        input the query methods need to preserve union-index
+        semantics (see ``search``)."""
+        if pruned is None:
+            pruned = [list(terms)] * len(self.engines)
+
+        def _lookup(pair):
+            e, ts = pair
             e._df_override = {}
-            return e.lexicon_lookup(terms)
+            return e.lexicon_lookup(ts) if ts else {}
 
-        looks = self._pmap(_lookup, self.engines)
+        looks = self._pmap(_lookup, list(zip(self.engines, pruned)))
         df_map: dict[str, int] = {}
         for lk in looks:
             for t, entry in lk.items():
                 df_map[t] = df_map.get(t, 0) + entry["df"]
         for e in self.engines:
             e._df_override = df_map
-        return df_map
+        return df_map, [set(lk) for lk in looks]
+
+    def _eligible(
+        self, terms: list[str], mode: str, df_map: dict[str, int],
+        found: list[set]
+    ) -> list[bool]:
+        """Per-segment search eligibility under union-index semantics.
+
+        The gold standard is 'rank-identical to indexing the union at
+        once': there, a term missing from the WHOLE union drops
+        (reference openList-skip semantics), but a term indexed
+        ANYWHERE must be honored by every segment. A lone QueryEngine
+        only sees its own lexicon, so without this gate a conjunctive
+        query whose term lives only in segment B would silently drop
+        that term inside segment A and return A-docs that do not
+        contain it. Hence: conjunctive ⇒ the segment's lexicon must
+        contain EVERY globally-present query term (docs live in
+        exactly one segment, so a match needs all terms in the same
+        segment); disjunctive ⇒ at least one present term (a doc only
+        ever matches terms its own segment indexes, so locally-dropped
+        foreign terms can never change a disjunctive score). All-false
+        when no term is indexed anywhere."""
+        globally_present = {t for t in set(terms) if t in df_map}
+        if not globally_present:
+            return [False] * len(found)
+        if mode == "conjunctive":
+            return [globally_present <= f for f in found]
+        return [bool(f) for f in found]
 
     def search(
         self,
@@ -3644,7 +3740,17 @@ class MultiIndexQueryEngine:
         schema = f"doc_id long, score {out_t}"
         if not terms:
             return self.spark.createDataFrame([], schema)
-        self._set_global_df(terms)
+        pruned = self._segment_candidates(terms)
+        df_map, found = self._set_global_df(terms, pruned)
+        flags = self._eligible(terms, mode, df_map, found)
+        targets = [
+            (e, off)
+            for e, off, ok in zip(self.engines, self.offsets, flags)
+            if ok
+        ]
+        self.last_searched_segments = len(targets)
+        if not targets:
+            return self.spark.createDataFrame([], schema)
 
         def _one(pair):
             e, off = pair
@@ -3656,7 +3762,7 @@ class MultiIndexQueryEngine:
             ]
 
         rows: list[tuple[int, float]] = []
-        for part in self._pmap(_one, list(zip(self.engines, self.offsets))):
+        for part in self._pmap(_one, targets):
             rows += part
         rows.sort(key=lambda x: (-x[1], x[0]))
         return self.spark.createDataFrame(rows[:k], schema)
@@ -3669,9 +3775,14 @@ class MultiIndexQueryEngine:
         terms = tokenize_query(query)
         if not terms:
             return []
-        self._set_global_df(terms)
+        pruned = self._segment_candidates(terms)
+        df_map, found = self._set_global_df(terms, pruned)
+        flags = self._eligible(terms, mode, df_map, found)
+        self.last_searched_segments = sum(flags)
         rows: list[tuple[int, float]] = []
-        for e, off in zip(self.engines, self.offsets):
+        for e, off, ok in zip(self.engines, self.offsets, flags):
+            if not ok:
+                continue
             rows += [
                 (d + off, s)
                 for d, s in e.search_local(query, mode=mode, k=k)
@@ -3692,7 +3803,11 @@ class MultiIndexQueryEngine:
         own (uncapped) ``QueryEngine.facet_counts`` as an independent
         job on the scatter-gather pool, the driver sums by facet and
         applies the (n_docs DESC, facet ASC) top_n. No stats override
-        needed: facet membership never depends on scores."""
+        needed: facet membership never depends on scores, but the
+        eligibility gate from ``search`` still applies — a conjunctive
+        segment missing a globally-indexed term would otherwise drop
+        it locally and count docs that do not match the full query.
+        Bloom-pruned, exact-lookup-gated, like ``search``."""
 
         def _one(e):
             return [
@@ -3702,8 +3817,13 @@ class MultiIndexQueryEngine:
                 ).collect()
             ]
 
+        terms = tokenize_query(query)
+        pruned = self._segment_candidates(terms)
+        df_map, found = self._set_global_df(terms, pruned)
+        flags = self._eligible(terms, mode, df_map, found)
         counts: dict[str, int] = {}
-        for part in self._pmap(_one, self.engines):
+        targets = [e for e, ok in zip(self.engines, flags) if ok]
+        for part in self._pmap(_one, targets):
             for f, n in part:
                 counts[f] = counts.get(f, 0) + n
         rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -1,0 +1,172 @@
+"""Term-bloom sidecar (build.build_term_bloom) + LSM segment pruning.
+
+Two claims, both against a union-index oracle (the MultiIndexQueryEngine
+contract is 'rank-identical to indexing the union at once'):
+
+1. The bloom is FAITHFUL: no indexed term is ever bloom-negative
+   (false negatives impossible — the driver probe replays the build's
+   exact md5 double-hash positions), absent terms are mostly negative
+   (FPR bound), and the sidecar round-trips through disk.
+2. Pruning is LOSSLESS and the eligibility gate is CORRECT: with and
+   without sidecars, multi-segment search / search_local /
+   facet_counts equal the union index on FULL match sets — including
+   the conjunctive case a lone segment would get wrong (a term indexed
+   only in segment B must not be dropped inside segment A; that is the
+   union-semantics bug the eligibility gate exists to prevent).
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from search_engine_spark import codecs
+from search_engine_spark.build import IndexBuilder, build_term_bloom
+from search_engine_spark.corpus import load_documents
+from search_engine_spark.query import MultiIndexQueryEngine, QueryEngine
+
+SF_DIR = os.environ.get("SE_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# a token that exists ONLY in segment 2 (prepended to every s2 doc)
+S2_TOKEN = "zzzuniqueterm"
+
+
+@pytest.fixture(scope="module")
+def segments(spark):
+    """Two disjoint-doc segments with asymmetric vocab (S2_TOKEN only
+    in s2), their bloom sidecars, bloom-less copies, and a union
+    index over the same docs."""
+    work = tempfile.mkdtemp(prefix="se_bloom_")
+    docs = load_documents(spark, SF_DIR)
+    d1 = docs.where(F.col("doc_id") % 2 == 0)
+    d2 = docs.where(F.col("doc_id") % 2 == 1).withColumn(
+        "text", F.concat(F.lit(S2_TOKEN + " "), "text")
+    )
+    s1, s2 = os.path.join(work, "s1"), os.path.join(work, "s2")
+    IndexBuilder(spark, s1, bucket_count=8).build(d1)
+    IndexBuilder(spark, s2, bucket_count=8).build(d2)
+    meta1 = build_term_bloom(spark, s1)
+    meta2 = build_term_bloom(spark, s2)
+    c1, c2 = os.path.join(work, "c1"), os.path.join(work, "c2")
+    shutil.copytree(s1, c1)
+    shutil.copytree(s2, c2)
+    shutil.rmtree(os.path.join(c1, codecs.BLOOM_DIR))
+    shutil.rmtree(os.path.join(c2, codecs.BLOOM_DIR))
+    union = os.path.join(work, "union")
+    IndexBuilder(spark, union, bucket_count=8).build(d1.unionByName(d2))
+    yield {
+        "s1": s1, "s2": s2, "c1": c1, "c2": c2, "union": union,
+        "meta1": meta1, "meta2": meta2,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def test_bloom_faithful_and_roundtrip(spark, segments):
+    meta = segments["meta1"]
+    e1 = QueryEngine(spark, segments["s1"])
+    lex_terms = [
+        r["term"]
+        for r in e1._stage_df("lexicon").select("term").collect()
+    ]
+    # zero false negatives, by construction
+    assert e1.bloom_prune(lex_terms) == lex_terms
+    # the persisted artifact reproduces the builder's reported stats
+    loaded = codecs.bloom_load(
+        os.path.join(segments["s1"], codecs.BLOOM_DIR)
+    )
+    assert loaded is not None
+    words, m, k = loaded
+    assert (m, k) == (meta["m"], meta["k"])
+    import numpy as np
+
+    assert int(np.unpackbits(words.view(np.uint8)).sum()) == (
+        meta["bits_set"]
+    )
+    # driver probe == builder positions: every lexicon term's bits set
+    for t in lex_terms:
+        for p in codecs.bloom_positions(t, m, k):
+            assert (int(words[p >> 6]) >> (p & 63)) & 1
+    # absent-term FPR at 10 bits/term, k=7 is ~1%; assert a loose bound
+    fake = [f"nosuchterm{i}x" for i in range(500)]
+    assert len(e1.bloom_prune(fake)) <= 25
+
+
+def test_bloom_missing_or_corrupt_degrades_to_no_pruning(spark, segments):
+    e = QueryEngine(spark, segments["c1"])  # no sidecar
+    assert e.bloom_prune(["anything", "at", "all"]) == [
+        "anything", "at", "all"
+    ]
+    # corrupt sidecar: unreadable npz -> bloom_load None -> no pruning
+    bad = tempfile.mkdtemp(prefix="se_badbloom_")
+    try:
+        os.makedirs(os.path.join(bad, "x"), exist_ok=True)
+        with open(os.path.join(bad, "bloom.npz"), "w") as f:
+            f.write("not an npz")
+        with open(os.path.join(bad, "meta.json"), "w") as f:
+            f.write('{"m": 1024, "k": 7, "n_terms": 1, "version": 1}')
+        assert codecs.bloom_load(bad) is None
+    finally:
+        shutil.rmtree(bad, ignore_errors=True)
+
+
+def _matchset(eng, q, mode):
+    rows = eng.search(q, mode, k=1000).collect()
+    ids = [int(r["doc_id"]) for r in rows]
+    urls = eng.doc_urls(ids)
+    return sorted(
+        (urls[i], round(float(r["score"]), 4)) for i, r in zip(ids, rows)
+    )
+
+
+QUERIES = [
+    (S2_TOKEN, "disjunctive"),  # only s2 can answer
+    ("table scan", "conjunctive"),  # both segments
+    (S2_TOKEN + " table", "conjunctive"),  # the union-semantics case
+    (S2_TOKEN + " neverindexedterm", "conjunctive"),  # global drop
+    ("neverindexedterm", "disjunctive"),  # empty everywhere
+]
+
+
+def test_multi_segment_union_equivalence(spark, segments):
+    """search with and without blooms == the union index, on full
+    match sets (ids differ across builds, so compare (url, score))."""
+    mu = MultiIndexQueryEngine(spark, [segments["union"]])
+    m = MultiIndexQueryEngine(spark, [segments["s1"], segments["s2"]])
+    m0 = MultiIndexQueryEngine(spark, [segments["c1"], segments["c2"]])
+    expect_segments = [1, 2, 1, 1, 0]
+    for (q, mode), segs in zip(QUERIES, expect_segments):
+        want = _matchset(mu, q, mode)
+        assert _matchset(m, q, mode) == want, (q, mode)
+        # bloom pruning actually pruned where it should
+        assert m.last_searched_segments == segs, (q, mode)
+        assert _matchset(m0, q, mode) == want, (q, mode)
+        # without blooms the exact lookup gate prunes identically
+        assert m0.last_searched_segments == segs, (q, mode)
+
+
+def test_multi_segment_search_local_and_facets(spark, segments):
+    mu = MultiIndexQueryEngine(spark, [segments["union"]])
+    m = MultiIndexQueryEngine(spark, [segments["s1"], segments["s2"]])
+    q, mode = S2_TOKEN + " table", "conjunctive"
+    # search_local == search (both bloom-pruned)
+    want = [
+        (int(r["doc_id"]), round(float(r["score"]), 4))
+        for r in m.search(q, mode, k=10).collect()
+    ]
+    got = [
+        (d, round(s, 4)) for d, s in m.search_local(q, mode=mode, k=10)
+    ]
+    assert got == want
+    # conjunctive facets must honor the eligibility gate too
+    fa = sorted(
+        (r["facet"], r["n_docs"])
+        for r in m.facet_counts(q, mode=mode, top_n=1000).collect()
+    )
+    fu = sorted(
+        (r["facet"], r["n_docs"])
+        for r in mu.facet_counts(q, mode=mode, top_n=1000).collect()
+    )
+    assert fa == fu and len(fa) > 0
