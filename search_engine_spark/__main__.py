@@ -93,10 +93,25 @@ def cmd_build(args) -> int:
 
 
 def cmd_query(args) -> int:
-    from search_engine_spark.query import QueryEngine
+    from search_engine_spark.query import (
+        MultiIndexQueryEngine,
+        QueryEngine,
+    )
 
     spark = _spark()
-    qe = QueryEngine(spark, args.index_dir)
+    if "," in args.index_dir:
+        # LSM serving straight from spark-submit: comma-separated
+        # [base,delta,...] opens a MultiIndexQueryEngine (supported
+        # modes: disjunctive/conjunctive/phrase/near/not)
+        if args.mode in ("prefix", "fuzzy", "collapsed"):
+            print(
+                f"mode {args.mode} is single-index only", file=sys.stderr
+            )
+            return 2
+        segs = [d for d in args.index_dir.split(",") if d]
+        qe = MultiIndexQueryEngine(spark, segs)
+    else:
+        qe = QueryEngine(spark, args.index_dir)
     if args.mode == "phrase":
         res = qe.phrase_search(args.query, k=args.k)
     elif args.mode == "near":

@@ -3743,29 +3743,10 @@ class MultiIndexQueryEngine:
         pruned = self._segment_candidates(terms)
         df_map, found = self._set_global_df(terms, pruned)
         flags = self._eligible(terms, mode, df_map, found)
-        targets = [
-            (e, off)
-            for e, off, ok in zip(self.engines, self.offsets, flags)
-            if ok
-        ]
-        self.last_searched_segments = len(targets)
-        if not targets:
-            return self.spark.createDataFrame([], schema)
-
-        def _one(pair):
-            e, off = pair
-            return [
-                (int(r["doc_id"]) + off, float(r["score"]))
-                for r in e.search(
-                    query, mode=mode, k=k, dtype=dtype
-                ).collect()
-            ]
-
-        rows: list[tuple[int, float]] = []
-        for part in self._pmap(_one, targets):
-            rows += part
-        rows.sort(key=lambda x: (-x[1], x[0]))
-        return self.spark.createDataFrame(rows[:k], schema)
+        return self._scatter_topk(
+            lambda e: e.search(query, mode=mode, k=k, dtype=dtype),
+            flags, k, dtype,
+        )
 
     def search_local(
         self, query: str, mode: str = "disjunctive", k: int = 10
@@ -3851,6 +3832,134 @@ class MultiIndexQueryEngine:
                 dfs[t] = dfs.get(t, 0) + d
         rows = sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))
         return self.spark.createDataFrame(rows[:n], "term string, df long")
+
+    def _scatter_topk(self, fn, flags, k: int, dtype) -> DataFrame:
+        """Scatter ``fn(engine)`` over the eligible segments on the
+        thread pool, merge offset-translated (doc_id, score) rows to
+        the deterministic global top-k. Shared tail of every
+        multi-segment query operator."""
+        out_t = "double" if dtype is np.float64 else "float"
+        schema = f"doc_id long, score {out_t}"
+        targets = [
+            (e, off)
+            for e, off, ok in zip(self.engines, self.offsets, flags)
+            if ok
+        ]
+        self.last_searched_segments = len(targets)
+        if not targets:
+            return self.spark.createDataFrame([], schema)
+
+        def _one(pair):
+            e, off = pair
+            return [
+                (int(r["doc_id"]) + off, float(r["score"]))
+                for r in fn(e).collect()
+            ]
+
+        rows: list[tuple[int, float]] = []
+        for part in self._pmap(_one, targets):
+            rows += part
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        return self.spark.createDataFrame(rows[:k], schema)
+
+    def _positional_flags(self, seq: list[str]) -> list[bool]:
+        """Eligibility for the positional trio: every distinct term
+        must live in the SAME segment (positions cannot straddle
+        segments), so a segment qualifies only when its lexicon holds
+        them all — the same all-terms rule a union index applies (a
+        phrase containing a nowhere-indexed term matches nothing).
+        Bloom-pruned lookups exactly as in ``search``; also installs
+        the global df override so per-segment BM25 idf matches the
+        union build's."""
+        uniq = sorted(set(seq))
+        if not uniq:
+            return [False] * len(self.engines)
+        pruned = self._segment_candidates(uniq)
+        _, found = self._set_global_df(uniq, pruned)
+        need = set(uniq)
+        return [need <= f for f in found]
+
+    def phrase_search(
+        self, phrase: str, k: int = 10, dtype=np.float32
+    ) -> DataFrame:
+        """Multi-segment exact-adjacency phrase query: per-segment
+        ``QueryEngine.phrase_search`` under global stats (df summed
+        across lexicons, collection n/avgdl doc-count-weighted),
+        scatter-gathered like ``search`` — rank-identical to a
+        positional union index. Needs every segment built with
+        ``store_positions=True``."""
+        from .tokenizer import tokenize_text
+
+        flags = self._positional_flags(tokenize_text(phrase))
+        return self._scatter_topk(
+            lambda e: e.phrase_search(phrase, k=k, dtype=dtype),
+            flags, k, dtype,
+        )
+
+    def proximity_search(
+        self, query: str, window: int, k: int = 10, dtype=np.float32
+    ) -> DataFrame:
+        """Multi-segment NEAR-window query (see
+        ``QueryEngine.proximity_search``); union-rank-identical via
+        the same global-stats scatter-gather as ``phrase_search``."""
+        from .tokenizer import tokenize_text
+
+        flags = self._positional_flags(tokenize_text(query))
+        return self._scatter_topk(
+            lambda e: e.proximity_search(
+                query, window=window, k=k, dtype=dtype
+            ),
+            flags, k, dtype,
+        )
+
+    def ordered_window_search(
+        self, query: str, window: int, k: int = 10, dtype=np.float32
+    ) -> DataFrame:
+        """Multi-segment ordered-window (#odN) query (see
+        ``QueryEngine.ordered_window_search``); same scatter-gather
+        contract as the other positional operators."""
+        from .tokenizer import tokenize_text
+
+        flags = self._positional_flags(tokenize_text(query))
+        return self._scatter_topk(
+            lambda e: e.ordered_window_search(
+                query, window=window, k=k, dtype=dtype
+            ),
+            flags, k, dtype,
+        )
+
+    def search_not(
+        self,
+        query: str,
+        exclude: str,
+        mode: str = "disjunctive",
+        k: int = 10,
+        dtype=np.float32,
+    ) -> DataFrame:
+        """Multi-segment boolean NOT: positive-query top-k restricted
+        to docs containing none of the ``exclude`` terms. Exclusions
+        are segment-local by construction (a doc and its postings
+        live in exactly one segment), so each eligible segment runs
+        its own ``QueryEngine.search_not`` under global stats; a
+        segment not containing an excluded term simply has nothing to
+        exclude there — union-identical either way. Positive-side
+        eligibility follows ``search`` (the conjunctive all-terms
+        gate included)."""
+        terms = tokenize_query(query)
+        if not terms:
+            out_t = "double" if dtype is np.float64 else "float"
+            return self.spark.createDataFrame(
+                [], f"doc_id long, score {out_t}"
+            )
+        pruned = self._segment_candidates(terms)
+        df_map, found = self._set_global_df(terms, pruned)
+        flags = self._eligible(terms, mode, df_map, found)
+        return self._scatter_topk(
+            lambda e: e.search_not(
+                query, exclude, mode=mode, k=k, dtype=dtype
+            ),
+            flags, k, dtype,
+        )
 
     def doc_urls(self, doc_ids: list[int]) -> dict[int, str]:
         """Map GLOBAL result ids back to urls via the segment doc

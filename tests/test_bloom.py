@@ -46,8 +46,8 @@ def segments(spark):
         "text", F.concat(F.lit(S2_TOKEN + " "), "text")
     )
     s1, s2 = os.path.join(work, "s1"), os.path.join(work, "s2")
-    IndexBuilder(spark, s1, bucket_count=8).build(d1)
-    IndexBuilder(spark, s2, bucket_count=8).build(d2)
+    IndexBuilder(spark, s1, bucket_count=8, store_positions=True).build(d1)
+    IndexBuilder(spark, s2, bucket_count=8, store_positions=True).build(d2)
     meta1 = build_term_bloom(spark, s1)
     meta2 = build_term_bloom(spark, s2)
     c1, c2 = os.path.join(work, "c1"), os.path.join(work, "c2")
@@ -56,7 +56,9 @@ def segments(spark):
     shutil.rmtree(os.path.join(c1, codecs.BLOOM_DIR))
     shutil.rmtree(os.path.join(c2, codecs.BLOOM_DIR))
     union = os.path.join(work, "union")
-    IndexBuilder(spark, union, bucket_count=8).build(d1.unionByName(d2))
+    IndexBuilder(
+        spark, union, bucket_count=8, store_positions=True
+    ).build(d1.unionByName(d2))
     yield {
         "s1": s1, "s2": s2, "c1": c1, "c2": c2, "union": union,
         "meta1": meta1, "meta2": meta2,
@@ -145,6 +147,66 @@ def test_multi_segment_union_equivalence(spark, segments):
         assert _matchset(m0, q, mode) == want, (q, mode)
         # without blooms the exact lookup gate prunes identically
         assert m0.last_searched_segments == segs, (q, mode)
+
+
+def test_multi_segment_positional_and_not(spark, segments):
+    """The positional trio + boolean NOT on the multi-segment engine:
+    full-match-set identity with the positional union index, and
+    pruning to s2 for phrases anchored at its unique token."""
+    from search_engine_spark.corpus import load_documents
+    from search_engine_spark.tokenizer import tokenize_text
+
+    mu = MultiIndexQueryEngine(spark, [segments["union"]])
+    m = MultiIndexQueryEngine(spark, [segments["s1"], segments["s2"]])
+    # a REAL adjacent pair in s2: S2_TOKEN is prepended, so
+    # "S2_TOKEN <first original token>" is an exact phrase there
+    docs = load_documents(spark, SF_DIR)
+    some_text = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .orderBy("doc_id").select("text").first()["text"]
+    )
+    first_tok = tokenize_text(some_text)[0]
+    phrase = f"{S2_TOKEN} {first_tok}"
+
+    def pos_sets(q, call):
+        got = call(m)
+        segs = m.last_searched_segments
+        want = call(mu)
+        return _urlset(m, got), segs, _urlset(mu, want)
+
+    for label, call, want_segs in [
+        ("phrase", lambda e: e.phrase_search(phrase, k=1000), 1),
+        (
+            "proximity",
+            lambda e: e.proximity_search(
+                S2_TOKEN + " table", window=60, k=1000
+            ),
+            1,
+        ),
+        (
+            "ordered_window",
+            lambda e: e.ordered_window_search(phrase, window=4, k=1000),
+            1,
+        ),
+    ]:
+        got, segs, want = pos_sets(None, call)
+        assert got == want and len(want) > 0, label
+        assert segs == want_segs, label
+    # boolean NOT: "table" docs that do NOT contain the s2 token ==
+    # s1's table docs; both segments eligible (positive side), but the
+    # result must drop every s2 doc
+    got = _urlset(m, m.search_not("table", S2_TOKEN, k=1000))
+    want = _urlset(mu, mu.search_not("table", S2_TOKEN, k=1000))
+    assert got == want and len(want) > 0
+
+
+def _urlset(eng, df):
+    rows = df.collect()
+    ids = [int(r["doc_id"]) for r in rows]
+    urls = eng.doc_urls(ids)
+    return sorted(
+        (urls[i], round(float(r["score"]), 4)) for i, r in zip(ids, rows)
+    )
 
 
 def test_multi_segment_search_local_and_facets(spark, segments):
