@@ -306,6 +306,17 @@ class QueryEngine:
         if not terms:
             return {}
         missing = sorted({t for t in terms if t not in self._lex_raw_cache})
+        if missing and self._term_bloom() is not None:
+            # bloom fast-path: a bloom-negative term is definitely not
+            # in the lexicon (no false negatives), so it resolves to
+            # absent driver-side — a query made only of typo/foreign
+            # terms costs ZERO Spark jobs here. Bloom-positive terms
+            # still pay the (possibly false-positive) point lookup.
+            maybe = set(self.bloom_prune(missing))
+            for t in missing:
+                if t not in maybe:
+                    self._lex_raw_cache[t] = None
+            missing = sorted(maybe)
         if missing:
             df = (
                 self._stage_df("lexicon")

@@ -149,6 +149,32 @@ def test_multi_segment_union_equivalence(spark, segments):
         assert m0.last_searched_segments == segs, (q, mode)
 
 
+def test_lexicon_lookup_bloom_fast_path(spark, segments):
+    """Bloom-negative terms resolve to 'absent' with NO Spark job:
+    once the engine holds a bloom, a lookup made entirely of unindexed
+    terms must never touch the lexicon scan."""
+    e = QueryEngine(spark, segments["s1"])
+    assert e._term_bloom() is not None
+
+    real = e._stage_df
+
+    def _explode(stage):
+        if stage == "lexicon":
+            raise AssertionError("lexicon scan despite bloom-negative")
+        return real(stage)
+
+    e._stage_df = _explode
+    try:
+        assert e.lexicon_lookup(["nosuchterma", "nosuchtermb"]) == {}
+    finally:
+        e._stage_df = real
+    # and the cache now knows they are absent (still no scan later)
+    assert e._lex_raw_cache["nosuchterma"] is None
+    # mixed lookup still finds the real term with correct df
+    got = e.lexicon_lookup(["nosuchterma", "table"])
+    assert set(got) == {"table"} and got["table"]["df"] > 0
+
+
 def test_multi_segment_positional_and_not(spark, segments):
     """The positional trio + boolean NOT on the multi-segment engine:
     full-match-set identity with the positional union index, and
