@@ -92,26 +92,29 @@ def cmd_build(args) -> int:
     return 0
 
 
-def cmd_query(args) -> int:
+def _engine(spark, index_dir: str):
+    """Open a QueryEngine, or — for a comma-separated [base,delta,...]
+    list — a MultiIndexQueryEngine serving the LSM stack."""
     from search_engine_spark.query import (
         MultiIndexQueryEngine,
         QueryEngine,
     )
 
+    if "," in index_dir:
+        return MultiIndexQueryEngine(
+            spark, [d for d in index_dir.split(",") if d]
+        )
+    return QueryEngine(spark, index_dir)
+
+
+def cmd_query(args) -> int:
     spark = _spark()
-    if "," in args.index_dir:
-        # LSM serving straight from spark-submit: comma-separated
-        # [base,delta,...] opens a MultiIndexQueryEngine (supported
-        # modes: disjunctive/conjunctive/phrase/near/not)
-        if args.mode in ("prefix", "fuzzy", "collapsed"):
-            print(
-                f"mode {args.mode} is single-index only", file=sys.stderr
-            )
-            return 2
-        segs = [d for d in args.index_dir.split(",") if d]
-        qe = MultiIndexQueryEngine(spark, segs)
-    else:
-        qe = QueryEngine(spark, args.index_dir)
+    if "," in args.index_dir and args.mode == "collapsed":
+        # host-collapse needs per-doc host grouping across segments;
+        # single-index only in v1
+        print("mode collapsed is single-index only", file=sys.stderr)
+        return 2
+    qe = _engine(spark, args.index_dir)
     if args.mode == "phrase":
         res = qe.phrase_search(args.query, k=args.k)
     elif args.mode == "near":
@@ -135,18 +138,14 @@ def cmd_query(args) -> int:
 
 
 def cmd_suggest(args) -> int:
-    from search_engine_spark.query import QueryEngine
-
-    qe = QueryEngine(_spark(), args.index_dir)
+    qe = _engine(_spark(), args.index_dir)
     for r in qe.suggest(args.prefix, n=args.n).collect():
         print(f"{r['term']}\t{r['df']}")
     return 0
 
 
 def cmd_correct(args) -> int:
-    from search_engine_spark.query import QueryEngine
-
-    qe = QueryEngine(_spark(), args.index_dir)
+    qe = _engine(_spark(), args.index_dir)
     for r in sorted(
         qe.did_you_mean(args.query).collect(), key=lambda r: r["pos"]
     ):
@@ -155,9 +154,7 @@ def cmd_correct(args) -> int:
 
 
 def cmd_facets(args) -> int:
-    from search_engine_spark.query import QueryEngine
-
-    qe = QueryEngine(_spark(), args.index_dir)
+    qe = _engine(_spark(), args.index_dir)
     res = qe.facet_counts(args.query, mode=args.mode, top_n=args.top_n)
     for r in res.collect():
         print(f"{r['facet']}\t{r['n_docs']}")

@@ -3844,6 +3844,130 @@ class MultiIndexQueryEngine:
         rows = sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))
         return self.spark.createDataFrame(rows[:n], "term string, df long")
 
+    def prefix_search(
+        self,
+        query: str,
+        k: int = 10,
+        max_expansions: int = 128,
+        dtype=np.float32,
+    ) -> DataFrame:
+        """Multi-segment wildcard/prefix query. Each trailing-``*``
+        token expands against the UNION lexicon — df is additive
+        across segments, so the merged uncapped per-segment prefix
+        lists ranked (df DESC, term ASC) and capped reproduce exactly
+        what ``expand_prefix`` computes on a union index (the same
+        merge ``suggest`` uses; capping per segment first could drop
+        a term whose global df clears the cut). The union of plain
+        tokens and expansions then scores as one multi-segment
+        disjunctive query under global stats."""
+        terms: set[str] = set()
+        for raw in (query or "").split():
+            if raw.endswith("*"):
+                stem = raw[:-1]
+                if not stem or "*" in stem:
+                    raise ValueError(
+                        f"unsupported wildcard pattern {raw!r}: only a "
+                        "single trailing * is supported"
+                    )
+                if tokenize_query(stem) != [stem]:
+                    raise ValueError(
+                        f"prefix stem {stem!r} contains tokenizer "
+                        "delimiters; prefix must be a single term stem"
+                    )
+                terms.update(
+                    r["term"]
+                    for r in self.suggest(stem, n=max_expansions).collect()
+                )
+            else:
+                if "*" in raw:
+                    raise ValueError(
+                        f"unsupported wildcard pattern {raw!r}: only a "
+                        "single trailing * is supported"
+                    )
+                terms.update(tokenize_query(raw))
+        if not terms:
+            out_t = "double" if dtype is np.float64 else "float"
+            return self.spark.createDataFrame(
+                [], f"doc_id long, score {out_t}"
+            )
+        return self.search(
+            " ".join(sorted(terms)), mode="disjunctive", k=k, dtype=dtype
+        )
+
+    def _fuzzy_merged(
+        self, terms: list[str], max_expansions: int
+    ) -> dict[str, list[tuple[str, int]]]:
+        """Global typo candidates: every segment's UNCAPPED
+        ``_fuzzy_candidates`` (side-table point lookups on the
+        scatter-gather pool), dfs summed per candidate, then the
+        (df DESC, term ASC) cap applied ONCE globally — the same
+        cap-after-merge rule as ``prefix_search``, reproducing a
+        union-index side table exactly. Every segment must carry a
+        fuzzy side table (build.build_fuzzy_index)."""
+        if not terms:
+            return {}
+
+        def _one(e):
+            return e._fuzzy_candidates(terms, 1 << 30)
+
+        got = self._pmap(_one, self.engines)
+        out: dict[str, list[tuple[str, int]]] = {}
+        for t in terms:
+            agg: dict[str, int] = {}
+            for g in got:
+                for c, d in g.get(t, []):
+                    agg[c] = agg.get(c, 0) + d
+            out[t] = sorted(
+                agg.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:max_expansions]
+        return out
+
+    def fuzzy_search(
+        self,
+        query: str,
+        k: int = 10,
+        max_expansions: int = 8,
+        dtype=np.float32,
+    ) -> DataFrame:
+        """Multi-segment typo-tolerant retrieval: per-term ED<=1
+        neighborhoods from the merged segment side tables
+        (``_fuzzy_merged``), the union scored as one multi-segment
+        disjunctive query — the single-engine rewrite, global."""
+        got = self._fuzzy_merged(tokenize_query(query), max_expansions)
+        terms = {c for lst in got.values() for c, _ in lst}
+        if not terms:
+            out_t = "double" if dtype is np.float64 else "float"
+            return self.spark.createDataFrame(
+                [], f"doc_id long, score {out_t}"
+            )
+        return self.search(
+            " ".join(sorted(terms)), mode="disjunctive", k=k, dtype=dtype
+        )
+
+    def did_you_mean(self, query: str) -> DataFrame:
+        """Multi-segment spell correction: a term indexed in ANY
+        segment is its own best correction (df = global sum);
+        otherwise the top merged ED<=1 candidate; sentinel ('', -1)
+        when nothing is within distance 1 — exactly the single-engine
+        contract evaluated against the union vocabulary."""
+        terms = tokenize_query(query)
+        pruned = self._segment_candidates(terms)
+        df_map, _ = self._set_global_df(terms, pruned)
+        missing = [t for t in terms if t not in df_map]
+        fixes = self._fuzzy_merged(missing, 1) if missing else {}
+        rows = []
+        for pos, raw in enumerate(terms):
+            if raw in df_map:
+                rows.append((pos, raw, raw, int(df_map[raw])))
+            elif fixes.get(raw):
+                cand, cdf = fixes[raw][0]
+                rows.append((pos, raw, cand, cdf))
+            else:
+                rows.append((pos, raw, "", -1))
+        return self.spark.createDataFrame(
+            rows, "pos int, term string, correction string, df long"
+        )
+
     def _scatter_topk(self, fn, flags, k: int, dtype) -> DataFrame:
         """Scatter ``fn(engine)`` over the eligible segments on the
         thread pool, merge offset-translated (doc_id, score) rows to

@@ -24,7 +24,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from search_engine_spark import codecs
-from search_engine_spark.build import IndexBuilder, build_term_bloom
+from search_engine_spark.build import (
+    IndexBuilder,
+    build_fuzzy_index,
+    build_term_bloom,
+)
 from search_engine_spark.corpus import load_documents
 from search_engine_spark.query import MultiIndexQueryEngine, QueryEngine
 
@@ -59,6 +63,8 @@ def segments(spark):
     IndexBuilder(
         spark, union, bucket_count=8, store_positions=True
     ).build(d1.unionByName(d2))
+    for d in (s1, s2, union):
+        build_fuzzy_index(spark, d)
     yield {
         "s1": s1, "s2": s2, "c1": c1, "c2": c2, "union": union,
         "meta1": meta1, "meta2": meta2,
@@ -233,6 +239,38 @@ def _urlset(eng, df):
     return sorted(
         (urls[i], round(float(r["score"]), 4)) for i, r in zip(ids, rows)
     )
+
+
+def test_multi_segment_prefix_fuzzy_correct(spark, segments):
+    """prefix/fuzzy/did_you_mean on the multi-segment engine equal a
+    union index carrying the union side tables — the cap-after-merge
+    expansion rule is what makes this exact."""
+    mu = MultiIndexQueryEngine(spark, [segments["union"]])
+    m = MultiIndexQueryEngine(spark, [segments["s1"], segments["s2"]])
+    # wildcard: full-match-set identity (expansion over union lexicon)
+    got = _urlset(m, m.prefix_search("ta*", k=1000))
+    want = _urlset(mu, mu.prefix_search("ta*", k=1000))
+    assert got == want and len(want) > 0
+    # typo query: ED<=1 neighborhoods merged across segment side tables
+    got = _urlset(m, m.fuzzy_search("tabl", k=1000))
+    want = _urlset(mu, mu.fuzzy_search("tabl", k=1000))
+    assert got == want and len(want) > 0
+    # spell correction: exact hit (global df), miss-with-candidate,
+    # miss-without-candidate — identical rows to the union engine
+    q = f"tabl {S2_TOKEN} qqqqnosuchzz"
+    got_rows = sorted(
+        (r["pos"], r["term"], r["correction"], r["df"])
+        for r in m.did_you_mean(q).collect()
+    )
+    want_rows = sorted(
+        (r["pos"], r["term"], r["correction"], r["df"])
+        for r in mu.did_you_mean(q).collect()
+    )
+    assert got_rows == want_rows
+    by_term = {t: (c, d) for _, t, c, d in got_rows}
+    assert by_term["tabl"][0] == "table"
+    assert by_term[S2_TOKEN] == (S2_TOKEN, 250)
+    assert by_term["qqqqnosuchzz"] == ("", -1)
 
 
 def test_multi_segment_search_local_and_facets(spark, segments):
