@@ -108,13 +108,7 @@ def _engine(spark, index_dir: str):
 
 
 def cmd_query(args) -> int:
-    spark = _spark()
-    if "," in args.index_dir and args.mode == "collapsed":
-        # host-collapse needs per-doc host grouping across segments;
-        # single-index only in v1
-        print("mode collapsed is single-index only", file=sys.stderr)
-        return 2
-    qe = _engine(spark, args.index_dir)
+    qe = _engine(_spark(), args.index_dir)
     if args.mode == "phrase":
         res = qe.phrase_search(args.query, k=args.k)
     elif args.mode == "near":

@@ -4096,6 +4096,179 @@ class MultiIndexQueryEngine:
             flags, k, dtype,
         )
 
+    def search_collapsed(
+        self,
+        query: str,
+        mode: str = "disjunctive",
+        k: int = 10,
+        dtype=np.float32,
+    ) -> DataFrame:
+        """Multi-segment host-collapsed retrieval. Each eligible
+        segment collapses its own (full) match set to one best doc
+        per host (uncapped — a host's global winner can sit below any
+        per-segment cut); the driver then keeps the best
+        (score DESC, doc_id ASC) representative per host across
+        segments and ranks hosts. Exact under any offset layout:
+        offset translation is monotonic within a segment, so each
+        segment's per-host (max-score, min-id) winner is the global
+        winner restricted to that segment. Same union-identity
+        contract as ``search``; same conjunctive eligibility gate."""
+        terms = tokenize_query(query)
+        out_t = "double" if dtype is np.float64 else "float"
+        schema = f"doc_id long, host string, score {out_t}"
+        if not terms:
+            return self.spark.createDataFrame([], schema)
+        pruned = self._segment_candidates(terms)
+        df_map, found = self._set_global_df(terms, pruned)
+        flags = self._eligible(terms, mode, df_map, found)
+        targets = [
+            (e, off)
+            for e, off, ok in zip(self.engines, self.offsets, flags)
+            if ok
+        ]
+        self.last_searched_segments = len(targets)
+        if not targets:
+            return self.spark.createDataFrame([], schema)
+
+        def _one(pair):
+            e, off = pair
+            return [
+                (int(r["doc_id"]) + off, r["host"], float(r["score"]))
+                for r in e.search_collapsed(
+                    query, mode=mode, k=1 << 30, dtype=dtype
+                ).collect()
+            ]
+
+        best: dict[str, tuple[float, int]] = {}
+        for part in self._pmap(_one, targets):
+            for gid, host, score in part:
+                cur = best.get(host)
+                if cur is None or (-score, gid) < cur:
+                    best[host] = (-score, gid)
+        rows = sorted(
+            (neg_s, gid, host) for host, (neg_s, gid) in best.items()
+        )
+        return self.spark.createDataFrame(
+            [(gid, host, -neg_s) for neg_s, gid, host in rows[:k]],
+            schema,
+        )
+
+    def _owners(self, doc_ids: list[int]):
+        """Group GLOBAL doc ids by owning segment (id-span routing,
+        like ``doc_urls``): yields (engine, offset, local_ids)."""
+        for e, off in zip(self.engines, self.offsets):
+            local = [
+                int(d) - off
+                for d in doc_ids
+                if off <= int(d) <= off + e.max_doc_id
+            ]
+            if local:
+                yield e, off, local
+
+    def snippets(
+        self,
+        query: str,
+        topk: DataFrame,
+        window: int = 100,
+        max_segments: int = 5,
+        parity: bool = False,
+    ) -> DataFrame:
+        """Multi-segment snippets: the (small) top-k rows route to
+        their owning segments by id span, each segment runs its own
+        point-lookup fetch + snippet extraction on the scatter-gather
+        pool, and the driver re-offsets ids — byte-identical snippet
+        text to a union index (extraction sees the same documents and
+        terms)."""
+        rows = topk.select("doc_id", "score").collect()
+        by_id = {int(r["doc_id"]): float(r["score"]) for r in rows}
+        jobs = list(self._owners(sorted(by_id)))
+
+        def _one(job):
+            e, off, local = job
+            local_df = e.spark.createDataFrame(
+                [(d, by_id[d + off]) for d in local],
+                "doc_id long, score double",
+            )
+            return [
+                (
+                    int(r["doc_id"]) + off,
+                    float(r["score"]),
+                    r["url"],
+                    list(r["snippets"]),
+                )
+                for r in e.snippets(
+                    query,
+                    local_df,
+                    window=window,
+                    max_segments=max_segments,
+                    parity=parity,
+                ).collect()
+            ]
+
+        out: list[tuple] = []
+        for part in self._pmap(_one, jobs):
+            out += part
+        return self.spark.createDataFrame(
+            out,
+            "doc_id long, score double, url string, "
+            "snippets array<string>",
+        )
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        max_terms: int = 10,
+        k: int = 10,
+        mode: str = "disjunctive",
+        dtype=np.float64,
+    ) -> DataFrame:
+        """Multi-segment more-like-this: the seed doc fetches from its
+        owning segment (one point lookup), its terms' idfs come from
+        the GLOBAL df map (bloom-pruned segment lookups — a union
+        index would rank the seed's terms with exactly these), and
+        the top tf·idf terms run as a multi-segment query with the
+        seed excluded. Same Lucene MLT semantics as the single
+        engine, evaluated against the union vocabulary."""
+        from .tokenizer import tokenize_text
+
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, score " + (
+                "double" if dtype is np.float64 else "float"
+            )
+        )
+        jobs = list(self._owners([int(doc_id)]))
+        if not jobs:
+            raise KeyError(f"doc_id {doc_id} not in any segment")
+        e, off, local = jobs[0]
+        seed = e.spark.createDataFrame(
+            [(local[0], 0.0)], "doc_id long, score double"
+        )
+        rows = e.fetch_docs(seed).select("text").collect()
+        if not rows:
+            raise KeyError(f"doc_id {doc_id} not in the doc table")
+        toks = tokenize_text(rows[0]["text"] or "")
+        if not toks:
+            return empty
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        uniq = sorted(tf)
+        pruned = self._segment_candidates(uniq)
+        df_map, _ = self._set_global_df(uniq, pruned)
+        scored = sorted(
+            (-tf[t] * wand.idf(df, self.n_docs), t)
+            for t, df in df_map.items()
+        )
+        terms = [t for _, t in scored[:max_terms]]
+        if not terms:
+            return empty
+        res = self.search(" ".join(terms), mode=mode, k=k + 1, dtype=dtype)
+        return (
+            res.where(F.col("doc_id") != int(doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def doc_urls(self, doc_ids: list[int]) -> dict[int, str]:
         """Map GLOBAL result ids back to urls via the segment doc
         tables (per-segment point lookups, same pruning as snippets)."""

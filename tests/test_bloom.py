@@ -273,6 +273,57 @@ def test_multi_segment_prefix_fuzzy_correct(spark, segments):
     assert by_term["qqqqnosuchzz"] == ("", -1)
 
 
+def test_multi_segment_collapsed_snippets_mlt(spark, segments):
+    """The last three serving operators: host-collapse, snippets and
+    more-like-this on the multi-segment engine equal the union index
+    (url-keyed comparisons — ids differ across builds)."""
+    mu = MultiIndexQueryEngine(spark, [segments["union"]])
+    m = MultiIndexQueryEngine(spark, [segments["s1"], segments["s2"]])
+    q = S2_TOKEN + " table"
+
+    # collapsed: same hosts, same representative DOCUMENT per host
+    def coll(eng, mode):
+        rows = eng.search_collapsed(q, mode=mode, k=1000).collect()
+        urls = eng.doc_urls([int(r["doc_id"]) for r in rows])
+        return sorted(
+            (r["host"], urls[int(r["doc_id"])], round(float(r["score"]), 4))
+            for r in rows
+        )
+
+    for mode in ("conjunctive", "disjunctive"):
+        got, want = coll(m, mode), coll(mu, mode)
+        assert got == want and len(want) > 0, mode
+
+    # snippets over the FULL conjunctive match set: byte-identical
+    # snippet arrays per url (plus the parity quirk path)
+    def snips(eng, parity):
+        top = eng.search(q, "conjunctive", k=1000)
+        rows = eng.snippets(q, top, parity=parity).collect()
+        return sorted(
+            (r["url"], round(float(r["score"]), 4), tuple(r["snippets"]))
+            for r in rows
+        )
+
+    for parity in (False, True):
+        got, want = snips(m, parity), snips(mu, parity)
+        assert got == want and len(want) > 0, parity
+
+    # more-like-this: same seed DOCUMENT (located by url in each id
+    # space), same similar-document set
+    seed_row = m.search(S2_TOKEN + " scan", "conjunctive", k=1).collect()[0]
+    seed_url = m.doc_urls([int(seed_row["doc_id"])])[int(seed_row["doc_id"])]
+    eu = mu.engines[0]
+    union_seed = int(
+        eu._stage_df("doc_table")
+        .where(F.col("url") == seed_url)
+        .select("doc_id")
+        .collect()[0]["doc_id"]
+    )
+    got = _urlset(m, m.more_like_this(int(seed_row["doc_id"]), k=50))
+    want = _urlset(mu, mu.more_like_this(union_seed, k=50))
+    assert got == want and len(want) > 0
+
+
 def test_multi_segment_search_local_and_facets(spark, segments):
     mu = MultiIndexQueryEngine(spark, [segments["union"]])
     m = MultiIndexQueryEngine(spark, [segments["s1"], segments["s2"]])
