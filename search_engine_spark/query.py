@@ -4269,6 +4269,71 @@ class MultiIndexQueryEngine:
             .limit(k)
         )
 
+    def expansion_terms(
+        self,
+        query: str,
+        k_docs: int = 10,
+        top_n: int = 20,
+        min_co: int = 2,
+        mode: str = "disjunctive",
+        dtype=np.float64,
+    ) -> DataFrame:
+        """Multi-segment pseudo-relevance-feedback expansion: feedback
+        docs come from the multi-segment retrieval, fetch by owning
+        segment (id-span routing), candidate dfs from the GLOBAL df
+        map — the same lift formula ln((co/k)/(df/N)) a union index
+        computes. Identical to the union result whenever the top-k
+        cut is tie-free (the k-th score boundary is the only place
+        the two id spaces can pick different feedback docs)."""
+        from .tokenizer import tokenize_text
+
+        empty = self.spark.createDataFrame(
+            [], "term string, co_docs long, df long, score double"
+        )
+        seeds = set(tokenize_query(query))
+        topk_rows = self.search(
+            query, mode=mode, k=k_docs, dtype=dtype
+        ).collect()
+        if not topk_rows:
+            return empty
+        k = len(topk_rows)
+        ids = [int(r["doc_id"]) for r in topk_rows]
+
+        def _one(job):
+            e, off, local = job
+            small = e.spark.createDataFrame(
+                [(d, 0.0) for d in local], "doc_id long, score double"
+            )
+            return [
+                r["text"]
+                for r in e.fetch_docs(small).select("text").collect()
+            ]
+
+        co: dict[str, int] = {}
+        for part in self._pmap(_one, list(self._owners(ids))):
+            for text in part:
+                for t in set(tokenize_text(text or "")):
+                    co[t] = co.get(t, 0) + 1
+        cand = sorted(
+            t for t, c in co.items() if c >= min_co and t not in seeds
+        )
+        if not cand:
+            return empty
+        pruned = self._segment_candidates(cand)
+        df_map, _ = self._set_global_df(cand, pruned)
+        n = float(self.n_docs)
+        rows = []
+        for t in cand:
+            df_t = df_map.get(t)
+            if df_t is None:
+                continue
+            score = float(np.log((co[t] / k) / (df_t / n)))
+            rows.append((t, co[t], int(df_t), round(score, 4)))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        return self.spark.createDataFrame(
+            rows[:top_n], "term string, co_docs long, df long, score double"
+        )
+
     def doc_urls(self, doc_ids: list[int]) -> dict[int, str]:
         """Map GLOBAL result ids back to urls via the segment doc
         tables (per-segment point lookups, same pruning as snippets)."""

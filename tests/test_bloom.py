@@ -323,6 +323,19 @@ def test_multi_segment_collapsed_snippets_mlt(spark, segments):
     want = _urlset(mu, mu.more_like_this(union_seed, k=50))
     assert got == want and len(want) > 0
 
+    # PRF expansion over the FULL match set (tie-free cut): identical
+    # (term, co_docs, df, score) tables
+    def exp(eng):
+        return sorted(
+            tuple(r)
+            for r in eng.expansion_terms(
+                q, k_docs=1000, top_n=30, mode="conjunctive"
+            ).collect()
+        )
+
+    got, want = exp(m), exp(mu)
+    assert got == want and len(want) > 0
+
 
 def test_multi_segment_search_local_and_facets(spark, segments):
     mu = MultiIndexQueryEngine(spark, [segments["union"]])
