@@ -156,9 +156,13 @@ def cmd_facets(args) -> int:
 
 
 def cmd_stats(args) -> int:
-    from search_engine_spark.query import QueryEngine
-
-    qe = QueryEngine(_spark(), args.index_dir)
+    qe = _engine(_spark(), args.index_dir)
+    if "," in args.index_dir:
+        # one line per segment for an LSM stack
+        for r in qe.segment_stats().collect():
+            d = r.asDict()
+            print(" ".join(f"{k}={d[k]}" for k in d))
+        return 0
     row = qe.index_stats().collect()[0]
     for name in row.asDict():
         print(f"{name}={row[name]}")

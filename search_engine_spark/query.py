@@ -4269,6 +4269,35 @@ class MultiIndexQueryEngine:
             .limit(k)
         )
 
+    def segment_stats(self) -> DataFrame:
+        """Per-segment observability — one ``index_stats`` row per
+        segment plus its position and path: the dashboard an LSM
+        operator reads to decide when to compact (many small deltas,
+        skewed doc counts) or merge. Built-segment stats, not the
+        global overrides; lexicon-sized jobs on the scatter-gather
+        pool."""
+
+        def _one(pair):
+            i, e = pair
+            row = e.index_stats().collect()[0].asDict()
+            return (
+                i,
+                self.index_dirs[i],
+                int(row["n_docs"]),
+                float(row["avgdl"]),
+                int(row["n_terms"]),
+                int(row["n_postings"]),
+                int(row["n_chunks"]),
+                int(row["max_df"]),
+            )
+
+        rows = self._pmap(_one, list(enumerate(self.engines)))
+        return self.spark.createDataFrame(
+            sorted(rows),
+            "segment int, index_dir string, n_docs long, avgdl double, "
+            "n_terms long, n_postings long, n_chunks long, max_df long",
+        )
+
     def expansion_terms(
         self,
         query: str,

@@ -337,6 +337,18 @@ def test_multi_segment_collapsed_snippets_mlt(spark, segments):
     assert got == want and len(want) > 0
 
 
+def test_multi_segment_stats(spark, segments):
+    m = MultiIndexQueryEngine(spark, [segments["s1"], segments["s2"]])
+    rows = sorted(
+        (r["segment"], r["n_docs"], r["n_terms"])
+        for r in m.segment_stats().collect()
+    )
+    assert [r[0] for r in rows] == [0, 1]
+    assert rows[0][1] == rows[1][1] == 250
+    # s2 has the extra unique token in its vocabulary
+    assert rows[1][2] == rows[0][2] + 1
+
+
 def test_multi_segment_search_local_and_facets(spark, segments):
     mu = MultiIndexQueryEngine(spark, [segments["union"]])
     m = MultiIndexQueryEngine(spark, [segments["s1"], segments["s2"]])
