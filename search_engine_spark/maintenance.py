@@ -113,6 +113,7 @@ def upsert_docs(
     new_docs: DataFrame,
     out_dir: str,
     delta_dir: str | None = None,
+    build_bloom: bool = False,
 ) -> dict:
     """Upsert by url — the Lucene-style incremental refresh, composed
     from the three primitives in this module:
@@ -135,6 +136,16 @@ def upsert_docs(
     a missing ``doc_id`` is assigned dense from 0 (the stacked merge
     relocates delta ids anyway). Returns the merge manifest with an
     ``upsert`` record appended.
+
+    ``build_bloom=True`` additionally derives the delta shard's term
+    Bloom sidecar (build.build_term_bloom) so serving the unmerged
+    [base, delta] stack through MultiIndexQueryEngine prunes
+    delta-irrelevant queries immediately — the cost is one
+    delta-lexicon-sized pass. Sidecar lifecycle note: merge/compact
+    OUTPUTS never inherit a sidecar (they are rebuilt stage-by-stage,
+    so an absent bloom just means no pruning), and in-place tombstones
+    keep an existing bloom a safe superset (deletes never add vocab) —
+    there is no path to a bloom false negative.
     """
     import tempfile
 
@@ -160,6 +171,10 @@ def upsert_docs(
         store_positions=bool(cfg.get("store_positions", False)),
         materialize_postings=bool(cfg.get("store_positions", False)),
     ).build(new_docs)
+    if build_bloom:
+        from .build import build_term_bloom
+
+        build_term_bloom(spark, delta_dir)
     manifest = merge_indexes(
         spark, [index_dir, delta_dir], out_dir, offsets="stack"
     )

@@ -337,6 +337,40 @@ def test_multi_segment_collapsed_snippets_mlt(spark, segments):
     assert got == want and len(want) > 0
 
 
+def test_upsert_build_bloom_serves_pruned(spark, segments):
+    """upsert_docs(build_bloom=True) leaves a bloom on the delta shard
+    so the unmerged [base, delta] stack prunes delta-only queries
+    immediately; merge output carries NO sidecar (rebuilt
+    stage-by-stage — absent bloom = no pruning, never stale)."""
+    from search_engine_spark.corpus import load_documents
+    from search_engine_spark.maintenance import upsert_docs
+
+    work = tempfile.mkdtemp(prefix="se_upbloom_")
+    try:
+        docs = load_documents(spark, SF_DIR)
+        base = os.path.join(work, "base")
+        IndexBuilder(spark, base, bucket_count=8).build(docs)
+        upd = docs.where(F.col("doc_id") % 7 == 0).withColumn(
+            "text", F.concat(F.lit("xxfreshterm "), "text")
+        )
+        delta = os.path.join(work, "delta")
+        out = os.path.join(work, "merged")
+        upsert_docs(
+            spark, base, upd, out, delta_dir=delta, build_bloom=True
+        )
+        assert os.path.exists(
+            os.path.join(delta, codecs.BLOOM_DIR, "bloom.npz")
+        )
+        assert not os.path.exists(os.path.join(out, codecs.BLOOM_DIR))
+        m = MultiIndexQueryEngine(spark, [base, delta])
+        res = m.search("xxfreshterm", "disjunctive", k=5).collect()
+        assert len(res) > 0
+        assert m.last_searched_segments == 1  # base bloom-less but
+        # lookup-gated: xxfreshterm is not in its lexicon
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_multi_segment_stats(spark, segments):
     m = MultiIndexQueryEngine(spark, [segments["s1"], segments["s2"]])
     rows = sorted(
