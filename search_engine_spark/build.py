@@ -1044,6 +1044,17 @@ class IndexBuilder:
             self._write(
                 lexicon, "lexicon", partition_by=["bucket"], sort_cols=["term"]
             )
+            # the lexicon changed, so any derived sidecars are stale.
+            # A stale fuzzy table only degrades suggestions; a stale
+            # BLOOM could false-negative new terms (the one forbidden
+            # failure mode) — delete both, callers re-derive. No-ops
+            # under the Iceberg layout (sidecars are never written
+            # there) and on fresh builds.
+            for sidecar in (codecs.BLOOM_DIR, "fuzzy"):
+                shutil.rmtree(
+                    os.path.join(self.index_dir, sidecar),
+                    ignore_errors=True,
+                )
             self._record_stage(manifest, "lexicon", time.time() - t0, ["chunks"])
 
         return self._load_manifest()
@@ -1210,5 +1221,5 @@ def build_term_bloom(
     codecs.bloom_save(
         os.path.join(index_dir, codecs.BLOOM_DIR), words, m, k, n_terms
     )
-    bits_set = int(np.unpackbits(words.view(np.uint8)).sum())
+    bits_set = codecs.bloom_popcount(words)
     return {"m": m, "k": k, "n_terms": int(n_terms), "bits_set": bits_set}

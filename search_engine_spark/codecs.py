@@ -713,9 +713,12 @@ def bloom_save(path_dir: str, words: np.ndarray, m: int, k: int,
 
 
 def bloom_load(path_dir: str):
-    """Load a bloom sidecar; returns (words, m, k) or None if absent
-    or unreadable (a corrupt/missing bloom degrades to 'no pruning',
-    never to wrong answers)."""
+    """Load a bloom sidecar; returns (words, m, k, n_terms) or None
+    if absent or unreadable (a corrupt/missing bloom degrades to 'no
+    pruning', never to wrong answers). ``n_terms`` is the lexicon
+    cardinality the filter was built from — loaders validate it
+    against the served index's lexicon to reject a STALE sidecar
+    (the one way a bloom could produce false negatives)."""
     import json
     import os
 
@@ -726,12 +729,28 @@ def bloom_load(path_dir: str):
     try:
         with open(meta_p) as f:
             meta = json.load(f)
-        words = np.load(npz)["words"]
+        with np.load(npz) as z:
+            words = z["words"]
         if words.shape[0] * 64 != int(meta["m"]):
             return None
-        return words, int(meta["m"]), int(meta["k"])
+        return words, int(meta["m"]), int(meta["k"]), int(meta["n_terms"])
     except Exception:
         return None
+
+
+def bloom_popcount(words: np.ndarray) -> int:
+    """Set-bit count without materializing an 8x unpacked temporary
+    (the 2^30-bit cap filter is 128 MB; a single np.unpackbits over it
+    would allocate 1 GB on the driver). Chunked unpack, 1 MB at a
+    time."""
+    u8 = words.view(np.uint8)
+    step = 1 << 20
+    return int(
+        sum(
+            int(np.unpackbits(u8[i:i + step]).sum())
+            for i in range(0, u8.shape[0], step)
+        )
+    )
 
 
 def bloom_may_contain(words: np.ndarray, m: int, k: int,

@@ -1802,9 +1802,9 @@ def spark_term_bloom_stats(spark, sf_dir: str) -> DataFrame:
     meta = build_term_bloom(spark, index_dir, m=BLOOM_M, k=BLOOM_K)
     loaded = codecs.bloom_load(os.path.join(index_dir, codecs.BLOOM_DIR))
     assert loaded is not None
-    words, m, k = loaded
+    words, m, k, _n = loaded
     assert (m, k) == (BLOOM_M, BLOOM_K)
-    bits_set = int(np.unpackbits(words.view(np.uint8)).sum())
+    bits_set = codecs.bloom_popcount(words)
     assert bits_set == meta["bits_set"]
     return spark.createDataFrame(
         [(int(meta["n_terms"]), bits_set)],

@@ -385,11 +385,31 @@ class QueryEngine:
         unreadable — in which case every term is a candidate and the
         engine behaves exactly as before the sidecar existed."""
         if self._bloom_state == "unloaded":
+            import json
             import os
 
-            self._bloom_state = codecs.bloom_load(
+            loaded = codecs.bloom_load(
                 os.path.join(self.index_dir, codecs.BLOOM_DIR)
             )
+            if loaded is not None:
+                # staleness guard: a sidecar built for a DIFFERENT
+                # lexicon (index rebuilt in place without re-running
+                # build_term_bloom) could produce false negatives —
+                # the one thing a bloom must never do. The builder
+                # also deletes sidecars when the lexicon stage reruns;
+                # this check catches manually-copied artifacts too.
+                try:
+                    with open(
+                        os.path.join(self.index_dir, "_manifest.json")
+                    ) as f:
+                        lex_rows = int(
+                            json.load(f)["stages"]["lexicon"]["rows"]
+                        )
+                except Exception:
+                    lex_rows = None
+                if lex_rows is not None and lex_rows != loaded[3]:
+                    loaded = None
+            self._bloom_state = loaded[:3] if loaded else None
         return self._bloom_state
 
     def bloom_prune(self, terms: list[str]) -> list[str]:
@@ -3116,9 +3136,16 @@ class QueryEngine:
         segment."""
         lex = self._stage_df("lexicon").agg(
             F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum("df").cast("long").alias("n_postings"),
-            F.sum("n_chunks").cast("long").alias("n_chunks"),
-            F.max("df").cast("long").alias("max_df"),
+            # coalesce: SUM/MAX over an EMPTY lexicon (a delete-only
+            # delta segment) are NULL; report 0 instead so dashboards
+            # and segment_stats never trip over None
+            F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias(
+                "n_postings"
+            ),
+            F.coalesce(F.sum("n_chunks"), F.lit(0)).cast("long").alias(
+                "n_chunks"
+            ),
+            F.coalesce(F.max("df"), F.lit(0)).cast("long").alias("max_df"),
         )
         return lex.select(
             F.lit(int(self.built_n_docs)).cast("long").alias("n_docs"),
@@ -3653,7 +3680,10 @@ class MultiIndexQueryEngine:
     def _pmap(self, fn, items: list) -> list:
         """Run ``fn`` over ``items`` on the scatter-gather thread pool
         (concurrent Spark job submission; latency = max-of-items).
-        Single-item lists bypass the pool."""
+        Empty input returns empty (no pool); single-item lists bypass
+        the pool."""
+        if not items:
+            return []
         if len(items) == 1:
             return [fn(items[0])]
         from concurrent.futures import ThreadPoolExecutor
@@ -4283,12 +4313,12 @@ class MultiIndexQueryEngine:
             return (
                 i,
                 self.index_dirs[i],
-                int(row["n_docs"]),
-                float(row["avgdl"]),
-                int(row["n_terms"]),
-                int(row["n_postings"]),
-                int(row["n_chunks"]),
-                int(row["max_df"]),
+                int(row["n_docs"] or 0),
+                float(row["avgdl"] or 0.0),
+                int(row["n_terms"] or 0),
+                int(row["n_postings"] or 0),
+                int(row["n_chunks"] or 0),
+                int(row["max_df"] or 0),
             )
 
         rows = self._pmap(_one, list(enumerate(self.engines)))

@@ -86,13 +86,9 @@ def test_bloom_faithful_and_roundtrip(spark, segments):
         os.path.join(segments["s1"], codecs.BLOOM_DIR)
     )
     assert loaded is not None
-    words, m, k = loaded
-    assert (m, k) == (meta["m"], meta["k"])
-    import numpy as np
-
-    assert int(np.unpackbits(words.view(np.uint8)).sum()) == (
-        meta["bits_set"]
-    )
+    words, m, k, n_terms = loaded
+    assert (m, k, n_terms) == (meta["m"], meta["k"], meta["n_terms"])
+    assert codecs.bloom_popcount(words) == meta["bits_set"]
     # driver probe == builder positions: every lexicon term's bits set
     for t in lex_terms:
         for p in codecs.bloom_positions(t, m, k):
@@ -335,6 +331,65 @@ def test_multi_segment_collapsed_snippets_mlt(spark, segments):
 
     got, want = exp(m), exp(mu)
     assert got == want and len(want) > 0
+
+
+def test_no_segment_eligible_paths_return_empty(spark, segments):
+    """Queries whose terms are indexed NOWHERE must return empty
+    frames (not crash the scatter pool with zero workers) across the
+    whole multi-segment surface."""
+    m = MultiIndexQueryEngine(spark, [segments["s1"], segments["s2"]])
+    q = "qqqqabsenteverywhere"
+    assert m.search(q, "disjunctive", k=5).count() == 0
+    assert m.search_local(q) == []
+    assert m.facet_counts(q).count() == 0
+    assert m.search_collapsed(q).count() == 0
+    assert m.search_not(q, "table").count() == 0
+    # snippets over an empty top-k
+    assert m.snippets(q, m.search(q, "disjunctive", k=5)).count() == 0
+    assert m.phrase_search(q).count() == 0
+
+
+def test_stale_bloom_rejected(spark, segments):
+    """The two staleness defenses: an in-place rebuild DELETES derived
+    sidecars when the lexicon stage reruns, and a sidecar whose
+    n_terms disagrees with the served manifest is refused at load —
+    either way, no bloom false negative can survive a rebuild."""
+    from search_engine_spark.corpus import load_documents
+
+    work = tempfile.mkdtemp(prefix="se_stale_")
+    try:
+        docs = load_documents(spark, SF_DIR)
+        idx = os.path.join(work, "idx")
+        IndexBuilder(spark, idx, bucket_count=8).build(docs)
+        build_term_bloom(spark, idx)
+        bloom_dir = os.path.join(idx, codecs.BLOOM_DIR)
+        assert os.path.exists(bloom_dir)
+        saved = os.path.join(work, "saved_bloom")
+        shutil.copytree(bloom_dir, saved)
+        # rebuild in place with a GROWN vocabulary: sidecar deleted
+        IndexBuilder(spark, idx, bucket_count=8).build(
+            docs.withColumn(
+                "text", F.concat(F.lit("xxnewvocab "), "text")
+            ),
+            resume=False,
+        )
+        assert not os.path.exists(bloom_dir)
+        # restore the OLD sidecar by hand: the n_terms manifest guard
+        # must refuse it
+        shutil.copytree(saved, bloom_dir)
+        e = QueryEngine(spark, idx)
+        if e._term_bloom() is not None:
+            # same vocab size would be a legitimate pass; this corpus
+            # grows the lexicon, so the guard must trip
+            raise AssertionError("stale bloom accepted")
+        # and with no (valid) bloom, nothing is pruned
+        assert e.bloom_prune(["anything"]) == ["anything"]
+        # a freshly rebuilt sidecar loads fine again
+        build_term_bloom(spark, idx)
+        e2 = QueryEngine(spark, idx)
+        assert e2._term_bloom() is not None
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def test_upsert_build_bloom_serves_pruned(spark, segments):
