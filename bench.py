@@ -557,7 +557,77 @@ def run_serve_only() -> dict:
     }
 
 
-def run_query_scaling(replicate: int = 800, reps: int = 2) -> None:
+def _run_levels(
+    flag: str, label: str, extra_env: dict, allow_pin: bool = False
+) -> tuple[list[int], int, dict[int, dict]]:
+    """Shared two-parallelism harness behind every --*scaling mode:
+    run ``bench.py <flag>`` in a fresh subprocess JVM at each level in
+    SPARK_GRAFT_SCALE_LEVELS (default 1,4), alternating
+    SPARK_GRAFT_SCALE_REPS times (default 2), two attempts per run,
+    keeping each level's MINIMUM JSON record (the interference-free
+    estimate on a shared host). Exits the process when any level never
+    succeeds. Returns (levels, reps, best-record-per-level)."""
+    levels = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")
+    ]
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    best: dict[int, dict] = {}
+    for rep in range(reps):
+        for n in levels:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(n),
+                SPARK_GRAFT_SF_DIR=SF_DIR,
+                **extra_env,
+            )
+            # batch jobs prefer the throughput collector (see
+            # runtime.get_spark GC note); still overridable by caller
+            env.setdefault("SPARK_GRAFT_GC", "parallel")
+            cmd = [sys.executable, __file__, flag]
+            if (
+                allow_pin
+                and os.environ.get("SPARK_GRAFT_PIN", "0") == "1"
+                and shutil.which("taskset")
+            ):
+                cmd = ["taskset", "-c", f"0-{n - 1}" if n > 1 else "0"] + cmd
+            r = None
+            for attempt in range(2):
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True, env=env
+                )
+                lines = [
+                    l
+                    for l in out.stdout.strip().splitlines()
+                    if l.startswith("{")
+                ]
+                if out.returncode == 0 and lines:
+                    r = json.loads(lines[-1])
+                    break
+                print(
+                    f"rep{rep} {label} local[{n}] attempt{attempt} failed "
+                    f"(rc={out.returncode}): {out.stderr[-500:]}",
+                    file=sys.stderr,
+                )
+            if r is None:
+                continue
+            print(
+                f"rep{rep} {label} local[{n}]: {r['value']}s",
+                file=sys.stderr,
+            )
+            if n not in best or r["value"] < best[n]["value"]:
+                best[n] = r
+    missing = [n for n in levels if n not in best]
+    if missing:
+        sys.exit(
+            f"{label}-scaling run failed: no successful run at "
+            f"parallelism level(s) {missing} (see stderr above for "
+            "per-attempt errors)"
+        )
+    return levels, reps, best
+
+
+def run_query_scaling(replicate: int = 800) -> None:
     """N vs 4N scaling evidence for the QUERY/serving side — the
     BM25 half of the north metric (the build half is --scaling).
 
@@ -568,12 +638,7 @@ def run_query_scaling(replicate: int = 800, reps: int = 2) -> None:
     (same interference rationale as --scaling). Appends a section to
     BENCH/BASELINE.md — run it AFTER --scaling, which rewrites that
     file from its own header + HISTORY.md."""
-    levels = [
-        int(x)
-        for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")
-    ]
     replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", replicate))
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", reps))
     corpus_dir = _ensure_scale_corpus(replicate)
     index_dir = os.path.join(
         tempfile.gettempdir(), f"se_qscale_idx_x{replicate}"
@@ -596,49 +661,9 @@ def run_query_scaling(replicate: int = 800, reps: int = 2) -> None:
     finally:
         spark.stop()
 
-    best: dict[int, dict] = {}
-    for rep in range(reps):
-        for n in levels:
-            env = dict(
-                os.environ,
-                SPARK_GRAFT_CPUS=str(n),
-                SPARK_GRAFT_SF_DIR=SF_DIR,
-                SPARK_GRAFT_INDEX_DIR=index_dir,
-            )
-            env.setdefault("SPARK_GRAFT_GC", "parallel")
-            r = None
-            for attempt in range(2):
-                out = subprocess.run(
-                    [sys.executable, __file__, "--serve-only"],
-                    capture_output=True,
-                    text=True,
-                    env=env,
-                )
-                lines = [
-                    l
-                    for l in out.stdout.strip().splitlines()
-                    if l.startswith("{")
-                ]
-                if out.returncode == 0 and lines:
-                    r = json.loads(lines[-1])
-                    break
-                print(
-                    f"rep{rep} serve local[{n}] attempt{attempt} failed "
-                    f"(rc={out.returncode}): {out.stderr[-500:]}",
-                    file=sys.stderr,
-                )
-            if r is None:
-                continue
-            print(f"rep{rep} serve local[{n}]: {r['value']}s", file=sys.stderr)
-            if n not in best or r["value"] < best[n]["value"]:
-                best[n] = r
-
-    missing = [n for n in levels if n not in best]
-    if missing:
-        sys.exit(
-            "query-scaling run failed: no successful serve at parallelism "
-            f"level(s) {missing} (see stderr above for per-attempt errors)"
-        )
+    levels, reps, best = _run_levels(
+        "--serve-only", "serve", {"SPARK_GRAFT_INDEX_DIR": index_dir}
+    )
     lo, hi = levels[0], levels[-1]
     t_lo, t_hi = best[lo]["value"], best[hi]["value"]
     q_lo, q_hi = best[lo]["queries_per_sec"], best[hi]["queries_per_sec"]
@@ -723,7 +748,7 @@ def run_dedup_only() -> dict:
     }
 
 
-def run_dedup_scaling(replicate: int = 100, reps: int = 2) -> None:
+def run_dedup_scaling(replicate: int = 100) -> None:
     """N vs 4N scaling evidence for the CURATION side — the MinHash/
     LSH dedup family that round 5 reworked (one md5 + universal
     permutations, shuffle-free band keys). Same harness discipline as
@@ -731,57 +756,11 @@ def run_dedup_scaling(replicate: int = 100, reps: int = 2) -> None:
     IDENTICAL replicated corpus, levels alternated ``reps`` times,
     minima reported, section appended to BENCH/BASELINE.md (run AFTER
     --scaling, which rewrites that file)."""
-    levels = [
-        int(x)
-        for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")
-    ]
     replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", replicate))
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", reps))
     corpus_dir = _ensure_scale_corpus(replicate)
-
-    best: dict[int, dict] = {}
-    for rep in range(reps):
-        for n in levels:
-            env = dict(
-                os.environ,
-                SPARK_GRAFT_CPUS=str(n),
-                SPARK_GRAFT_SF_DIR=SF_DIR,
-                SPARK_GRAFT_CORPUS_DIR=corpus_dir,
-            )
-            env.setdefault("SPARK_GRAFT_GC", "parallel")
-            r = None
-            for attempt in range(2):
-                out = subprocess.run(
-                    [sys.executable, __file__, "--dedup-only"],
-                    capture_output=True,
-                    text=True,
-                    env=env,
-                )
-                lines = [
-                    l
-                    for l in out.stdout.strip().splitlines()
-                    if l.startswith("{")
-                ]
-                if out.returncode == 0 and lines:
-                    r = json.loads(lines[-1])
-                    break
-                print(
-                    f"rep{rep} dedup local[{n}] attempt{attempt} failed "
-                    f"(rc={out.returncode}): {out.stderr[-500:]}",
-                    file=sys.stderr,
-                )
-            if r is None:
-                continue
-            print(f"rep{rep} dedup local[{n}]: {r['value']}s", file=sys.stderr)
-            if n not in best or r["value"] < best[n]["value"]:
-                best[n] = r
-
-    missing = [n for n in levels if n not in best]
-    if missing:
-        sys.exit(
-            "dedup-scaling run failed: no successful run at parallelism "
-            f"level(s) {missing} (see stderr above for per-attempt errors)"
-        )
+    levels, reps, best = _run_levels(
+        "--dedup-only", "dedup", {"SPARK_GRAFT_CORPUS_DIR": corpus_dir}
+    )
     lo, hi = levels[0], levels[-1]
     t_lo, t_hi = best[lo]["value"], best[hi]["value"]
     d_lo, d_hi = best[lo]["docs_per_sec"], best[hi]["docs_per_sec"]
@@ -827,7 +806,7 @@ corpus ({n_docs} docs) in fresh `local[N]` JVMs, levels alternated
     )
 
 
-def run_scaling(replicate: int = 800, reps: int = 2) -> None:
+def run_scaling(replicate: int = 800) -> None:
     """N vs 4N scaling evidence.
 
     Levels default to local[1] vs local[4]: this VM's kernel serializes
@@ -848,64 +827,14 @@ def run_scaling(replicate: int = 800, reps: int = 2) -> None:
     lower bound. Default is unpinned, matching the criterion's
     "two parallelism levels" wording and rounds 1-2.
     """
-    levels = [
-        int(x)
-        for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")
-    ]
     replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", replicate))
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", reps))
     corpus_dir = _ensure_scale_corpus(replicate)
-
-    best: dict[int, dict] = {}
-    for rep in range(reps):
-        for n in levels:
-            env = dict(
-                os.environ,
-                SPARK_GRAFT_CPUS=str(n),
-                SPARK_GRAFT_SF_DIR=SF_DIR,
-                SPARK_GRAFT_CORPUS_DIR=corpus_dir,
-            )
-            # batch builds prefer the throughput collector (see
-            # runtime.get_spark GC note); still overridable by the caller
-            env.setdefault("SPARK_GRAFT_GC", "parallel")
-            cmd = [sys.executable, __file__, "--build-only"]
-            if os.environ.get("SPARK_GRAFT_PIN", "0") == "1" and shutil.which(
-                "taskset"
-            ):
-                cmd = ["taskset", "-c", f"0-{n - 1}" if n > 1 else "0"] + cmd
-            r = None
-            for attempt in range(2):
-                out = subprocess.run(
-                    cmd,
-                    capture_output=True,
-                    text=True,
-                    env=env,
-                )
-                lines = [
-                    l
-                    for l in out.stdout.strip().splitlines()
-                    if l.startswith("{")
-                ]
-                if out.returncode == 0 and lines:
-                    r = json.loads(lines[-1])
-                    break
-                print(
-                    f"rep{rep} local[{n}] attempt{attempt} failed "
-                    f"(rc={out.returncode}): {out.stderr[-500:]}",
-                    file=sys.stderr,
-                )
-            if r is None:
-                continue
-            print(f"rep{rep} local[{n}]: {r['value']}s", file=sys.stderr)
-            if n not in best or r["value"] < best[n]["value"]:
-                best[n] = r
-
-    missing = [n for n in levels if n not in best]
-    if missing:
-        sys.exit(
-            "scaling run failed: no successful build at parallelism "
-            f"level(s) {missing} (see stderr above for per-attempt errors)"
-        )
+    levels, reps, best = _run_levels(
+        "--build-only",
+        "build",
+        {"SPARK_GRAFT_CORPUS_DIR": corpus_dir},
+        allow_pin=True,
+    )
     lo, hi = levels[0], levels[-1]
     t_lo, t_hi = best[lo]["value"], best[hi]["value"]
     d_lo, d_hi = best[lo]["docs_per_sec"], best[hi]["docs_per_sec"]

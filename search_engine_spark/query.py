@@ -187,6 +187,38 @@ def host_col():
     return F.lower(F.regexp_extract("url", HOST_RX, 1))
 
 
+def parse_wildcard_query(query: str) -> tuple[list[str], list[str]]:
+    """Split a wildcard query into (plain tokens, prefix stems) —
+    the one grammar both the single- and multi-segment prefix_search
+    share: whitespace-separated tokens, a single trailing ``*`` marks
+    a prefix stem, anything else containing ``*`` raises, and a stem
+    must be a single delimiter-free term."""
+    plain: list[str] = []
+    stems: list[str] = []
+    for raw in (query or "").split():
+        if raw.endswith("*"):
+            stem = raw[:-1]
+            if not stem or "*" in stem:
+                raise ValueError(
+                    f"unsupported wildcard pattern {raw!r}: only a "
+                    "single trailing * is supported"
+                )
+            if tokenize_query(stem) != [stem]:
+                raise ValueError(
+                    f"prefix stem {stem!r} contains tokenizer "
+                    "delimiters; prefix must be a single term stem"
+                )
+            stems.append(stem)
+        else:
+            if "*" in raw:
+                raise ValueError(
+                    f"unsupported wildcard pattern {raw!r}: only a "
+                    "single trailing * is supported"
+                )
+            plain.extend(tokenize_query(raw))
+    return plain, stems
+
+
 class QueryEngine:
     def __init__(
         self, spark, index_dir: str, stats_override: dict | None = None
@@ -239,12 +271,20 @@ class QueryEngine:
         # per-engine lexicon cache: term -> RAW lexicon entry (df
         # pre-override) or None for a term proven absent. The index an
         # engine instance serves is immutable (mutations reopen the
-        # engine), so entries never go stale; bounded by the distinct
-        # terms ever queried. Repeated terms — the Zipf reality of a
-        # query stream — skip the lexicon job entirely, and cached
-        # n_chunks lets _collect_meta refuse the above-cap metadata
-        # collect WITHOUT paying for it first.
-        self._lex_raw_cache: dict[str, dict | None] = {}
+        # engine), so entries never go stale. Size-capped LRU
+        # (SE_LEX_CACHE_TERMS, default 2^20 entries of 4 ints): a
+        # query stream's DISTINCT term set is unbounded at web scale,
+        # and the prefix/suggest paths seed whole vocabulary slices —
+        # the Zipf head that makes the cache pay stays resident under
+        # LRU while the tail recycles. Repeated terms skip the lexicon
+        # job entirely, and cached n_chunks lets _collect_meta refuse
+        # the above-cap metadata collect WITHOUT paying for it first.
+        from collections import OrderedDict
+
+        self._lex_raw_cache: "OrderedDict[str, dict | None]" = OrderedDict()
+        self._lex_cache_cap = int(
+            os.environ.get("SE_LEX_CACHE_TERMS", str(1 << 20))
+        )
         self._batch_thetas: dict[int, float] = {}
         # pinned metadata projection (see META_CACHE); built lazily on
         # the first planning read, unpersisted by close()
@@ -252,6 +292,11 @@ class QueryEngine:
         # transient NOT-clause doc set (search_not): anti-joined in
         # _agg_topk, disables attained-bound theta shortcuts while set
         self._exclude_df: DataFrame | None = None
+        # persisted excluded-doc frame of the most recent search_not:
+        # released on the next search_not call or close() (persist
+        # keeps lineage, so an older result re-collected after release
+        # recomputes its exclusion set instead of failing)
+        self._not_cached: DataFrame | None = None
         # tombstoned doc ids (maintenance.delete_docs): a sorted int64
         # array when the set fits the driver cap (decode paths mask
         # in-place), else a distributed DataFrame (anti-join fallback).
@@ -302,10 +347,36 @@ class QueryEngine:
         multi-segment (global df), else the segment-local value."""
         return int(self._df_override.get(term, local_df))
 
+    def _lex_cache_put(
+        self, term: str, entry: dict | None, overwrite: bool = True
+    ) -> None:
+        """Insert/refresh one lexicon-cache entry under the LRU cap.
+        ``overwrite=False`` keeps an existing entry (setdefault
+        semantics — used by seeding paths whose entries are no fresher
+        than what a real lookup already cached)."""
+        c = self._lex_raw_cache
+        if term in c:
+            if overwrite:
+                c[term] = entry
+            c.move_to_end(term)
+            return
+        c[term] = entry
+        while len(c) > self._lex_cache_cap:
+            c.popitem(last=False)
+
     def lexicon_lookup(self, terms: list[str]) -> dict[str, dict]:
         if not terms:
             return {}
-        missing = sorted({t for t in terms if t not in self._lex_raw_cache})
+        cache = self._lex_raw_cache
+        # snapshot resolved entries first: LRU eviction mid-call (a
+        # term list wider than the cap) must degrade to extra lookups,
+        # never to a present term reading back as absent
+        resolved: dict[str, dict | None] = {}
+        for t in terms:
+            if t in cache:
+                cache.move_to_end(t)  # LRU touch
+                resolved[t] = cache[t]
+        missing = sorted({t for t in terms if t not in resolved})
         if missing and self._term_bloom() is not None:
             # bloom fast-path: a bloom-negative term is definitely not
             # in the lexicon (no false negatives), so it resolves to
@@ -315,7 +386,8 @@ class QueryEngine:
             maybe = set(self.bloom_prune(missing))
             for t in missing:
                 if t not in maybe:
-                    self._lex_raw_cache[t] = None
+                    self._lex_cache_put(t, None)
+                    resolved[t] = None
             missing = sorted(maybe)
         if missing:
             df = (
@@ -333,10 +405,11 @@ class QueryEngine:
                 for r in df.collect()
             }
             for t in missing:
-                self._lex_raw_cache[t] = found.get(t)
+                self._lex_cache_put(t, found.get(t))
+                resolved[t] = found.get(t)
         out: dict[str, dict] = {}
         for t in dict.fromkeys(terms):
-            e = self._lex_raw_cache[t]
+            e = resolved[t]
             if e is not None:
                 out[t] = {**e, "df": self._df_of(t, e["df"])}
         return out
@@ -373,11 +446,15 @@ class QueryEngine:
         ).where(F.col("term").isin(terms))
 
     def close(self) -> None:
-        """Release engine-pinned executor memory (the metadata cache).
-        Optional — Spark reclaims it when the session ends."""
+        """Release engine-pinned executor memory (the metadata cache
+        and the last NOT-clause doc set). Optional — Spark reclaims
+        both when the session ends."""
         if self._meta_df is not None:
             self._meta_df.unpersist()
             self._meta_df = None
+        if self._not_cached is not None:
+            self._not_cached.unpersist()
+            self._not_cached = None
 
     def _term_bloom(self):
         """Lazy driver-side term Bloom filter (build.build_term_bloom
@@ -700,7 +777,7 @@ class QueryEngine:
                 "min_doc_id": min(r["first_doc_id"] for r in rs),
                 "max_doc_id": max(r["last_doc_id"] for r in rs),
             }
-            self._lex_raw_cache[t] = {**lex[t], "df": raw_df}
+            self._lex_cache_put(t, {**lex[t], "df": raw_df})
             t_idf = wand.idf(df, self.n_docs)
             bound = wand.term_chunk_bounds(
                 t_idf,
@@ -715,7 +792,7 @@ class QueryEngine:
                 rows=[(r["salt"], r["chunk_seq"]) for r in rs],
             )
         for t in terms:
-            self._lex_raw_cache.setdefault(t, None)  # proven absent
+            self._lex_cache_put(t, None, overwrite=False)  # proven absent
         return metas, lex
 
     def _segments_job(
@@ -1403,16 +1480,25 @@ class QueryEngine:
         neg_present = sorted(lex_neg)
         if not neg_present:
             return self.search(query, mode, k, explain, dtype)
-        # localCheckpoint materializes the excluded doc set ONCE — the
+        # persist + count materializes the excluded doc set ONCE — the
         # lazy frame is referenced by the phase-1 theta probe AND the
         # returned plan, which would otherwise re-decode the excluded
-        # postings on every action (2-3x for a high-df exclude)
+        # postings on every action (2-3x for a high-df exclude).
+        # persist (not localCheckpoint) keeps lineage, so releasing
+        # the blocks later is always safe; the engine holds exactly
+        # one NOT frame at a time (previous released below) instead of
+        # leaking one checkpointed RDD per NOT query for the life of
+        # a serving session
         neg_ids = (
             self._scored_postings(self._chunks(neg_present), lex_neg)
             .select("doc_id")
             .distinct()
-            .localCheckpoint()
+            .persist()
         )
+        neg_ids.count()
+        if self._not_cached is not None:
+            self._not_cached.unpersist()
+        self._not_cached = neg_ids
         self._exclude_df = neg_ids
         try:
             return self.search(query, mode, k, explain, dtype)
@@ -2814,8 +2900,13 @@ class QueryEngine:
     def _prefix_rows(self, prefix: str, cap: int):
         """Shared lexicon prefix scan for expand_prefix / suggest: the
         top ``cap`` matches by (df DESC, term ASC) via a pushed
-        StartsWith TakeOrdered, rows seeding the per-engine lexicon
-        cache (same raw-entry contract as lexicon_lookup)."""
+        StartsWith TakeOrdered, the head rows seeding the per-engine
+        lexicon cache (same raw-entry contract as lexicon_lookup).
+        Seeding stops after 4096 rows: the multi-segment merge paths
+        pass an uncapped ``cap`` and collect whole vocabulary slices —
+        useful for their exact global merge, but churning the LRU with
+        a slice no follow-up query will ever touch would evict the
+        Zipf head that makes the cache pay."""
         if not prefix:
             raise ValueError("prefix must be non-empty")
         rows = (
@@ -2826,8 +2917,8 @@ class QueryEngine:
             .select("term", "df", "n_chunks", "min_doc_id", "max_doc_id")
             .collect()
         )
-        for r in rows:
-            self._lex_raw_cache.setdefault(
+        for r in rows[:4096]:
+            self._lex_cache_put(
                 r["term"],
                 {
                     "df": int(r["df"]),
@@ -2835,6 +2926,7 @@ class QueryEngine:
                     "min_doc_id": int(r["min_doc_id"]),
                     "max_doc_id": int(r["max_doc_id"]),
                 },
+                overwrite=False,
             )
         return rows
 
@@ -2883,28 +2975,10 @@ class QueryEngine:
         metadata cap), so a short prefix over a web-scale vocabulary
         stays a bounded plan instead of a vocabulary-sized one.
         """
-        terms: set[str] = set()
-        for raw in (query or "").split():
-            if raw.endswith("*"):
-                stem = raw[:-1]
-                if not stem or "*" in stem:
-                    raise ValueError(
-                        f"unsupported wildcard pattern {raw!r}: only a "
-                        "single trailing * is supported"
-                    )
-                if tokenize_query(stem) != [stem]:
-                    raise ValueError(
-                        f"prefix stem {stem!r} contains tokenizer "
-                        "delimiters; prefix must be a single term stem"
-                    )
-                terms.update(self.expand_prefix(stem, max_expansions))
-            else:
-                if "*" in raw:
-                    raise ValueError(
-                        f"unsupported wildcard pattern {raw!r}: only a "
-                        "single trailing * is supported"
-                    )
-                terms.update(tokenize_query(raw))
+        plain, stems = parse_wildcard_query(query)
+        terms: set[str] = set(plain)
+        for stem in stems:
+            terms.update(self.expand_prefix(stem, max_expansions))
         # expanded terms are lexicon terms (delimiter-free), so the
         # canonical disjunctive path re-tokenizes them losslessly
         return self.search(
@@ -3890,31 +3964,13 @@ class MultiIndexQueryEngine:
         a term whose global df clears the cut). The union of plain
         tokens and expansions then scores as one multi-segment
         disjunctive query under global stats."""
-        terms: set[str] = set()
-        for raw in (query or "").split():
-            if raw.endswith("*"):
-                stem = raw[:-1]
-                if not stem or "*" in stem:
-                    raise ValueError(
-                        f"unsupported wildcard pattern {raw!r}: only a "
-                        "single trailing * is supported"
-                    )
-                if tokenize_query(stem) != [stem]:
-                    raise ValueError(
-                        f"prefix stem {stem!r} contains tokenizer "
-                        "delimiters; prefix must be a single term stem"
-                    )
-                terms.update(
-                    r["term"]
-                    for r in self.suggest(stem, n=max_expansions).collect()
-                )
-            else:
-                if "*" in raw:
-                    raise ValueError(
-                        f"unsupported wildcard pattern {raw!r}: only a "
-                        "single trailing * is supported"
-                    )
-                terms.update(tokenize_query(raw))
+        plain, stems = parse_wildcard_query(query)
+        terms: set[str] = set(plain)
+        for stem in stems:
+            terms.update(
+                r["term"]
+                for r in self.suggest(stem, n=max_expansions).collect()
+            )
         if not terms:
             out_t = "double" if dtype is np.float64 else "float"
             return self.spark.createDataFrame(
@@ -4269,11 +4325,18 @@ class MultiIndexQueryEngine:
         jobs = list(self._owners([int(doc_id)]))
         if not jobs:
             raise KeyError(f"doc_id {doc_id} not in any segment")
-        e, off, local = jobs[0]
-        seed = e.spark.createDataFrame(
-            [(local[0], 0.0)], "doc_id long, score double"
-        )
-        rows = e.fetch_docs(seed).select("text").collect()
+        # try every span match, not just the first: explicit offsets
+        # (e.g. all 0 over disjoint id ranges) can make spans overlap,
+        # in which case only one candidate segment actually holds the
+        # doc — the same all-matches routing doc_urls/snippets use
+        rows: list = []
+        for e, off, local in jobs:
+            seed = e.spark.createDataFrame(
+                [(local[0], 0.0)], "doc_id long, score double"
+            )
+            rows = e.fetch_docs(seed).select("text").collect()
+            if rows:
+                break
         if not rows:
             raise KeyError(f"doc_id {doc_id} not in the doc table")
         toks = tokenize_text(rows[0]["text"] or "")

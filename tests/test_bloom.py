@@ -461,3 +461,32 @@ def test_multi_segment_search_local_and_facets(spark, segments):
         for r in mu.facet_counts(q, mode=mode, top_n=1000).collect()
     )
     assert fa == fu and len(fa) > 0
+
+
+def test_more_like_this_overlapping_offsets(spark, segments):
+    """Explicit offsets=[0,0] over shards holding disjoint GLOBAL id
+    ranges (the build preserves input doc ids: even ids in s1, odd in
+    s2) make every segment's id span cover every seed — the seed doc
+    must be fetched from the segment that actually holds it, not the
+    first span match. An odd seed owned by s2 (listed second) is the
+    routing trap; results must equal the union index's."""
+    mu = MultiIndexQueryEngine(spark, [segments["union"]])
+    m00 = MultiIndexQueryEngine(
+        spark, [segments["s1"], segments["s2"]], offsets=[0, 0]
+    )
+    e2 = QueryEngine(spark, segments["s2"])
+    odd_seed = int(
+        e2._stage_df("doc_table")
+        .agg(F.min("doc_id"))
+        .collect()[0][0]
+    )
+    assert odd_seed % 2 == 1, "s2 holds the odd global ids"
+    got = _urlset(m00, m00.more_like_this(odd_seed, k=25))
+    want = _urlset(mu, mu.more_like_this(odd_seed, k=25))
+    assert got == want and len(want) > 0
+    # a never-indexed id still raises cleanly through all span matches
+    import pytest as _pytest
+
+    missing = 10**12
+    with _pytest.raises(KeyError):
+        m00.more_like_this(missing)

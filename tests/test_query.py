@@ -955,3 +955,65 @@ def test_did_you_mean(fuzzy_engine):
     ordered = [r["term"] for r in sorted(
         qe.did_you_mean("spark qery").collect(), key=lambda r: r["pos"])]
     assert ordered == sorted(ordered)
+
+
+def test_search_not_releases_previous_exclusion(engine, spark):
+    """The engine holds at most ONE persisted NOT-exclusion frame:
+    each search_not releases the previous call's (the round-5 leak
+    fix), old results stay collectable because persist keeps lineage,
+    and close() drops the last frame."""
+    import numpy as np
+
+    qe, _ = engine
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    first = qe.search_not("spark query", "table", dtype=np.float64)
+    base = n_persisted()
+    for ex in ("scan", "data", "index"):
+        assert qe.search_not("spark query", ex, dtype=np.float64).count() >= 0
+    # three more NOT queries added zero NET persisted RDDs
+    assert n_persisted() <= base
+    assert qe._not_cached is not None
+    # the first result's frame was released two calls ago: recompute,
+    # don't crash
+    assert first.count() >= 0
+    qe.close()
+    assert qe._not_cached is None
+    # engine remains serviceable after close (meta cache is lazy)
+    assert qe.search("spark", k=3).count() == 3
+
+
+def test_lexicon_cache_lru_bounded(engine):
+    """_lex_raw_cache honors its LRU cap, and eviction mid-lookup
+    (term list wider than the cap) degrades to extra lookups, never
+    flips a present term to absent."""
+    qe, _ = engine
+    old_cap = qe._lex_cache_cap
+    try:
+        qe._lex_cache_cap = 2
+        qe._lex_raw_cache.clear()
+        terms = ["table", "scan", "data", "zzzabsentterm"]
+        r1 = qe.lexicon_lookup(terms)
+        assert "table" in r1 and "scan" in r1
+        assert "zzzabsentterm" not in r1
+        assert len(qe._lex_raw_cache) <= 2
+        r2 = qe.lexicon_lookup(terms)
+        assert {t: v["df"] for t, v in r2.items()} == {
+            t: v["df"] for t, v in r1.items()
+        }
+    finally:
+        qe._lex_cache_cap = old_cap
+        qe._lex_raw_cache.clear()
+
+
+def test_prefix_seed_respects_cache(engine):
+    """_prefix_rows seeds the lexicon cache (bounded) so a follow-up
+    search pays no second lexicon job for expanded terms."""
+    qe, _ = engine
+    qe._lex_raw_cache.clear()
+    terms = qe.expand_prefix("t", max_expansions=16)
+    assert terms, "test corpus has t-terms"
+    assert all(t in qe._lex_raw_cache for t in terms)
+    assert len(qe._lex_raw_cache) <= qe._lex_cache_cap
