@@ -242,6 +242,17 @@ def run_suite() -> dict:
             lambda: qe.fuzzy_search("qery sparkk").collect()
         )
 
+        # index fsck: the full artifact-consistency scan (deep payload
+        # decode included) an operator runs before serving a copied/
+        # merged/upserted index — priced here so its cost per segment
+        # is on the record
+        from search_engine_spark import maintenance as _maint
+
+        timings["index_fsck"] = _min_of(
+            lambda: _maint.check_index(spark, index_dir, deep=True)
+            .collect()
+        )
+
         # positional index + its consumers (phrase / NEAR-window);
         # min-of-2 cold builds like the main index
         import numpy as np

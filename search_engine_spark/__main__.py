@@ -169,6 +169,30 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Verify index artifact consistency (maintenance.check_index).
+    Prints one line per invariant; exits 1 if any check reports
+    violations — the pre-serve health gate for a freshly copied,
+    merged or upserted index. Accepts an LSM stack (comma-separated
+    dirs), checking each segment."""
+    from . import maintenance
+
+    spark = _spark()
+    rc = 0
+    for seg in args.index_dir.split(","):
+        for r in maintenance.check_index(
+            spark, seg, deep=not args.shallow
+        ).collect():
+            bad = int(r["n_violations"]) != 0
+            rc |= int(bad)
+            print(
+                f"{seg} {r['check_name']}: examined={r['n_examined']} "
+                f"violations={r['n_violations']}"
+                + (" FAIL" if bad else "")
+            )
+    return rc
+
+
 def cmd_build_fuzzy(args) -> int:
     from search_engine_spark.build import build_fuzzy_index
 
@@ -240,6 +264,17 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", help="one-row index summary")
     st.add_argument("--index-dir", required=True)
     st.set_defaults(fn=cmd_stats)
+
+    fs = sub.add_parser(
+        "fsck", help="verify index artifact consistency (CheckIndex)"
+    )
+    fs.add_argument("--index-dir", required=True)
+    fs.add_argument(
+        "--shallow",
+        action="store_true",
+        help="skip the payload-decode pass (metadata checks only)",
+    )
+    fs.set_defaults(fn=cmd_fsck)
 
     bf = sub.add_parser(
         "build-fuzzy", help="derive the SymSpell typo side table"

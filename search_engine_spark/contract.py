@@ -1812,6 +1812,72 @@ def spark_term_bloom_stats(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def spark_index_fsck(spark, sf_dir: str) -> DataFrame:
+    """Distributed index fsck (maintenance.check_index — the Lucene
+    CheckIndex analogue) over the shared e2e index, ARTIFACT-LEVEL:
+    every invariant row (lexicon↔chunks consistency, chunk-sequence
+    density, range ordering, deep payload decode, doc-id uniqueness,
+    stats recount, tombstone references, bloom sidecar + zero false
+    negatives) must report n_violations = 0, and the DuckDB twin
+    independently re-derives each check's n_examined from the corpus
+    (terms, (term, salt) groups under the e2e build's n_salts=4
+    layout, 128-posting chunk counts, doc counts) — proving the fsck
+    actually scanned the complete artifact, not a sample. Detection of
+    corrupted artifacts is pytest-gated (tests/test_maintenance.py
+    tampers copies). Building the bloom into the shared cache is safe
+    (see spark_term_bloom_stats)."""
+    import os
+
+    from . import codecs, maintenance
+    from .build import build_term_bloom
+
+    _prepare(spark, sf_dir)
+    index_dir = _e2e_index(spark, sf_dir)
+    if codecs.bloom_load(os.path.join(index_dir, codecs.BLOOM_DIR)) is None:
+        build_term_bloom(spark, index_dir, m=BLOOM_M, k=BLOOM_K)
+    return maintenance.check_index(spark, index_dir, deep=True)
+
+
+def sql_index_fsck() -> str:
+    """DuckDB twin: a healthy index's fsck report — all-zero
+    violations with every n_examined re-derived relationally from the
+    corpus: distinct terms, (term, salt) groups under the e2e build's
+    salt formula (floor(doc_id * 4 / (max_doc_id + 1))), ceil-128
+    chunk counts per group, and document counts. postings/tombstone
+    rows are structurally absent from the shared e2e index (examined
+    0)."""
+    return (
+        f"WITH {_toks_cte('duckdb')}, {_tok_cte('duckdb')}, "
+        "tf AS (SELECT term, doc_id FROM tok GROUP BY term, doc_id), "
+        "mx AS (SELECT max(doc_id) + 1 AS m FROM documents), "
+        "salted AS (SELECT term, doc_id, "
+        "CAST(doc_id * 4 // (SELECT m FROM mx) AS INT) AS salt FROM tf), "
+        "ch AS (SELECT term, salt, CAST((row_number() OVER "
+        "(PARTITION BY term, salt ORDER BY doc_id) - 1) // 128 AS INT) "
+        "AS cs FROM salted), "
+        "nck AS (SELECT CAST(count(*) AS BIGINT) AS n FROM "
+        "(SELECT DISTINCT term, salt, cs FROM ch)), "
+        "ngr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM "
+        "(SELECT DISTINCT term, salt FROM ch)), "
+        "ntm AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS n FROM tf), "
+        "ndc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) "
+        "SELECT * FROM ("
+        "SELECT 'bloom_false_negatives' AS check_name, "
+        "(SELECT n FROM ntm) AS n_examined, CAST(0 AS BIGINT) AS n_violations "
+        "UNION ALL SELECT 'bloom_sidecar', 1, 0 "
+        "UNION ALL SELECT 'chunk_ids_in_corpus_range', (SELECT n FROM nck), 0 "
+        "UNION ALL SELECT 'chunk_ranges_ordered', (SELECT n FROM nck), 0 "
+        "UNION ALL SELECT 'chunk_seq_dense', (SELECT n FROM ngr), 0 "
+        "UNION ALL SELECT 'doc_ids_unique', (SELECT n FROM ndc), 0 "
+        "UNION ALL SELECT 'lexicon_chunks_consistency', (SELECT n FROM ntm), 0 "
+        "UNION ALL SELECT 'payload_decode', (SELECT n FROM nck), 0 "
+        "UNION ALL SELECT 'postings_tf_positions', 0, 0 "
+        "UNION ALL SELECT 'stats_consistency', 1, 0 "
+        "UNION ALL SELECT 'tombstones_in_doc_table', 0, 0"
+        ") ORDER BY check_name"
+    )
+
+
 def sql_term_bloom_stats() -> str:
     """DuckDB twin: the lexicon term set re-derived from the corpus
     (same CTEs as lexicon_df), each term expanded to its k=7 double-
@@ -2974,6 +3040,12 @@ def _registry() -> dict:
     q["term_bloom_stats"] = {
         "spark": spark_term_bloom_stats,
         "sql": sql_term_bloom_stats(),
+    }
+    # distributed index fsck over the same artifact: all-zero
+    # violations, examined counts re-derived relationally
+    q["index_fsck"] = {
+        "spark": spark_index_fsck,
+        "sql": sql_index_fsck(),
     }
     # input_hint html:binary column -> extract_text byte-identity
     q["html_extract_e2e"] = {

@@ -531,3 +531,285 @@ def compact_index(spark, index_dir: str, out_dir: str) -> dict:
     ``out_dir`` (ids keep their values; stats/df/bounds re-derive over
     the survivors). The single-source case of :func:`merge_indexes`."""
     return merge_indexes(spark, [index_dir], out_dir, offsets=[0])
+
+
+# ------------------------------------------------------------ index fsck
+
+
+def check_index(spark, index_dir: str, deep: bool = True) -> DataFrame:
+    """Distributed index fsck — the Lucene ``CheckIndex`` analogue the
+    reference engine lacks (its artifacts are written once and trusted
+    forever; ours get rewritten by merge/compact/upsert, copied between
+    stores, and served long after the build, so an operator needs a
+    cheap way to prove an index is internally consistent before
+    putting it behind traffic).
+
+    Verifies every cross-stage invariant the build/maintenance
+    pipeline promises, each as ONE bounded Spark aggregation (no
+    collect of data rows, no driver loops — at 100 TB every check is a
+    scan+agg whose output is a single counter):
+
+    - ``lexicon_chunks_consistency`` — the lexicon row of every term
+      equals the same aggregation recomputed from the chunks table
+      (df = sum(n), n_chunks = count, doc-id span, WAND ratio bounds);
+      full-outer, so orphan terms on either side count too.
+    - ``chunk_seq_dense`` — per (term, salt) the chunk sequence is
+      exactly 0..k-1 (a dropped or duplicated chunk file breaks this).
+    - ``chunk_ranges_ordered`` — first_doc_id <= last_doc_id and
+      consecutive chunks' doc-id ranges are disjoint and increasing.
+    - ``chunk_ids_in_corpus_range`` — chunk metadata spans stay inside
+      the doc table's id range.
+    - ``payload_decode`` (``deep=True`` only) — every chunk payload
+      actually decodes, to exactly ``n`` strictly-increasing doc ids
+      matching the first/last metadata, with a doc-length sidecar of
+      the same cardinality (mapInPandas; the one check that reads
+      payload bytes — the price of catching bit rot).
+    - ``doc_ids_unique`` — no duplicate doc ids in the doc table.
+    - ``stats_consistency`` — the persisted stats row (n_docs, avgdl,
+      total_tokens, max_doc_id) matches a doc-table recount.
+    - ``tombstones_in_doc_table`` — every tombstoned id references a
+      real doc (examined 0 when no deletes exist).
+    - ``bloom_sidecar`` / ``bloom_false_negatives`` — the term Bloom's
+      recorded n_terms matches the lexicon, and EVERY lexicon term
+      probes positive (a false negative is the one forbidden failure
+      mode; examined 0 when no sidecar exists).
+    - ``postings_tf_positions`` — positional indexes only: per
+      (term, doc) the positions array is sorted, non-negative and
+      tf-sized (examined 0 when positions aren't materialized).
+
+    Returns (check_name string, n_examined long, n_violations long),
+    one row per check, ordered by check_name. A healthy index has
+    n_violations = 0 everywhere; pytest proves each detector fires on
+    a deliberately corrupted copy.
+    """
+    from pyspark.sql import Window
+
+    from . import codecs as C
+    from .build import read_stage_parquet
+
+    def stage(name):
+        return read_stage_parquet(
+            spark, os.path.join(index_dir, name), name
+        )
+
+    chunks = stage("chunks")
+    lexicon = stage("lexicon")
+    doc_table = stage("doc_table")
+    stats_row = stage("stats").collect()[0]
+    out: list[tuple[str, int, int]] = []
+
+    # --- lexicon vs chunks (term-level full outer)
+    has_bounds = "max_ratio" in lexicon.columns and "max_ratio" in chunks.columns
+    agg_cols = [
+        F.sum("n").cast("long").alias("_df"),
+        F.count("*").cast("int").alias("_nc"),
+        F.min("first_doc_id").alias("_mn"),
+        F.max("last_doc_id").alias("_mx"),
+    ]
+    if has_bounds:
+        agg_cols += [
+            F.max("max_ratio").alias("_bmax"),
+            F.min("min_ratio").alias("_bmin"),
+        ]
+    derived = chunks.groupBy("term").agg(*agg_cols)
+    lex_cols = ["term", "df", "n_chunks", "min_doc_id", "max_doc_id"]
+    if has_bounds:
+        lex_cols += ["max_ratio", "min_ratio"]
+    j = lexicon.select(*lex_cols).join(derived, "term", "full_outer")
+    ok = (
+        F.col("df").isNotNull()
+        & F.col("_df").isNotNull()
+        & (F.col("df") == F.col("_df"))
+        & (F.col("n_chunks") == F.col("_nc"))
+        & (F.col("min_doc_id") == F.col("_mn"))
+        & (F.col("max_doc_id") == F.col("_mx"))
+    )
+    if has_bounds:
+        ok = (
+            ok
+            & (F.abs(F.col("max_ratio") - F.col("_bmax")) < 1e-9)
+            & (F.abs(F.col("min_ratio") - F.col("_bmin")) < 1e-9)
+        )
+    r = j.agg(
+        F.count(F.lit(1)).alias("ex"),
+        F.sum(F.when(ok, 0).otherwise(1)).alias("vi"),
+    ).collect()[0]
+    out.append(("lexicon_chunks_consistency", int(r["ex"]), int(r["vi"])))
+
+    # --- per-(term, salt) chunk sequence density
+    g = chunks.groupBy("term", "salt").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.min("chunk_seq").alias("_lo"),
+        F.max("chunk_seq").alias("_hi"),
+    )
+    dense_ok = (F.col("_lo") == 0) & (F.col("_hi") == F.col("_k") - 1)
+    r = g.agg(
+        F.count(F.lit(1)).alias("ex"),
+        F.sum(F.when(dense_ok, 0).otherwise(1)).alias("vi"),
+    ).collect()[0]
+    out.append(("chunk_seq_dense", int(r["ex"]), int(r["vi"])))
+
+    # --- chunk-level metadata checks, one pass: range sanity,
+    # cross-chunk ordering, corpus-range containment
+    dr = doc_table.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    w = Window.partitionBy("term", "salt").orderBy("chunk_seq")
+    cm = chunks.select(
+        "term", "salt", "chunk_seq", "first_doc_id", "last_doc_id"
+    ).withColumn("_prev", F.lag("last_doc_id").over(w))
+    range_bad = F.col("first_doc_id") > F.col("last_doc_id")
+    order_bad = F.col("_prev").isNotNull() & (
+        F.col("_prev") >= F.col("first_doc_id")
+    )
+    span_bad = (F.col("first_doc_id") < F.lit(int(dr["lo"]))) | (
+        F.col("last_doc_id") > F.lit(int(dr["hi"]))
+    )
+    r = cm.agg(
+        F.count(F.lit(1)).alias("ex"),
+        F.sum(range_bad.cast("int")).alias("v1"),
+        F.sum(order_bad.cast("int")).alias("v2"),
+        F.sum(span_bad.cast("int")).alias("v3"),
+    ).collect()[0]
+    out.append(("chunk_ranges_ordered", int(r["ex"]), int(r["v1"]) + int(r["v2"])))
+    out.append(("chunk_ids_in_corpus_range", int(r["ex"]), int(r["v3"])))
+
+    # --- deep payload decode
+    if deep:
+        def _scan(batches):
+            ex = vi = 0
+            for pdf in batches:
+                for n, codec, payload, dls, fd, ld in zip(
+                    pdf["n"], pdf["codec"], pdf["payload"], pdf["dls"],
+                    pdf["first_doc_id"], pdf["last_doc_id"],
+                ):
+                    ex += 1
+                    try:
+                        ids, tfs = C.decode_chunk(bytes(payload), int(codec))
+                        dl = C.decode_lengths(bytes(dls))
+                        good = (
+                            len(ids) == int(n)
+                            and len(tfs) == int(n)
+                            and len(dl) == int(n)
+                            and len(ids) > 0
+                            and int(ids[0]) == int(fd)
+                            and int(ids[-1]) == int(ld)
+                            and (
+                                len(ids) < 2
+                                or bool(
+                                    (np.diff(ids.astype(np.int64)) > 0).all()
+                                )
+                            )
+                            and bool((tfs > 0).all())
+                        )
+                    except Exception:
+                        good = False
+                    vi += 0 if good else 1
+            yield pd.DataFrame({"ex": [ex], "vi": [vi]})
+
+        r = (
+            chunks.select(
+                "n", "codec", "payload", "dls", "first_doc_id", "last_doc_id"
+            )
+            .mapInPandas(_scan, "ex long, vi long")
+            .agg(F.sum("ex").alias("ex"), F.sum("vi").alias("vi"))
+            .collect()[0]
+        )
+        out.append(("payload_decode", int(r["ex"] or 0), int(r["vi"] or 0)))
+
+    # --- doc table uniqueness + stats recount
+    r = doc_table.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("doc_id")).alias("nd"),
+        F.avg("doc_length").alias("avgdl"),
+        F.sum("doc_length").alias("tot"),
+        F.max("doc_id").alias("mx"),
+    ).collect()[0]
+    out.append(("doc_ids_unique", int(r["n"]), int(r["n"]) - int(r["nd"])))
+    stats_ok = (
+        int(stats_row["n_docs"]) == int(r["n"])
+        and abs(float(stats_row["avgdl"]) - float(r["avgdl"]))
+        <= 1e-9 * max(1.0, abs(float(r["avgdl"])))
+        and int(stats_row["total_tokens"]) == int(r["tot"])
+        and int(stats_row["max_doc_id"]) == int(r["mx"])
+    )
+    out.append(("stats_consistency", 1, 0 if stats_ok else 1))
+
+    # --- tombstone references
+    dels_dir = _deletes_path(index_dir)
+    if os.path.isdir(dels_dir):
+        dels = spark.read.parquet(dels_dir).select("doc_id").distinct()
+        n_del = dels.count()
+        orphans = dels.join(
+            doc_table.select("doc_id"), "doc_id", "left_anti"
+        ).count()
+        out.append(("tombstones_in_doc_table", int(n_del), int(orphans)))
+    else:
+        out.append(("tombstones_in_doc_table", 0, 0))
+
+    # --- bloom sidecar
+    loaded = C.bloom_load(os.path.join(index_dir, C.BLOOM_DIR))
+    if loaded is None:
+        out.append(("bloom_sidecar", 0, 0))
+        out.append(("bloom_false_negatives", 0, 0))
+    else:
+        words, m, k, n_terms = loaded
+        n_lex = next(
+            ex for name, ex, _ in out
+            if name == "lexicon_chunks_consistency"
+        )
+        out.append(("bloom_sidecar", 1, 0 if int(n_terms) == n_lex else 1))
+        bwords = spark.sparkContext.broadcast(words)
+
+        def _probe(batches):
+            ws = bwords.value
+            ex = vi = 0
+            for pdf in batches:
+                for t in pdf["term"]:
+                    ex += 1
+                    if not C.bloom_may_contain(ws, m, k, str(t)):
+                        vi += 1
+            yield pd.DataFrame({"ex": [ex], "vi": [vi]})
+
+        r = (
+            lexicon.select("term")
+            .mapInPandas(_probe, "ex long, vi long")
+            .agg(F.sum("ex").alias("ex"), F.sum("vi").alias("vi"))
+            .collect()[0]
+        )
+        out.append(
+            ("bloom_false_negatives", int(r["ex"] or 0), int(r["vi"] or 0))
+        )
+
+    # --- positional postings (store_positions builds only)
+    pos_path = os.path.join(index_dir, "postings")
+    pos_df = None
+    if os.path.isdir(pos_path):
+        try:
+            pos_df = stage("postings")
+        except Exception:
+            pos_df = None
+    if pos_df is not None and "positions" in pos_df.columns:
+        pos_bad = (
+            (F.size("positions") != F.col("tf"))
+            | (F.col("tf") < 1)
+            | F.exists("positions", lambda p: p < 0)
+            | (
+                F.col("positions")
+                != F.array_sort("positions")
+            )
+        )
+        r = pos_df.agg(
+            F.count(F.lit(1)).alias("ex"),
+            F.sum(pos_bad.cast("int")).alias("vi"),
+        ).collect()[0]
+        out.append(
+            ("postings_tf_positions", int(r["ex"]), int(r["vi"] or 0))
+        )
+    else:
+        out.append(("postings_tf_positions", 0, 0))
+
+    return spark.createDataFrame(
+        sorted(out),
+        "check_name string, n_examined long, n_violations long",
+    )

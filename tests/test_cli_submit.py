@@ -145,3 +145,42 @@ def test_spark_submit_py_files_build_and_query(spark, tmp_path):
     ]
     assert got_sugg == want_sugg
     assert len(got_sugg) > 0
+
+
+def test_fsck_cli(spark, tmp_path):
+    """`fsck` subcommand: healthy index exits 0 with all-zero
+    violations; a corrupted copy exits 1 and marks the failing check.
+    In-process (the spark-submit zip path is covered above)."""
+    import shutil
+
+    from search_engine_spark.__main__ import main as cli_main
+    from search_engine_spark.build import IndexBuilder
+    from search_engine_spark.corpus import load_documents
+
+    idx = str(tmp_path / "fsck_idx")
+    IndexBuilder(spark, idx, bucket_count=4).build(
+        load_documents(spark, "/root/testdata/sf0.001")
+    )
+    assert cli_main(["fsck", "--index-dir", idx, "--shallow"]) == 0
+
+    bad = str(tmp_path / "fsck_bad")
+    shutil.copytree(idx, bad)
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = sorted(
+        glob.glob(os.path.join(bad, "lexicon", "**", "*.parquet"),
+                  recursive=True)
+    )[0]
+    t = pq.read_table(f)
+    pdf = t.to_pandas()
+    pdf.loc[0, "df"] = int(pdf.loc[0, "df"]) + 7
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False), f
+    )
+    crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert cli_main(["fsck", "--index-dir", bad, "--shallow"]) == 1

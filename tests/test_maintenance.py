@@ -659,3 +659,150 @@ def test_multi_segment_facets_and_suggest_match_full_build(
             (r["term"], r["df"]) for r in mqe.suggest(prefix, n=100).collect()
         ]
         assert got == want, prefix
+
+
+# ------------------------------------------------------------ index fsck
+
+
+@pytest.fixture(scope="module")
+def fsck_index(spark, tmp_path_factory):
+    """One positional index + bloom + a few tombstones, checked
+    healthy once; corruption tests work on COPIES."""
+    from search_engine_spark.build import build_term_bloom
+
+    idx = str(tmp_path_factory.mktemp("fsck") / "idx")
+    docs = load_documents(spark, SF_DIR)
+    IndexBuilder(
+        spark, idx, n_salts=4, bucket_count=8, store_positions=True
+    ).build(docs)
+    build_term_bloom(spark, idx)
+    maintenance.delete_docs(spark, idx, [1, 2, 3])
+    return idx
+
+
+def _fsck(spark, idx, deep=True):
+    return {
+        r["check_name"]: (int(r["n_examined"]), int(r["n_violations"]))
+        for r in maintenance.check_index(spark, idx, deep=deep).collect()
+    }
+
+
+def _copy(idx, tmp_path, name):
+    import shutil
+
+    dst = str(tmp_path / name)
+    shutil.copytree(idx, dst)
+    return dst
+
+
+def _tamper(idx, stage, fn):
+    """Rewrite the first data file of a stage through fn(pandas_df)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = sorted(
+        glob.glob(
+            os.path.join(idx, stage, "**", "*.parquet"), recursive=True
+        )
+    )[0]
+    t = pq.read_table(f)
+    pdf = t.to_pandas()
+    fn(pdf)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False), f
+    )
+    # the rewritten bytes no longer match Hadoop's checksum sidecar —
+    # remove it so the read reaches the (corrupted) parquet itself
+    crc = os.path.join(
+        os.path.dirname(f), "." + os.path.basename(f) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_check_index_healthy(spark, fsck_index):
+    rep = _fsck(spark, fsck_index)
+    assert all(v == 0 for _, v in rep.values()), rep
+    # coverage: every artifact was actually examined
+    assert rep["lexicon_chunks_consistency"][0] > 0
+    assert rep["payload_decode"][0] > 0
+    assert rep["postings_tf_positions"][0] > 0
+    assert rep["bloom_false_negatives"][0] == rep[
+        "lexicon_chunks_consistency"
+    ][0]
+    assert rep["tombstones_in_doc_table"][0] == 3
+    assert rep["doc_ids_unique"][0] == 500
+
+
+def test_check_index_detects_lexicon_drift(spark, fsck_index, tmp_path):
+    idx = _copy(fsck_index, tmp_path, "lexdrift")
+
+    def bump(pdf):
+        pdf.loc[0, "df"] = int(pdf.loc[0, "df"]) + 1
+
+    _tamper(idx, "lexicon", bump)
+    rep = _fsck(spark, idx, deep=False)
+    assert rep["lexicon_chunks_consistency"][1] >= 1
+
+
+def test_check_index_detects_payload_rot(spark, fsck_index, tmp_path):
+    idx = _copy(fsck_index, tmp_path, "payloadrot")
+
+    def rot(pdf):
+        pdf.loc[0, "payload"] = b"\x00\x01\x02"
+
+    _tamper(idx, "chunks", rot)
+    rep = _fsck(spark, idx)
+    assert rep["payload_decode"][1] >= 1
+
+
+def test_check_index_detects_chunk_gap(spark, fsck_index, tmp_path):
+    idx = _copy(fsck_index, tmp_path, "chunkgap")
+
+    def shift(pdf):
+        pdf.loc[0, "chunk_seq"] = int(pdf.loc[0, "chunk_seq"]) + 1
+
+    _tamper(idx, "chunks", shift)
+    rep = _fsck(spark, idx, deep=False)
+    assert rep["chunk_seq_dense"][1] >= 1
+
+
+def test_check_index_detects_duplicate_doc(spark, fsck_index, tmp_path):
+    import pandas as pd
+
+    idx = _copy(fsck_index, tmp_path, "dupdoc")
+
+    def dup(pdf):
+        pdf.loc[len(pdf)] = pdf.loc[0]
+
+    # doc_table is a zero-copy VIEW of the tokens stage — corrupt the
+    # backing parquet
+    _tamper(idx, "tokens", dup)
+    rep = _fsck(spark, idx, deep=False)
+    assert rep["doc_ids_unique"][1] >= 1
+    assert rep["stats_consistency"][1] == 1  # n_docs recount drifted
+
+
+def test_check_index_detects_orphan_tombstone(spark, fsck_index, tmp_path):
+    idx = _copy(fsck_index, tmp_path, "orphantomb")
+    maintenance.delete_docs(spark, idx, [10**9])
+    rep = _fsck(spark, idx, deep=False)
+    assert rep["tombstones_in_doc_table"] == (4, 1)
+
+
+def test_check_index_detects_bloom_false_negative(
+    spark, fsck_index, tmp_path
+):
+    import numpy as np
+
+    idx = _copy(fsck_index, tmp_path, "bloomfn")
+    bdir = os.path.join(idx, codecs.BLOOM_DIR)
+    words, m, k, n_terms = codecs.bloom_load(bdir)
+    words = words.copy()
+    words[:] = 0  # wipe the filter: every term now probes negative
+    codecs.bloom_save(bdir, words, m, k, n_terms)
+    rep = _fsck(spark, idx, deep=False)
+    assert rep["bloom_false_negatives"][1] == rep["bloom_false_negatives"][0]
+    assert rep["bloom_false_negatives"][0] > 0
