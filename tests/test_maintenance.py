@@ -806,3 +806,27 @@ def test_check_index_detects_bloom_false_negative(
     rep = _fsck(spark, idx, deep=False)
     assert rep["bloom_false_negatives"][1] == rep["bloom_false_negatives"][0]
     assert rep["bloom_false_negatives"][0] > 0
+
+
+def test_fsck_clean_across_lifecycle(spark, fsck_index, tmp_path):
+    """check_index stays all-zero across the whole write lifecycle:
+    tombstoned base -> upsert delta -> stacked merge. The merge
+    rewrites chunks map-only and re-aggregates the lexicon; fsck
+    proves the rewritten artifacts stay mutually consistent."""
+    import shutil
+
+    base = str(tmp_path / "lc_base")
+    shutil.copytree(fsck_index, base)
+    docs = load_documents(spark, SF_DIR)
+    delta = docs.where(F.col("doc_id") < 10).withColumn(
+        "text", F.concat(F.lit("freshtoken "), F.col("text"))
+    )
+    up = str(tmp_path / "lc_up")
+    maintenance.upsert_docs(spark, base, delta, up)
+    merged = str(tmp_path / "lc_merged")
+    maintenance.merge_indexes(spark, [base, up], merged, offsets="stack")
+    rep = {
+        r["check_name"]: int(r["n_violations"])
+        for r in maintenance.check_index(spark, merged, deep=True).collect()
+    }
+    assert all(v == 0 for v in rep.values()), rep

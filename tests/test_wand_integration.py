@@ -384,3 +384,43 @@ def test_local_theta_probe_matches_spark_probe(engine, mode, monkeypatch):
         assert l_bstats.get("theta_probe") == "local", l_bstats
         assert d_bstats.get("theta_probe") == "spark", d_bstats
         assert "theta" in l_sstats and "theta" in d_sstats
+
+
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+def test_search_not_composes_with_banded_planner(engine, mode, monkeypatch):
+    """Boolean NOT in the above-cap (banded-planner) regime: exclusion
+    must anti-join at the same convergence point as the driver-WAND
+    path, so both planners return the identical filtered ranking."""
+    import numpy as np
+
+    under_cap = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in engine.search_not(
+            "the rare", "sparse", mode=mode, k=5, dtype=np.float64
+        ).collect()
+    ]
+    monkeypatch.setattr(query_mod, "METADATA_CAP", 4)
+    banded = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in engine.search_not(
+            "the rare", "sparse", mode=mode, k=5, dtype=np.float64
+        ).collect()
+    ]
+    assert banded == under_cap
+    # reference semantics: the exhaustive ranking minus excluded docs
+    monkeypatch.setattr(query_mod, "METADATA_CAP", 0)
+    monkeypatch.setattr(query_mod, "BANDED_PLANNER", False)
+    full = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in engine.search(
+            "the rare", mode=mode, k=10**6, dtype=np.float64
+        ).collect()
+    ]
+    neg = {
+        r["doc_id"]
+        for r in engine.search(
+            "sparse", k=10**6, dtype=np.float64
+        ).collect()
+    }
+    want = [x for x in full if x[0] not in neg][:5]
+    assert banded == want
