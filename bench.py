@@ -413,6 +413,7 @@ def run_suite() -> dict:
             "span_dedup",
             "dedup_clusters",
             "quality_score",
+            "quality_classifier",
             "lm_score",
             "semantic_dedup",
             "events_hourly",

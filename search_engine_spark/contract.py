@@ -1812,6 +1812,52 @@ def spark_term_bloom_stats(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def spark_quality_classifier(spark, sf_dir: str) -> DataFrame:
+    """Token-LLR reference-corpus quality classifier
+    (textstats.quality_classifier — the GPT-3-style good-vs-crawl
+    filter): fit on two disjoint deterministic reference slices of
+    the corpus (doc_id % 7 == 0 positive, % 7 == 3 negative), score
+    every doc; the DuckDB twin recomputes the identical smoothed
+    LLR table and per-doc normalized sum."""
+    from .textstats import quality_classifier
+
+    d = _docs(spark, sf_dir)
+    return quality_classifier(
+        d,
+        d.where(F.col("doc_id") % 7 == 0),
+        d.where(F.col("doc_id") % 7 == 3),
+    )
+
+
+def sql_quality_classifier() -> str:
+    """DuckDB twin: same add-0.5 smoothing over the union vocabulary,
+    same ln-ratio, same round-then-threshold keep rule."""
+    return (
+        f"WITH {_toks_cte('duckdb')}, {_tok_cte('duckdb')}, "
+        "pcnt AS (SELECT term, CAST(count(*) AS DOUBLE) AS cp "
+        "FROM tok WHERE doc_id % 7 = 0 GROUP BY term), "
+        "ncnt AS (SELECT term, CAST(count(*) AS DOUBLE) AS cn "
+        "FROM tok WHERE doc_id % 7 = 3 GROUP BY term), "
+        "vocab AS (SELECT coalesce(p.term, n.term) AS term, "
+        "coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn "
+        "FROM pcnt p FULL OUTER JOIN ncnt n ON p.term = n.term), "
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS v, "
+        "sum(cp) AS tp, sum(cn) AS tn FROM vocab), "
+        "vllr AS (SELECT term, "
+        "ln((cp + 0.5) / (tp + 0.5 * v)) - "
+        "ln((cn + 0.5) / (tn + 0.5 * v)) AS llr "
+        "FROM vocab CROSS JOIN tot), "
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY doc_id, term) "
+        "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens, "
+        "round(sum(tf.tf * coalesce(v.llr, 0)) / sum(tf.tf), 4) + 0.0 "
+        "AS llr, "
+        "round(sum(tf.tf * coalesce(v.llr, 0)) / sum(tf.tf), 4) > 0 "
+        "AS keep "
+        "FROM tf LEFT JOIN vllr v ON tf.term = v.term GROUP BY tf.doc_id"
+    )
+
+
 def spark_index_fsck(spark, sf_dir: str) -> DataFrame:
     """Distributed index fsck (maintenance.check_index — the Lucene
     CheckIndex analogue) over the shared e2e index, ARTIFACT-LEVEL:
@@ -3046,6 +3092,11 @@ def _registry() -> dict:
     q["index_fsck"] = {
         "spark": spark_index_fsck,
         "sql": sql_index_fsck(),
+    }
+    # reference-corpus quality classifier (token-LLR, GPT-3-style)
+    q["quality_classifier"] = {
+        "spark": spark_quality_classifier,
+        "sql": sql_quality_classifier(),
     }
     # input_hint html:binary column -> extract_text byte-identity
     q["html_extract_e2e"] = {

@@ -534,3 +534,97 @@ def pack_sequences(
             .alias("n_tok"),
         )
     )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    pos: DataFrame,
+    neg: DataFrame,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Reference-corpus quality classifier — the GPT-3/CCNet-style
+    token log-likelihood-ratio filter (Brown et al. 2020 appendix A
+    train a classifier scoring docs by similarity to a curated
+    positive corpus vs a crawl background; the closed-form token-LLR
+    Naive-Bayes variant here is deterministic and engine-independent).
+    Complements :func:`lm_score`: that ranks docs by corpus-fit
+    surprisal with no notion of "good", this separates docs that look
+    like a curated POSITIVE reference (wikipedia/books) from a
+    NEGATIVE background (raw crawl). No reference counterpart
+    (LLM-pipeline extension).
+
+    Fit: add-``smoothing`` token counts over the two reference sets,
+    vocabulary V = vocab(pos) ∪ vocab(neg),
+    ``P(t|C) = (tf_C(t) + s) / (total_C + s·|V|)``,
+    ``llr(t) = ln P(t|pos) − ln P(t|neg)``.
+    Score: ``llr_d = Σ_t tf_d(t)·llr(t) / len(d)`` — out-of-vocabulary
+    tokens contribute 0 but count in the length (an all-OOV doc is
+    neutral, not positive). Returns (doc_id, n_tokens, llr, keep)
+    for docs with >= 1 token, ``keep = llr > 0``.
+
+    Plan at 10^12 docs: reference class counts are term-keyed aggs
+    over the (small, curated) reference sets; the corpus pays one
+    per-(doc, term) tf shuffle (map-side combinable) and one term-
+    keyed join against the vocabulary LLR table — a shuffle join AQE
+    can skew-split (web vocabularies exceed broadcast limits, same
+    rationale as lm_score); scalars (totals, |V|) fold into the llr
+    column before the join. Nothing corpus-sized is collected or
+    broadcast."""
+
+    def _class_tf(ref: DataFrame, name: str) -> DataFrame:
+        return (
+            ref.select(F.explode(tokenize_col(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").cast("double").alias(name))
+        )
+
+    vocab = _class_tf(pos, "_cp").join(
+        _class_tf(neg, "_cn"), "term", "full_outer"
+    ).select(
+        "term",
+        F.coalesce("_cp", F.lit(0.0)).alias("_cp"),
+        F.coalesce("_cn", F.lit(0.0)).alias("_cn"),
+    )
+    tot = vocab.agg(
+        F.count(F.lit(1)).cast("double").alias("_v"),
+        F.sum("_cp").alias("_tp"),
+        F.sum("_cn").alias("_tn"),
+    )
+    s = float(smoothing)
+    llr = F.log(
+        (F.col("_cp") + F.lit(s)) / (F.col("_tp") + F.lit(s) * F.col("_v"))
+    ) - F.log(
+        (F.col("_cn") + F.lit(s)) / (F.col("_tn") + F.lit(s) * F.col("_v"))
+    )
+    # the three scalars ride along as a broadcast single row — the
+    # whole fit stays one lazy plan, nothing collected driver-side
+    vocab_llr = vocab.crossJoin(F.broadcast(tot)).select(
+        "term", llr.alias("_llr")
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokenize_col(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("_tf"))
+    )
+    # + 0.0 normalizes IEEE negative zero (an all-OOV or perfectly
+    # balanced doc can round to -0.0 in one engine and 0.0 in another;
+    # they compare equal but stringify differently in hash gates)
+    score = (
+        F.round(
+            F.sum(F.col("_tf") * F.coalesce("_llr", F.lit(0.0)))
+            / F.sum("_tf"),
+            4,
+        )
+        + F.lit(0.0)
+    )
+    return (
+        tf.join(vocab_llr, "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_tf").cast("long").alias("n_tokens"),
+            score.alias("llr"),
+        )
+        .withColumn("keep", F.col("llr") > 0)
+    )

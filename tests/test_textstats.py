@@ -434,3 +434,66 @@ def test_mixture_sample_null_text(spark):
     by_id = {r["doc_id"]: r["tokens"] for r in kept}
     # budget >> avail -> keep-all branch; every row present, no NULLs
     assert by_id == {0: 0, 1: 2, 2: 0}
+
+
+def test_quality_classifier_semantics(spark):
+    """Docs built from positive-reference vocabulary score keep=True,
+    negative-vocabulary docs keep=False, all-OOV docs are exactly
+    neutral (llr 0.0, not -0.0), and the score is per-token (length
+    invariant for repeated text)."""
+    ensure_shipped(spark)
+    pos = spark.createDataFrame(
+        [(100 + i, "good clean prose words " * 5) for i in range(4)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(200 + i, "spam junk casino pills " * 5) for i in range(4)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "good clean prose"),
+            (1, "spam junk casino"),
+            (2, "zzz qqq vvv"),              # all OOV -> neutral
+            (3, "good clean prose " * 10),   # same mix, longer
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.quality_classifier(docs, pos, neg).collect()
+    }
+    assert rows[0]["keep"] and rows[0]["llr"] > 0
+    assert not rows[1]["keep"] and rows[1]["llr"] < 0
+    assert rows[2]["llr"] == 0.0 and not rows[2]["keep"]
+    import math
+
+    assert math.copysign(1.0, rows[2]["llr"]) == 1.0  # +0.0, not -0.0
+    # per-token normalization: repeating the text leaves llr unchanged
+    assert rows[3]["llr"] == pytest.approx(rows[0]["llr"], abs=2e-4)
+    assert rows[3]["n_tokens"] == 10 * rows[0]["n_tokens"]
+
+
+def test_quality_classifier_smoothing_bounds(spark):
+    """A term absent from one class gets a finite smoothed llr (no
+    inf/NaN), and the smoothing parameter shifts magnitude, not sign."""
+    ensure_shipped(spark)
+    pos = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"
+    )
+    neg = spark.createDataFrame(
+        [(2, "gamma delta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(0, "alpha alpha"), (9, "gamma")], "doc_id long, text string"
+    )
+    for s in (0.1, 0.5, 2.0):
+        rows = {
+            r["doc_id"]: r
+            for r in textstats.quality_classifier(
+                docs, pos, neg, smoothing=s
+            ).collect()
+        }
+        assert rows[0]["llr"] > 0 and rows[9]["llr"] < 0
+        for r in rows.values():
+            assert abs(float(r["llr"])) < 1e6
