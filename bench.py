@@ -411,6 +411,7 @@ def run_suite() -> dict:
             "dedup_exact",
             "decontaminate",
             "span_dedup",
+            "line_dedup",
             "dedup_clusters",
             "quality_score",
             "quality_classifier",

@@ -867,6 +867,66 @@ def sql_span_dedup(engine: str) -> str:
     )
 
 
+def spark_line_dedup(spark, sf_dir: str) -> DataFrame:
+    """CCNet line-level dedup (dedup.line_dedup) over deterministically
+    synthesized MULTI-LINE docs (the corpus text is single-line): each
+    doc gains a shared boilerplate line (duplicated everywhere ->
+    dropped from every doc) and a doc-unique line whose id is spelled
+    in LETTERS (digits are stripped by the CCNet normalization, so a
+    numeric suffix would collide corpus-wide — itself the intended
+    page-number behavior; letters keep the line unique -> always
+    kept); the original text line dedups wherever docs share text.
+    The DuckDB twin rebuilds the identical line table, normalization,
+    census and ordered reconstruction."""
+    from .dedup import line_dedup
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("All Rights Reserved 2024"),
+            F.concat(
+                F.lit("unique line "),
+                F.translate(
+                    F.col("doc_id").cast("string"),
+                    "0123456789",
+                    "abcdefghij",
+                ),
+            ),
+        ).alias("text"),
+    )
+    return line_dedup(d)
+
+
+def sql_line_dedup() -> str:
+    nrm = (
+        "trim(regexp_replace(regexp_replace(lower({0}), '[^a-z]+', ' ', "
+        "'g'), ' +', ' ', 'g'))"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, coalesce(text, '') || chr(10) || "
+        "'All Rights Reserved 2024' || chr(10) || 'unique line ' || "
+        "translate(CAST(doc_id AS VARCHAR), '0123456789', "
+        "'abcdefghij') AS text FROM documents), "
+        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS la FROM d), "
+        "l AS (SELECT doc_id, i - 1 AS pos, la[i] AS line FROM ls, "
+        "unnest(range(1, len(la) + 1)) AS r(i)), "
+        f"k AS (SELECT doc_id, pos, line, md5({nrm.format('line')}) AS hk, "
+        f"{nrm.format('line')} = '' AS blank FROM l), "
+        "dup AS (SELECT hk FROM (SELECT DISTINCT hk, doc_id FROM k "
+        "WHERE NOT blank) GROUP BY hk HAVING count(*) >= 2), "
+        "m AS (SELECT k.doc_id, k.pos, k.line, "
+        "(dup.hk IS NOT NULL AND NOT k.blank) AS rm "
+        "FROM k LEFT JOIN dup ON k.hk = dup.hk) "
+        "SELECT doc_id, coalesce(string_agg(CASE WHEN NOT rm THEN line "
+        "END, chr(10) ORDER BY pos), '') AS clean_text, "
+        "CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS "
+        "n_removed FROM m GROUP BY doc_id"
+    )
+
+
 def sql_decontaminate(engine: str) -> str:
     return (
         f"WITH {_toks_cte(engine)}, {_shingle_cte(engine, 3)}, "
@@ -3097,6 +3157,11 @@ def _registry() -> dict:
     q["quality_classifier"] = {
         "spark": spark_quality_classifier,
         "sql": sql_quality_classifier(),
+    }
+    # CCNet line-level dedup over synthesized multi-line docs
+    q["line_dedup"] = {
+        "spark": spark_line_dedup,
+        "sql": sql_line_dedup(),
     }
     # input_hint html:binary column -> extract_text byte-identity
     q["html_extract_e2e"] = {

@@ -774,6 +774,85 @@ def span_dedup(
     )
 
 
+def line_dedup(docs: DataFrame, min_dup: int = 2) -> DataFrame:
+    """CCNet-style LINE-level dedup (Wenzek et al. 2020 run it as the
+    very first crawl pass, before language-ID: duplicated lines are
+    boilerplate — cookie banners, nav menus, footers — and removing
+    them both shrinks the corpus ~70% and improves the LM signal).
+    Completes the dedup granularity family: document
+    (:func:`exact_duplicates` / MinHash), span (:func:`span_dedup`),
+    and now line. No reference counterpart (LLM-pipeline extension).
+
+    A line is dropped iff its NORMALIZED form (lower-cased,
+    non-letter characters stripped, whitespace collapsed — CCNet's
+    normalization so trivial variants collide) occurs in >=
+    ``min_dup`` DISTINCT docs; ALL occurrences are dropped, the
+    CCNet rule (the line is boilerplate everywhere, there is no
+    canonical keeper). Lines whose normalized form is empty
+    (blank/punctuation-only) are exempt — otherwise every blank line
+    in the corpus would collide and vanish. Returns one row per doc:
+    (doc_id, clean_text, n_lines, n_removed), surviving lines joined
+    by newline in original order — deterministic, hash-oracle-exact.
+
+    Plan at 10^12 docs: the line stream is a codegen posexplode; the
+    census is distinct(line_key, doc_id) then ONE count shuffle keyed
+    on the 16-byte md5 line key (never the line text); membership
+    joins back as a key-keyed semi-join (shuffle join — the
+    duplicated-line set at crawl scale exceeds broadcast limits, AQE
+    can skew-split the empty-key-free stream); reconstruction is one
+    doc-keyed shuffle of SURVIVING lines with an in-group sort_array
+    — no window functions, nothing driver-side."""
+    if min_dup < 2:
+        # min_dup <= 1 would drop EVERY non-blank line
+        raise ValueError(f"min_dup must be >= 2, got {min_dup}")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "\n", -1)
+        ).alias("pos", "line"),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("line")), "[^a-z]+", " "),
+            " +",
+            " ",
+        )
+    )
+    keyed = lines.select(
+        "doc_id", "pos", "line", F.md5(norm).alias("_k"), (norm == "").alias("_blank")
+    )
+    dup = (
+        keyed.where(~F.col("_blank"))
+        .select("_k", "doc_id")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= int(min_dup))
+        .select("_k")
+    )
+    marked = keyed.join(
+        dup.withColumn("_dup", F.lit(True)), "_k", "left"
+    ).select(
+        "doc_id",
+        "pos",
+        "line",
+        (F.coalesce("_dup", F.lit(False)) & ~F.col("_blank")).alias("_rm"),
+    )
+    surv = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.when(~F.col("_rm"), F.struct("pos", "line"))
+            )
+        ),
+        lambda s: s["line"],
+    )
+    return marked.groupBy("doc_id").agg(
+        F.concat_ws("\n", surv).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("_rm").cast("long")).cast("long").alias("n_removed"),
+    )
+
+
 CC_DRIVER_CAP = 2_000_000
 
 

@@ -520,3 +520,60 @@ def test_lsh_incremental_prunes_base_before_agg(spark):
     assert "LeftSemi" in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_line_dedup_semantics(spark):
+    """Boilerplate lines drop from EVERY doc (no canonical keeper);
+    normalization collides trivial variants (case, punctuation,
+    digits); blank/punct-only lines are exempt; surviving lines keep
+    original order and text."""
+    from search_engine_spark.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Accept cookies!\nalpha story one\n---\nend note zero"),
+            (1, "ACCEPT   COOKIES 2024\nbeta story two\n---"),
+            (2, "gamma story three\naccept, cookies.\n\nunique tail"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    # the cookie banner normalizes identically in 3 docs -> dropped
+    # everywhere, original casing/punct never matters
+    assert out[0]["clean_text"] == "alpha story one\n---\nend note zero"
+    assert out[1]["clean_text"] == "beta story two\n---"
+    assert out[2]["clean_text"] == "gamma story three\n\nunique tail"
+    assert [out[i]["n_removed"] for i in (0, 1, 2)] == [1, 1, 1]
+    # '---' normalizes to '' -> exempt despite appearing twice; the
+    # empty line in doc 2 likewise survives
+    assert out[0]["n_lines"] == 4 and out[2]["n_lines"] == 4
+    # NULL text -> one blank (exempt) line, nothing removed
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 0
+    assert out[3]["n_lines"] == 1
+
+    with pytest.raises(ValueError, match="min_dup"):
+        line_dedup(docs, min_dup=1)
+
+
+def test_line_dedup_min_dup_threshold(spark):
+    """min_dup=3: a line shared by only two docs survives; within-doc
+    repetition alone never triggers removal (census is distinct-doc)."""
+    from search_engine_spark.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "shared pair\nrepeat me\nrepeat me\nrepeat me"),
+            (1, "shared pair\nother"),
+            (2, "tri line\nx"),
+            (3, "tri line\ny"),
+            (4, "tri line\nz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_dup=3).collect()}
+    assert out[0]["n_removed"] == 0  # pair + within-doc repeats survive
+    assert out[0]["clean_text"].count("repeat me") == 3
+    assert all(out[i]["clean_text"] == out[i]["clean_text"].replace(
+        "tri line\n", "") for i in (2, 3, 4))
+    assert [out[i]["n_removed"] for i in (2, 3, 4)] == [1, 1, 1]
