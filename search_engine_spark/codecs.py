@@ -136,9 +136,15 @@ def bit_packing_decode(
         nbytes, dt = 4 * n, "<u4"
     else:
         nbytes, dt = 8 * n, "<u8"
-    vals = np.frombuffer(bytes(buf[pos : pos + nbytes]), dtype=dt).astype(
-        np.uint64
-    )
+    raw = bytes(buf[pos : pos + nbytes])
+    if len(raw) != nbytes:
+        # a truncated payload must fail HERE, not surface later as
+        # tfs/dls arrays silently shorter than the doc-id array
+        raise ValueError(
+            f"bit-packed section truncated: need {nbytes} bytes, "
+            f"have {len(raw)}"
+        )
+    vals = np.frombuffer(raw, dtype=dt).astype(np.uint64)
     return vals, pos + nbytes
 
 
@@ -258,7 +264,12 @@ def simple9_decode(
     words = words[:nwords]
     counts = cap[:nwords].copy()
     counts[-1] = n - (int(cum[nwords - 2]) if nwords > 1 else 0)
-    nbits = _SEL_NBITS[sels[:nwords]]
+    real_sels = sels[:nwords]
+    if (real_sels >= len(_SELECTORS)).any():
+        # selectors 9-15 can only come from corruption; the trailing-
+        # bytes clip above applies to words PAST the real region only
+        raise ValueError("corrupt Simple9 payload: invalid selector")
+    nbits = _SEL_NBITS[real_sels]
     starts = np.zeros(nwords, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     slot = (np.arange(n, dtype=np.int64) - np.repeat(starts, counts)).astype(
@@ -489,8 +500,15 @@ def encode_chunk_batch(
     fb = fallback.tolist()
     for c in range(nchunks):
         if fb[c]:
-            _codec, payload = encode_chunk(ids[sl[c] : el[c]], tfs[sl[c] : el[c]])
-            payloads.append(payload)
+            # same bytes as encode_chunk's varbyte fallback, but the
+            # tf section reuses the batch bitpack already computed for
+            # this chunk and the gaps reuse the batch-wide diff `d`
+            # (the old encode_chunk call re-ran both)
+            head = bytearray()
+            var_byte_encode(bases[c], head)
+            var_byte_encode(el[c] - sl[c] - 1, head)
+            var_byte_encode_array(d[sl[c] + 1 : el[c]], head)
+            payloads.append(bytes(head) + tf_payloads[c])
             continue
         head = bytearray()
         var_byte_encode(bases[c], head)
@@ -560,8 +578,12 @@ def encode_block_header(
     var_byte_encode(int(block_size), out)
     var_byte_encode(len(offsets), out)
     var_byte_encode(int(last_chunk_length), out)
-    delta_encode_v2(offsets, out)
-    var_byte_encode_array(lasts, out)
+    # zero chunks: the count above already says so; the delta section
+    # (whose codec requires a non-empty base) is simply absent — the
+    # reference never writes empty blocks, so this extension is ours
+    if len(offsets):
+        delta_encode_v2(offsets, out)
+        var_byte_encode_array(lasts, out)
 
 
 def decode_block_header(
@@ -570,8 +592,12 @@ def decode_block_header(
     block_size, pos = var_byte_decode(buf, pos)
     chunk_count, pos = var_byte_decode(buf, pos)
     last_chunk_length, pos = var_byte_decode(buf, pos)
-    offsets, pos = delta_decode_v2(buf, pos)
-    lasts, pos = var_byte_decode_array(buf, pos, chunk_count)
+    if chunk_count == 0:
+        offsets = np.empty(0, dtype=np.uint64)
+        lasts = np.empty(0, dtype=np.uint64)
+    else:
+        offsets, pos = delta_decode_v2(buf, pos)
+        lasts, pos = var_byte_decode_array(buf, pos, chunk_count)
     return {
         "block_size": block_size,
         "chunk_count": chunk_count,
@@ -589,7 +615,8 @@ def encode_inter_header(
     offsets = np.asarray(chunk_offsets, dtype=np.uint64)
     var_byte_encode(int(block_size), out)
     var_byte_encode(len(offsets), out)
-    delta_encode(offsets, out)
+    if len(offsets):  # empty block: count 0, no delta section
+        delta_encode(offsets, out)
 
 
 def decode_inter_header(
@@ -597,7 +624,10 @@ def decode_inter_header(
 ) -> tuple[dict, int]:
     block_size, pos = var_byte_decode(buf, pos)
     chunk_count, pos = var_byte_decode(buf, pos)
-    offsets, pos = delta_decode(buf, pos)
+    if chunk_count == 0:
+        offsets = np.empty(0, dtype=np.uint64)
+    else:
+        offsets, pos = delta_decode(buf, pos)
     return {
         "block_size": block_size,
         "chunk_count": chunk_count,

@@ -123,6 +123,7 @@ def sweep_segments(
     n_seg = len(seg_lo)
     cover = np.full((n_seg, len(terms)), -1, dtype=np.int64)
     bound = np.zeros(n_seg, dtype=np.float64)
+    gross = np.zeros(n_seg, dtype=np.float64)
     for j, t in enumerate(terms):
         m = metas[t]
         idx = np.searchsorted(m.first, seg_lo, side="right") - 1
@@ -136,17 +137,27 @@ def sweep_segments(
             # (negative) chunk bound
             tb = np.maximum(tb, 0.0)
         bound += np.where(cov, tb, 0.0)
+        gross += np.where(cov, np.abs(tb), 0.0)
     if conjunctive:
         keep = (cover >= 0).all(axis=1)
     else:
         keep = (cover >= 0).any(axis=1)
-    seg_lo, seg_hi, bound, cover = (
+    seg_lo, seg_hi, bound, cover, gross = (
         seg_lo[keep],
         seg_hi[keep],
         bound[keep],
         cover[keep],
+        gross[keep],
     )
-    bound = bound + BOUND_MARGIN * np.abs(bound) + 1e-9
+    # the margin scales with the GROSS per-term magnitude, not the net
+    # bound: a conjunctive segment where a rare term (+5.0) and a
+    # negative-idf stop word (-4.9999) nearly cancel has a tiny net
+    # bound but its docs' float32 scores still carry ~1e-7 * 5.0
+    # absolute error — a net-relative margin there would be smaller
+    # than the scoring noise and could prune a true top-k doc. In
+    # disjunctive mode bounds are clamped >= 0 so gross == bound and
+    # this is byte-identical to the old net-relative inflation.
+    bound = bound + BOUND_MARGIN * gross + 1e-9
     return seg_lo, seg_hi, bound, cover
 
 
@@ -165,7 +176,7 @@ def merge_intervals(
     new_run[1:] = lo[1:] > run_hi[:-1]
     starts = np.flatnonzero(new_run)
     ends = np.append(starts[1:], len(lo))
-    return lo[starts], np.array([run_hi[e - 1] for e in ends], dtype=hi.dtype)
+    return lo[starts], run_hi[ends - 1]
 
 
 def ids_in_intervals(

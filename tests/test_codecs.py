@@ -298,3 +298,66 @@ def test_inter_block_skips_empty_lists():
     header, body = C.encode_inter_block(postings)
     out = C.decode_inter_block(header, body)
     assert [t for t, _i, _f in out] == ["a", "c"]
+
+
+def test_batch_fallback_byte_identity_mixed():
+    """Batch encoding with a MIX of fallback (>28-bit gap) and simple9
+    chunks stays byte-identical per chunk to encode_chunk — the batch
+    fallback path reuses the batch bitpack/diff instead of re-encoding."""
+    rng = np.random.RandomState(7)
+    ids_l, tfs_l, starts, pos = [], [], [], 0
+    for c in range(40):
+        n = rng.randint(1, 129)
+        base = rng.randint(0, 1 << 40)
+        hi = (1 << 30) if (c % 5 == 0 and n > 1) else (1 << 20)
+        gaps = rng.randint(1, hi, size=n - 1)
+        cid = np.cumsum(np.concatenate([[base], gaps])).astype(np.uint64)
+        ids_l.append(cid)
+        tfs_l.append(rng.randint(1, 1000, size=n).astype(np.uint64))
+        starts.append(pos)
+        pos += n
+    ids = np.concatenate(ids_l)
+    tfs = np.concatenate(tfs_l)
+    st = np.array(starts)
+    codec_b, pay_b = C.encode_chunk_batch(ids, tfs, st)
+    ends = np.append(st[1:], len(ids))
+    n_fb = 0
+    for c in range(len(st)):
+        cc, pp = C.encode_chunk(ids[st[c]:ends[c]], tfs[st[c]:ends[c]])
+        n_fb += cc == C.CODEC_VB_FALLBACK
+        assert cc == codec_b[c] and pp == pay_b[c], c
+    assert n_fb >= 5  # the mix actually exercised the fallback path
+
+
+def test_zero_chunk_headers_roundtrip():
+    """Empty blocks encode/decode cleanly (count 0, no delta section)
+    instead of crashing on the non-empty-delta precondition."""
+    out = bytearray()
+    C.encode_block_header(0, 0, np.array([]), np.array([]), out)
+    h, _ = C.decode_block_header(bytes(out))
+    assert h["chunk_count"] == 0
+    assert len(h["chunk_offsets"]) == 0 and len(h["last_doc_ids"]) == 0
+    hdr, body = C.encode_inter_block([])
+    assert body == b""
+    assert C.decode_inter_header(hdr)[0]["chunk_count"] == 0
+    hdr2, _ = C.encode_inter_block(
+        [("t", np.array([], dtype=np.uint64), np.array([], dtype=np.uint64))]
+    )
+    assert C.decode_inter_header(hdr2)[0]["chunk_count"] == 0
+
+
+def test_corrupt_payloads_fail_fast():
+    """A truncated tf section and an invalid Simple9 selector both
+    raise ValueError at decode time — never a short array or a numpy
+    IndexError (the fsck payload check depends on this)."""
+    cid = np.arange(100, dtype=np.uint64) * 7 + 3
+    ct = np.ones(100, dtype=np.uint64)
+    codec, payload = C.encode_chunk(cid, ct)
+    with pytest.raises(ValueError, match="truncated"):
+        C.decode_chunk(payload[:-3], codec)
+    out = bytearray()
+    C.simple9_encode(np.array([1, 2, 3], dtype=np.uint64), out)
+    bad = bytearray(out)
+    bad[1] = (bad[1] & 0xF0) | 0x0F  # selector nibble 15 in a real word
+    with pytest.raises(ValueError, match="selector"):
+        C.simple9_decode(bytes(bad), 0)

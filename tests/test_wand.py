@@ -141,3 +141,29 @@ def test_encode_chunk_batch_matches_single():
         assert payload == payload_b[c]
         di, dt = codecs.decode_chunk(payload_b[c], codec_b[c])
         assert di.tolist() == i.tolist() and dt.tolist() == t.tolist()
+
+
+def test_conjunctive_margin_scales_with_gross_magnitude():
+    """Near-cancelling conjunctive bounds (+5.0 rare term, -4.9999
+    stop word): the safety margin must scale with the GROSS per-term
+    magnitude (~10), not the tiny net bound (~1e-4), or float32
+    scoring error (~1e-7 * 5) exceeds it and pruning can drop a true
+    top-k doc."""
+    metas = {
+        "rare": wand.TermChunks(
+            first=[0], last=[99], n=[10],
+            bound=np.array([5.0]), rows=[(0, 0)],
+        ),
+        "the": wand.TermChunks(
+            first=[0], last=[99], n=[100],
+            bound=np.array([-4.9999]), rows=[(0, 0)],
+        ),
+    }
+    lo, hi, bound, cover = wand.sweep_segments(metas, conjunctive=True)
+    assert len(bound) == 1
+    net = 5.0 - 4.9999
+    # margin covers the float32 error of the large magnitudes
+    assert bound[0] >= net + wand.BOUND_MARGIN * 9.99
+    # disjunctive unchanged: negative bound clamps to 0, gross == net
+    lo, hi, bound_d, cover = wand.sweep_segments(metas, conjunctive=False)
+    assert bound_d[0] == pytest.approx(5.0 * (1 + wand.BOUND_MARGIN), rel=1e-9)
