@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from . import codecs, wand
 from .runtime import ensure_shipped
-from .tokenizer import register_udfs, tokenize_col, unique_tf_cols
+from .tokenizer import tokenize_col, unique_tf_cols
 
 STAGES = ("tokens", "doc_table", "stats", "postings", "chunks", "lexicon")
 
@@ -246,6 +246,18 @@ def _encode_chunk_frame(
     )
 
 
+def salt_col(n_salts: int, max_doc_id: int):
+    """The canonical salt assignment — ``floor(doc_id * n_salts /
+    (max_doc_id + 1))`` as an int Column. Every chunking path MUST use
+    this one expression: the salt boundaries define per-(term, salt)
+    chunk concatenation order, so two paths drifting (an overflow
+    guard added to one, say) would silently produce incompatible
+    chunk layouts between the batch and compaction pipelines."""
+    return F.floor(
+        F.col("doc_id") * n_salts / F.lit(max_doc_id + 1)
+    ).cast("int")
+
+
 def chunk_postings(
     postings: DataFrame,
     max_doc_id: int,
@@ -263,8 +275,7 @@ def chunk_postings(
     doc length; metadata-only callers may leave the default).
     """
     salted = postings.withColumn(
-        "salt",
-        F.floor(F.col("doc_id") * n_salts / F.lit(max_doc_id + 1)).cast("int"),
+        "salt", salt_col(n_salts, max_doc_id)
     )
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -311,20 +322,32 @@ def chunk_postings_arrays(
     :func:`chunk_postings`.
     """
     salted = postings.withColumn(
-        "salt",
-        F.floor(F.col("doc_id") * n_salts / F.lit(max_doc_id + 1)).cast("int"),
+        "salt", salt_col(n_salts, max_doc_id)
     )
     grouped = (
         salted.repartition("term", "salt")
-        .sortWithinPartitions("term", "salt", "doc_id")
-        # partitioning already satisfies the agg distribution -> no
-        # second exchange; collect_list preserves the sorted in-partition
-        # encounter order, so the three arrays stay aligned + sorted
+        # ONE struct per posting, sorted in-group by array_sort:
+        # collect_list's encounter order is NOT a contract (the
+        # sort-based hash-agg fallback above
+        # spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+        # re-sorts by grouping key only), so sorting AFTER collection
+        # is the only guaranteed way to keep the arrays doc-id-sorted
+        # and mutually aligned — struct order sorts on doc_id first,
+        # and (term, salt, doc_id) is unique so ties cannot reorder
+        # tf/doc_length against ids. Also drops the now-redundant
+        # sortWithinPartitions.
         .groupBy("term", "salt")
         .agg(
-            F.collect_list("doc_id").alias("ids"),
-            F.collect_list("tf").alias("tfs"),
-            F.collect_list("doc_length").alias("dls"),
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "tf", "doc_length"))
+            ).alias("_ps")
+        )
+        .select(
+            "term",
+            "salt",
+            F.col("_ps.doc_id").alias("ids"),
+            F.col("_ps.tf").alias("tfs"),
+            F.col("_ps.doc_length").alias("dls"),
         )
     )
 
@@ -391,9 +414,7 @@ def chunk_tokens_docmajor(
         "doc_length",
         "uterms",
         "utfs",
-        F.floor(F.col("doc_id") * n_salts / F.lit(max_doc_id + 1))
-        .cast("int")
-        .alias("salt"),
+        salt_col(n_salts, max_doc_id).alias("salt"),
     ).repartitionByRange(n_salts, "salt")
 
     def encode_partition(batches):
@@ -798,6 +819,51 @@ class IndexBuilder:
     def _build_stages(self, docs: DataFrame, resume: bool) -> dict:
         manifest = self._load_manifest() if resume else {"stages": {}, "config": {}}
         prior = manifest.get("config", {})
+        if resume and manifest["stages"]:
+            # completed stages were built under the MANIFEST's config;
+            # resuming with a contradicting one would mix layouts
+            # (e.g. %16-bucketed chunks under a %32 lexicon — queries
+            # then prune to the wrong bucket and silently miss docs)
+            drift = {
+                k: (prior[k], now)
+                for k, now in (
+                    ("chunk_length", self.chunk_length),
+                    ("bucket_count", self.bucket_count),
+                    ("store_positions", self.store_positions),
+                    ("table_format", self.table_format),
+                )
+                if k in prior and prior[k] != now
+            }
+            if (
+                self.n_salts is not None
+                and prior.get("n_salts") is not None
+                and prior["n_salts"] != self.n_salts
+            ):
+                drift["n_salts"] = (prior["n_salts"], self.n_salts)
+            if drift:
+                raise ValueError(
+                    "resume=True but the builder config contradicts the "
+                    f"existing index manifest: {drift}. Completed stages "
+                    "were built under the old config — rebuild with "
+                    "resume=False or into a fresh index_dir."
+                )
+            # downstream invalidation: the pipeline is a linear chain,
+            # so a stage's completion marker is only trustworthy when
+            # every stage BEFORE it is also complete. Otherwise a
+            # rerun upstream stage (lost _SUCCESS, changed corpus)
+            # would leave stale downstream artifacts — worst case the
+            # doc_table VIEW serves the NEW tokens while chunks still
+            # encode the old doc ids.
+            applicable = ["tokens", "doc_table", "stats"]
+            if self.materialize_postings:
+                applicable.append("postings")
+            applicable += ["chunks", "lexicon"]
+            prefix_ok = True
+            for st in applicable:
+                if prefix_ok and self._stage_done(manifest, st):
+                    continue
+                prefix_ok = False
+                manifest["stages"].pop(st, None)
         manifest["config"] = {
             "chunk_length": self.chunk_length,
             # None = auto (resolved from stats in the chunks stage; keep

@@ -91,6 +91,14 @@ def iter_trec_docs(lines) -> "Iterator[dict]":
                 "lineno": start_line,
             }
             status = 0
+    if status != 0:
+        # EOF inside a record (truncated transfer): fail loudly like
+        # any other malformed sequence instead of silently dropping
+        # the in-progress document
+        raise ValueError(
+            f"line {lineno}: EOF inside record started at line "
+            f"{start_line} (truncated file?)"
+        )
 
 
 def load_trec(spark, path: str) -> DataFrame:
@@ -181,7 +189,16 @@ def assign_doc_ids(
     part = df.repartitionByRange(
         n, *[F.col(c) for c in order_cols]
     ).withColumn("_pid", F.spark_partition_id())
-    part = part.persist()
+    # EAGER localCheckpoint, not persist: the counts collect below and
+    # the final join must read the SAME materialized partitions. A
+    # plain persist leaves a recompute window (executor loss ->
+    # re-sampled range boundaries -> rows in pids whose offsets came
+    # from the stale collect: dropped/duplicate ids, silently).
+    # Checkpointed blocks make recompute impossible — losing one fails
+    # the job loudly instead. The blocks stay pinned until the session
+    # ends (one corpus-width pass; callers whose input already carries
+    # ids should not round-trip through here).
+    part = part.localCheckpoint()
     counts = (
         part.groupBy("_pid").count().orderBy("_pid").collect()
     )  # O(num_partitions) rows only
@@ -196,10 +213,19 @@ def assign_doc_ids(
         )
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
+    # belt-and-braces on top of the checkpoint: a pid missing from the
+    # offsets map must fail the job, never drop rows the way an inner
+    # join would
+    off_safe = F.when(
+        F.col("_off").isNull(),
+        F.raise_error(
+            F.lit("assign_doc_ids: partition absent from offsets map")
+        ),
+    ).otherwise(F.col("_off"))
     out = (
         part.withColumn("_rn", F.row_number().over(w))
-        .join(offsets_df, "_pid")
-        .withColumn("doc_id", F.col("_off") + F.col("_rn") - 1)
+        .join(offsets_df, "_pid", "left")
+        .withColumn("doc_id", off_safe + F.col("_rn") - 1)
         .drop("_pid", "_rn", "_off")
     )
     return out

@@ -66,7 +66,11 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     pandas' C string kernels.
     """
     s = texts.fillna("")
-    s = s.str.replace(_INDEX_CLASS, " ", regex=True).str.strip()
+    # strip ONLY the space delimiter runs collapse into: bare
+    # .strip() would also eat tab/CR/NBSP at token edges, which are
+    # NOT reference delimiters — tokenize_text('\tfoo') is ['\tfoo']
+    # and the three twins must stay token-identical
+    s = s.str.replace(_INDEX_CLASS, " ", regex=True).str.strip(" ")
     out = s.str.split(" ")
     # rows that were empty/all-delims become [''] after split; fix to [].
     empty = s.str.len() == 0

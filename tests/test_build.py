@@ -294,3 +294,66 @@ def test_balance_scan_splits_widens_small_scans(spark, tmp_path):
     # full build restores the conf even though it shrank it internally
     b.build(loaded, resume=False)
     assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before
+
+
+def test_resume_rejects_config_drift(spark, built, tmp_path_factory):
+    """Resuming with a config that contradicts the manifest must fail
+    loudly: completed stages carry the OLD layout (bucket partitioning,
+    chunk length), and mixing them with stages rebuilt under the new
+    one silently breaks query-side bucket pruning."""
+    docs, _, _ = built
+    idx = str(tmp_path_factory.mktemp("idx_drift"))
+    df = spark.createDataFrame(
+        [(d, f"https://x/{d}", t) for d, t in docs],
+        "doc_id long, url string, text string",
+    )
+    IndexBuilder(spark, idx, n_salts=2, bucket_count=4).build(
+        df, resume=False
+    )
+    with pytest.raises(ValueError, match="contradicts"):
+        IndexBuilder(spark, idx, n_salts=2, bucket_count=8).build(
+            df, resume=True
+        )
+    # same config resumes fine (no-op: everything done)
+    IndexBuilder(spark, idx, n_salts=2, bucket_count=4).build(
+        df, resume=True
+    )
+
+
+def test_resume_invalidates_downstream_of_lost_stage(
+    spark, built, tmp_path_factory
+):
+    """Losing an UPSTREAM stage must rerun everything after it: the
+    completion markers of later stages are only trustworthy when the
+    whole prefix is complete (a doc_table VIEW of re-tokenized docs
+    over chunks encoding the old ones would silently misresolve)."""
+    import json
+    import shutil
+
+    docs, _, _ = built
+    idx = str(tmp_path_factory.mktemp("idx_inval"))
+    df = spark.createDataFrame(
+        [(d, f"https://x/{d}", t) for d, t in docs],
+        "doc_id long, url string, text string",
+    )
+    b = IndexBuilder(spark, idx, n_salts=2, bucket_count=4)
+    b.build(df, resume=False)
+    chunks_mtime = os.path.getmtime(os.path.join(idx, "chunks", "_SUCCESS"))
+
+    # lose the TOKENS stage only; chunks/lexicon markers stay on disk
+    with open(os.path.join(idx, "_manifest.json")) as f:
+        manifest = json.load(f)
+    shutil.rmtree(os.path.join(idx, "tokens"))
+    del manifest["stages"]["tokens"]
+    with open(os.path.join(idx, "_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+    b.build(df, resume=True)
+    # chunks were rebuilt, not served stale
+    assert os.path.getmtime(
+        os.path.join(idx, "chunks", "_SUCCESS")
+    ) > chunks_mtime
+    # and the rebuilt index still answers
+    from search_engine_spark.query import QueryEngine
+
+    assert QueryEngine(spark, idx).search("common", k=3).count() > 0

@@ -65,6 +65,9 @@ def test_series_matches_scalar():
         "price$42 x",
         "a@b!c",
         "multi  space\n\nnewline",
+        # non-delimiter whitespace at token edges (tab/CR/NBSP are NOT
+        # reference delimiters; a bare .strip() once ate them)
+        "\tfoo", "\t", "foo\r", "a\tb c", "\u00a0word\u00a0", "a \t b",
     ]
     got = tokenize_series(pd.Series(texts)).tolist()
     want = [tokenize_text(t) for t in texts]
@@ -94,6 +97,7 @@ def test_jvm_tokenize_col_matches_python(spark):
     texts = [
         "a,b.c", "", None, " ,.;", "你好，世界", "price$42 x", "a@b!c",
         "multi  space\n\nnewline", ",.lead", "trail;,", "「quoted」term",
+        "\tfoo", "foo\r", "a\tb c", "\u00a0word\u00a0", "a \t b",
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
@@ -203,3 +207,34 @@ def test_trec_spark_source_byte_identity(spark, tmp_path):
             want[d["url"]] = d["text"]
     assert got == want
     assert set(df.columns) == {"url", "warc_ts", "html", "text", "lang"}
+
+
+def test_arrow_tokenize_count_twin_matches_python():
+    """build._tokenize_count_batches (the Arrow fallback for the JVM
+    tokens stage) must produce the same (doc_length, uterms, utfs) as
+    the pure-Python tokenizer — including whitespace-edge tokens and
+    empty/None docs — or a future environment switching to it would
+    build a divergent index."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from search_engine_spark.build import _tokenize_count_batches
+
+    texts = [
+        "a,b.c b a", "", None, " ,.;", "你好，世界 你好",
+        "price$42 x", "\tfoo bar\tfoo", "a \t b", " word ",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "url": [f"u{i}" for i in range(len(texts))],
+            "text": texts,
+        }
+    )
+    (out,) = list(_tokenize_count_batches([pdf]))
+    for i, t in enumerate(texts):
+        toks = tokenize_text(t or "")
+        assert out["doc_length"][i] == len(toks), repr(t)
+        got = dict(zip(out["uterms"][i], out["utfs"][i]))
+        assert got == dict(Counter(toks)), repr(t)
