@@ -52,12 +52,15 @@ def cosine_topk(
     ``queries``: (query_id, qe:array). Self-matches (query_id ==
     neighbor id) are excluded. Returns (query_id, neighbor_id, cos, rank).
     """
+    # per-vector norms hoisted out of the Q x N pair expression
+    queries_n = queries.withColumn("_qnorm", _norm(F.col("qe")))
+    emb_n = emb.withColumn("_enorm", _norm(F.col(vec_col)))
     cos = _dot(F.col("q.qe"), F.col(f"e.{vec_col}")) / (
-        _norm(F.col("q.qe")) * _norm(F.col(f"e.{vec_col}"))
+        F.col("q._qnorm") * F.col("e._enorm")
     )
     pairs = (
-        F.broadcast(queries.alias("q"))
-        .crossJoin(emb.alias("e"))
+        F.broadcast(queries_n.alias("q"))
+        .crossJoin(emb_n.alias("e"))
         .where(F.col(f"e.{id_col}") != F.col("q.query_id"))
         .select(
             F.col("q.query_id").alias("query_id"),
@@ -112,12 +115,18 @@ def kmeans_codebook(
     quality path — recall payoff measured in tests/test_dedup_ann.py.
     """
     spark = emb.sparkSession
-    dims_row = emb.select(F.size(vec_col).alias("d")).first()
+    # probe and seed over NON-NULL vectors only: an arbitrary first
+    # row with a null embedding used to silently skip training (and a
+    # null seed row produced a NULL centroid)
+    trainable = emb.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    )
+    dims_row = trainable.select(F.size(vec_col).alias("d")).first()
     if dims_row is None or dims_row["d"] is None:
         return default_codebook(emb, n_cells, id_col, vec_col)
     dims = int(dims_row["d"])
     seed_rows = (
-        emb.select(id_col, vec_col)
+        trainable.select(id_col, vec_col)
         .orderBy(F.col(id_col))
         .limit(n_cells)
         .collect()
@@ -132,7 +141,7 @@ def kmeans_codebook(
     cents = {
         i: [float(x) for x in r[vec_col]] for i, r in enumerate(seed_rows)
     }
-    base = emb.select(id_col, vec_col)
+    base = trainable.select(id_col, vec_col)
     for _ in range(max(0, n_iter)):
         cb = spark.createDataFrame(
             [(c, v) for c, v in sorted(cents.items())], "cell int, cv array<double>"
@@ -174,12 +183,16 @@ def assign_cells(
     same argmax with map-side partial aggregation). Ties break
     deterministically: highest cosine, then lowest cell id. Returns emb
     columns + ``cell``."""
+    # norms once per vector / per centroid, NOT per (vector, centroid)
+    # pair: the O(dims) aggregate used to rerun n_cells times per row
+    emb_n = emb.withColumn("_vnorm", _norm(F.col(vec_col)))
+    cb_n = codebook.withColumn("_cnorm", _norm(F.col("cv")))
     cos = _dot(F.col(f"e.{vec_col}"), F.col("c.cv")) / (
-        _norm(F.col(f"e.{vec_col}")) * _norm(F.col("c.cv"))
+        F.col("e._vnorm") * F.col("c._cnorm")
     )
     scored = (
-        emb.alias("e")
-        .crossJoin(F.broadcast(codebook.alias("c")))
+        emb_n.alias("e")
+        .crossJoin(F.broadcast(cb_n.alias("c")))
         .select("e.*", F.col("c.cell"), cos.alias("_ccos"))
     )
     payload = [c for c in emb.columns if c != id_col] + ["cell"]

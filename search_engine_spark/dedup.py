@@ -570,15 +570,22 @@ def embedding_neardup_pairs(
     ``dims`` skips the one-row probe job when the caller knows the
     embedding width.
     """
-    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    norm = F.sqrt(
-        F.aggregate(
-            "v", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-        )
-    )
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).where(F.col("v").isNotNull() & (F.size("v") > 0))
+    # null/empty embeddings drop here, BEFORE the dims probe: the old
+    # unfiltered .first() could land on a null row and silently return
+    # zero pairs for the whole corpus
+    from .ann import _dot, _norm
+
+    norm = _norm(F.col("v"))
+    # norm once per VECTOR, before any bucket fan-out — computing it
+    # on the exploded stream redid the O(dims) aggregate n_tables x
+    base = base.withColumn("norm", norm)
     if exact:
         bucketed = base.select(
-            "id", "v", F.lit(0).alias("table"), F.lit(0).alias("bucket")
+            "id", "v", "norm",
+            F.lit(0).alias("table"), F.lit(0).alias("bucket"),
         )
     else:
         if n_planes is None:
@@ -589,7 +596,7 @@ def embedding_neardup_pairs(
         if dims is None:
             row = base.select(F.size("v").alias("d")).first()
             if row is None or row["d"] is None or row["d"] <= 0:
-                # empty input (or null vectors): empty result, typed
+                # no non-null vectors at all: empty result, typed
                 return base.select(
                     F.col("id").alias("id_a"),
                     F.col("id").alias("id_b"),
@@ -612,7 +619,8 @@ def embedding_neardup_pairs(
             ]
         )
         bucketed = base.select(
-            "id", "v", F.posexplode(buckets).alias("table", "bucket")
+            "id", "v", "norm",
+            F.posexplode(buckets).alias("table", "bucket"),
         )
         if max_bucket_size is not None:
             small = (
@@ -622,17 +630,11 @@ def embedding_neardup_pairs(
                 .select("table", "bucket")
             )
             bucketed = bucketed.join(small, ["table", "bucket"], "leftsemi")
-    bucketed = bucketed.withColumn("norm", norm)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.norm") * F.col("b.norm")
     )
-    cos = dot / (F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(
             b,

@@ -105,6 +105,7 @@ class StreamingIndexer:
         self.spark = spark
         self.index_dir = index_dir
         self.builder_kwargs = builder_kwargs
+        self.store_positions = bool(builder_kwargs.get("store_positions"))
         self.delta_dir = os.path.join(index_dir, "delta")
         os.makedirs(self.delta_dir, exist_ok=True)
 
@@ -132,13 +133,30 @@ class StreamingIndexer:
                 )
             )
         )
-        postings = (
-            tokens.select(
-                "doc_id", "doc_length", F.explode("terms").alias("term")
+        if self.store_positions:
+            # mirror the batch positional postings exactly (same
+            # posexplode + sorted collect), so a compacted streaming
+            # index serves phrase/NEAR like a batch build
+            postings = (
+                tokens.select(
+                    "doc_id",
+                    "doc_length",
+                    F.posexplode("terms").alias("pos", "term"),
+                )
+                .groupBy("term", "doc_id", "doc_length")
+                .agg(
+                    F.count("*").cast("long").alias("tf"),
+                    F.sort_array(F.collect_list("pos")).alias("positions"),
+                )
             )
-            .groupBy("term", "doc_id", "doc_length")
-            .agg(F.count("*").cast("long").alias("tf"))
-        )
+        else:
+            postings = (
+                tokens.select(
+                    "doc_id", "doc_length", F.explode("terms").alias("term")
+                )
+                .groupBy("term", "doc_id", "doc_length")
+                .agg(F.count("*").cast("long").alias("tf"))
+            )
         postings.write.mode("overwrite").parquet(
             os.path.join(self.delta_dir, "postings", f"batch_id={batch_id}")
         )
@@ -161,10 +179,21 @@ class StreamingIndexer:
         """Merge accumulated delta postings into the final chunked index
         (idempotent; reruns the downstream batch stages from scratch
         over the full delta — an LSM full compaction)."""
+        if not os.path.isdir(os.path.join(self.delta_dir, "doc_table")):
+            raise ValueError(
+                "compact() before any micro-batch was processed: the "
+                f"delta at {self.delta_dir} holds no doc_table yet"
+            )
         b = IndexBuilder(self.spark, self.index_dir, **self.builder_kwargs)
         manifest = b._load_manifest()
-        manifest["stages"].pop("chunks", None)
-        manifest["stages"].pop("lexicon", None)
+        # drop EVERY prior stage entry, not just chunks/lexicon: if the
+        # index_dir previously held a batch build, a surviving 'tokens'
+        # entry would route build_from_postings through the stale batch
+        # tokens checkpoint and silently index the OLD corpus (the
+        # delta docs would vanish from the lexicon)
+        for stage in ("tokens", "doc_table", "stats", "postings",
+                      "chunks", "lexicon"):
+            manifest["stages"].pop(stage, None)
         manifest["config"] = {
             "chunk_length": b.chunk_length,
             "n_salts": b.n_salts,
@@ -192,10 +221,19 @@ class StreamingIndexer:
         b._record_stage(manifest, "stats", _t.time() - t0, ["doc_table"])
 
         t0 = _t.time()
+        from .build import term_bucket_col
+
         postings = self.spark.read.parquet(
             os.path.join(self.delta_dir, "postings")
-        ).drop("batch_id")
-        b._write(postings, "postings")
+        ).drop("batch_id").withColumn(
+            "bucket", term_bucket_col(F.col("term"), b.bucket_count)
+        )
+        b._write(
+            postings,
+            "postings",
+            partition_by=["bucket"],
+            sort_cols=["term", "doc_id"],
+        )
         b._record_stage(manifest, "postings", _t.time() - t0, ["delta/postings"])
 
         return b.build_from_postings(manifest)

@@ -224,18 +224,15 @@ SAMPLE_BUCKETS = 65536  # 4 md5 hex chars -> bucket in [0, 65536)
 
 
 def _hex_bucket(prefix: str, id_col: str = "doc_id"):
-    """Deterministic bucket in [0, SAMPLE_BUCKETS): nibble-decode the
-    first 4 hex chars of md5('<prefix>|' || id). `instr` over the hex
-    alphabet is portable (identical in DuckDB as strpos), so oracles
-    regenerate the exact bucket."""
-    h = f"md5(concat('{prefix}|', CAST({id_col} AS STRING)))"
-    nib = "(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
-    return F.expr(
-        " + ".join(
-            nib.format(h=h, i=i + 1) + f" * {16 ** (3 - i)}"
-            for i in range(4)
-        )
-    )
+    """Deterministic bucket in [0, SAMPLE_BUCKETS): the first 4 hex
+    chars of md5('<prefix>|' || id) parsed base-16 — pure column
+    expressions, so an arbitrary ``prefix``/``id_col`` value can never
+    break parsing the way the old SQL-string interpolation could (a
+    seed_tag containing a quote was a ParseException). Values are
+    unchanged: hex-parse of 4 chars == the old per-nibble decode, and
+    DuckDB oracles regenerate the identical bucket."""
+    h = F.md5(F.concat(F.lit(prefix + "|"), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
 
 
 def repetition_ratio(docs: DataFrame, n: int = 3) -> DataFrame:

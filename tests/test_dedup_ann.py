@@ -577,3 +577,37 @@ def test_line_dedup_min_dup_threshold(spark):
     assert all(out[i]["clean_text"] == out[i]["clean_text"].replace(
         "tri line\n", "") for i in (2, 3, 4))
     assert [out[i]["n_removed"] for i in (2, 3, 4)] == [1, 1, 1]
+
+
+def test_embedding_neardup_tolerates_null_vectors(spark):
+    """A null/empty embedding row anywhere (including scanned first)
+    must not blank the dims probe — real near-dups still surface and
+    null rows simply drop from the pair universe."""
+    emb = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]),
+         (3, [0.0, 1.0, 0.0]), (4, [])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_neardup_pairs(
+            emb, threshold=0.9, exact=True
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(0 in p or 4 in p for p in pairs)
+
+
+def test_kmeans_codebook_tolerates_null_vectors(spark):
+    """Null embeddings neither poison the dims probe nor become NULL
+    centroids; training proceeds over the non-null vectors."""
+    rows = [(0, None)] + [
+        (i, [1.0 * (i % 3 == 0), 1.0 * (i % 3 == 1), 1.0 * (i % 3 == 2)])
+        for i in range(1, 40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cb = ann.kmeans_codebook(emb, n_cells=3, n_iter=3).collect()
+    assert len(cb) == 3
+    assert all(r["cv"] is not None and len(r["cv"]) == 3 for r in cb)

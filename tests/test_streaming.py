@@ -199,3 +199,77 @@ def test_streaming_dedup_state_survives_batches(spark, tmpdir):
         if not r["is_dup"]
     }
     assert {d for d, _ in got1 | got2} == batch_keep
+
+
+def test_compact_over_prior_batch_build_serves_delta(spark, tmpdir):
+    """Compacting into an index_dir that previously held a BATCH build
+    must index the DELTA corpus, not silently rebuild from the stale
+    batch tokens checkpoint (the manifest's surviving 'tokens' entry
+    used to route build_from_postings through the old corpus)."""
+    from search_engine_spark.corpus import load_documents
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "url", "text")
+    idx = os.path.join(tmpdir, "reused_idx")
+    IndexBuilder(spark, idx, n_salts=2, bucket_count=4).build(
+        docs.limit(50)
+    )
+
+    delta = docs.limit(20).withColumn(
+        "text", F.concat(F.lit("freshstreamterm "), F.col("text"))
+    )
+    src = os.path.join(tmpdir, "reuse_src")
+    delta.coalesce(1).write.mode("append").parquet(src)
+    indexer = streaming.StreamingIndexer(
+        spark, idx, n_salts=2, bucket_count=4
+    )
+    stream_df = spark.readStream.schema(delta.schema).parquet(src)
+    indexer.start(stream_df, os.path.join(tmpdir, "reuse_ckpt")).awaitTermination()
+    indexer.compact()
+
+    lex = {
+        r["term"]
+        for r in spark.read.parquet(f"{idx}/lexicon").collect()
+    }
+    assert "freshstreamterm" in lex  # delta docs are searchable
+    qe = QueryEngine(spark, idx)
+    assert qe.search("freshstreamterm", k=5).count() > 0
+    assert qe.n_docs == 20  # stats reflect the delta corpus only
+
+
+def test_compact_before_any_batch_raises(spark, tmpdir):
+    idx = os.path.join(tmpdir, "nobatch_idx")
+    indexer = streaming.StreamingIndexer(spark, idx, bucket_count=4)
+    with pytest.raises(ValueError, match="micro-batch"):
+        indexer.compact()
+
+
+def test_streaming_positional_build_serves_phrase(spark, tmpdir):
+    """store_positions=True streams write positions per micro-batch;
+    the compacted index answers phrase queries exactly like a batch
+    positional build."""
+    from search_engine_spark.corpus import load_documents
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "url", "text")
+    src = os.path.join(tmpdir, "pos_src")
+    docs.coalesce(1).write.mode("append").parquet(src)
+
+    sidx = os.path.join(tmpdir, "pos_stream_idx")
+    indexer = streaming.StreamingIndexer(
+        spark, sidx, n_salts=2, bucket_count=4, store_positions=True
+    )
+    stream_df = spark.readStream.schema(docs.schema).parquet(src)
+    indexer.start(stream_df, os.path.join(tmpdir, "pos_ckpt")).awaitTermination()
+    indexer.compact()
+
+    bidx = os.path.join(tmpdir, "pos_batch_idx")
+    IndexBuilder(
+        spark, bidx, n_salts=2, bucket_count=4, store_positions=True
+    ).build(docs.withColumn("warc_ts", F.current_timestamp()))
+
+    qs, qb = QueryEngine(spark, sidx), QueryEngine(spark, bidx)
+    for phrase in ("table scan", "spark query"):
+        got = [(r["doc_id"], round(float(r["score"]), 5))
+               for r in qs.phrase_search(phrase, k=10).collect()]
+        want = [(r["doc_id"], round(float(r["score"]), 5))
+                for r in qb.phrase_search(phrase, k=10).collect()]
+        assert got == want and got
