@@ -175,7 +175,9 @@ def cmd_fsck(args) -> int:
     violations — the pre-serve health gate for a freshly copied,
     merged or upserted index. Accepts an LSM stack (comma-separated
     dirs), checking each segment."""
-    from . import maintenance
+    # absolute import: under spark-submit this file runs as a bare
+    # script with no package context (see module docstring)
+    from search_engine_spark import maintenance
 
     spark = _spark()
     rc = 0

@@ -1973,7 +1973,7 @@ def sql_index_fsck() -> str:
         "UNION ALL SELECT 'bloom_sidecar', 1, 0 "
         "UNION ALL SELECT 'chunk_ids_in_corpus_range', (SELECT n FROM nck), 0 "
         "UNION ALL SELECT 'chunk_ranges_ordered', (SELECT n FROM nck), 0 "
-        "UNION ALL SELECT 'chunk_seq_dense', (SELECT n FROM ngr), 0 "
+        "UNION ALL SELECT 'chunk_seq_unique', (SELECT n FROM ngr), 0 "
         "UNION ALL SELECT 'doc_ids_unique', (SELECT n FROM ndc), 0 "
         "UNION ALL SELECT 'lexicon_chunks_consistency', (SELECT n FROM ntm), 0 "
         "UNION ALL SELECT 'payload_decode', (SELECT n FROM nck), 0 "

@@ -553,8 +553,12 @@ def check_index(spark, index_dir: str, deep: bool = True) -> DataFrame:
       equals the same aggregation recomputed from the chunks table
       (df = sum(n), n_chunks = count, doc-id span, WAND ratio bounds);
       full-outer, so orphan terms on either side count too.
-    - ``chunk_seq_dense`` — per (term, salt) the chunk sequence is
-      exactly 0..k-1 (a dropped or duplicated chunk file breaks this).
+    - ``chunk_seq_unique`` — per (term, salt) chunk_seq values are
+      unique and non-negative. NOT density: merge/compact legitimately
+      drop fully-deleted chunks without resequencing, so holes are a
+      valid post-maintenance state — duplication is caught here and a
+      LOST chunk still trips ``lexicon_chunks_consistency`` (the
+      lexicon was aggregated from the pre-loss chunk set).
     - ``chunk_ranges_ordered`` — first_doc_id <= last_doc_id and
       consecutive chunks' doc-id ranges are disjoint and increasing.
     - ``chunk_ids_in_corpus_range`` — chunk metadata spans stay inside
@@ -586,6 +590,12 @@ def check_index(spark, index_dir: str, deep: bool = True) -> DataFrame:
 
     from . import codecs as C
     from .build import read_stage_parquet
+    from .runtime import ensure_shipped
+
+    # the deep-decode / bloom-probe closures reference this package on
+    # executors; fsck is advertised for arbitrary sessions, so ship
+    # like every other entry point does
+    ensure_shipped(spark)
 
     def stage(name):
         return read_stage_parquet(
@@ -634,26 +644,32 @@ def check_index(spark, index_dir: str, deep: bool = True) -> DataFrame:
         F.count(F.lit(1)).alias("ex"),
         F.sum(F.when(ok, 0).otherwise(1)).alias("vi"),
     ).collect()[0]
-    out.append(("lexicon_chunks_consistency", int(r["ex"]), int(r["vi"])))
+    out.append(
+        ("lexicon_chunks_consistency", int(r["ex"] or 0), int(r["vi"] or 0))
+    )
 
-    # --- per-(term, salt) chunk sequence density
+    # --- per-(term, salt) chunk sequence uniqueness (holes allowed:
+    # compaction drops fully-deleted chunks without resequencing)
     g = chunks.groupBy("term", "salt").agg(
         F.count(F.lit(1)).alias("_k"),
+        F.count_distinct(F.col("chunk_seq")).alias("_kd"),
         F.min("chunk_seq").alias("_lo"),
-        F.max("chunk_seq").alias("_hi"),
     )
-    dense_ok = (F.col("_lo") == 0) & (F.col("_hi") == F.col("_k") - 1)
+    seq_ok = (F.col("_k") == F.col("_kd")) & (F.col("_lo") >= 0)
     r = g.agg(
         F.count(F.lit(1)).alias("ex"),
-        F.sum(F.when(dense_ok, 0).otherwise(1)).alias("vi"),
+        F.sum(F.when(seq_ok, 0).otherwise(1)).alias("vi"),
     ).collect()[0]
-    out.append(("chunk_seq_dense", int(r["ex"]), int(r["vi"])))
+    out.append(("chunk_seq_unique", int(r["ex"] or 0), int(r["vi"] or 0)))
 
     # --- chunk-level metadata checks, one pass: range sanity,
     # cross-chunk ordering, corpus-range containment
     dr = doc_table.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0]
+    # empty doc table: ANY chunk is out of corpus range by definition
+    span_lo = int(dr["lo"]) if dr["lo"] is not None else 1
+    span_hi = int(dr["hi"]) if dr["hi"] is not None else -1
     w = Window.partitionBy("term", "salt").orderBy("chunk_seq")
     cm = chunks.select(
         "term", "salt", "chunk_seq", "first_doc_id", "last_doc_id"
@@ -662,8 +678,8 @@ def check_index(spark, index_dir: str, deep: bool = True) -> DataFrame:
     order_bad = F.col("_prev").isNotNull() & (
         F.col("_prev") >= F.col("first_doc_id")
     )
-    span_bad = (F.col("first_doc_id") < F.lit(int(dr["lo"]))) | (
-        F.col("last_doc_id") > F.lit(int(dr["hi"]))
+    span_bad = (F.col("first_doc_id") < F.lit(span_lo)) | (
+        F.col("last_doc_id") > F.lit(span_hi)
     )
     r = cm.agg(
         F.count(F.lit(1)).alias("ex"),
@@ -671,8 +687,13 @@ def check_index(spark, index_dir: str, deep: bool = True) -> DataFrame:
         F.sum(order_bad.cast("int")).alias("v2"),
         F.sum(span_bad.cast("int")).alias("v3"),
     ).collect()[0]
-    out.append(("chunk_ranges_ordered", int(r["ex"]), int(r["v1"]) + int(r["v2"])))
-    out.append(("chunk_ids_in_corpus_range", int(r["ex"]), int(r["v3"])))
+    out.append(
+        ("chunk_ranges_ordered", int(r["ex"] or 0),
+         int(r["v1"] or 0) + int(r["v2"] or 0))
+    )
+    out.append(
+        ("chunk_ids_in_corpus_range", int(r["ex"] or 0), int(r["v3"] or 0))
+    )
 
     # --- deep payload decode
     if deep:
@@ -725,13 +746,26 @@ def check_index(spark, index_dir: str, deep: bool = True) -> DataFrame:
         F.sum("doc_length").alias("tot"),
         F.max("doc_id").alias("mx"),
     ).collect()[0]
-    out.append(("doc_ids_unique", int(r["n"]), int(r["n"]) - int(r["nd"])))
+    out.append(
+        ("doc_ids_unique", int(r["n"] or 0),
+         int(r["n"] or 0) - int(r["nd"] or 0))
+    )
+
+    def _null_eq(a, b, tol=None):
+        # NULL-tolerant scalar compare: an empty corpus has NULL
+        # avgdl/max_doc_id in BOTH the stats row and the recount —
+        # that agreement is healthy, not a crash
+        if a is None or b is None:
+            return a is None and b is None
+        if tol is not None:
+            return abs(float(a) - float(b)) <= tol * max(1.0, abs(float(b)))
+        return int(a) == int(b)
+
     stats_ok = (
-        int(stats_row["n_docs"]) == int(r["n"])
-        and abs(float(stats_row["avgdl"]) - float(r["avgdl"]))
-        <= 1e-9 * max(1.0, abs(float(r["avgdl"])))
-        and int(stats_row["total_tokens"]) == int(r["tot"])
-        and int(stats_row["max_doc_id"]) == int(r["mx"])
+        int(stats_row["n_docs"] or 0) == int(r["n"] or 0)
+        and _null_eq(stats_row["avgdl"], r["avgdl"], tol=1e-9)
+        and _null_eq(stats_row["total_tokens"], r["tot"])
+        and _null_eq(stats_row["max_doc_id"], r["mx"])
     )
     out.append(("stats_consistency", 1, 0 if stats_ok else 1))
 
@@ -804,7 +838,7 @@ def check_index(spark, index_dir: str, deep: bool = True) -> DataFrame:
             F.sum(pos_bad.cast("int")).alias("vi"),
         ).collect()[0]
         out.append(
-            ("postings_tf_positions", int(r["ex"]), int(r["vi"] or 0))
+            ("postings_tf_positions", int(r["ex"] or 0), int(r["vi"] or 0))
         )
     else:
         out.append(("postings_tf_positions", 0, 0))

@@ -254,17 +254,8 @@ class QueryEngine:
         self.n_docs = self.built_n_docs
         self.avgdl = self.built_avgdl
         self._df_override: dict[str, int] = {}
-        self.has_stats_override = bool(stats_override)
-        if stats_override:
-            self.n_docs = int(stats_override.get("n_docs", self.n_docs))
-            self.avgdl = float(stats_override.get("avgdl", self.avgdl))
-            self._df_override = {
-                str(t): int(v)
-                for t, v in (stats_override.get("df") or {}).items()
-            }
-        _r = self.avgdl / self.built_avgdl if self.built_avgdl > 0 else 1.0
-        self._scale_max = max(1.0, _r)
-        self._scale_min = min(1.0, _r)
+        self.has_stats_override = False
+        self._apply_stats_override(stats_override)
         self.last_plan_stats: dict = {}
         self.last_local_stats: dict = {}
         self._local_cache: dict | None = None
@@ -297,6 +288,9 @@ class QueryEngine:
         # keeps lineage, so an older result re-collected after release
         # recomputes its exclusion set instead of failing)
         self._not_cached: DataFrame | None = None
+        # lazily-built broadcast frame of the driver-side tombstone
+        # array (see _alive_df)
+        self._deleted_bcast_df: DataFrame | None = None
         # tombstoned doc ids (maintenance.delete_docs): a sorted int64
         # array when the set fits the driver cap (decode paths mask
         # in-place), else a distributed DataFrame (anti-join fallback).
@@ -314,11 +308,19 @@ class QueryEngine:
     def _alive_df(self, df: DataFrame) -> DataFrame:
         """Anti-join tombstones out of a (doc_id, ...) DataFrame."""
         if self._deleted is not None:
-            dels = F.broadcast(
-                self.spark.createDataFrame(
-                    [(int(i),) for i in self._deleted], "doc_id long"
+            dels = self._deleted_bcast_df
+            if dels is None:
+                # built ONCE per engine: the tombstone set is immutable
+                # for the engine's lifetime, and near the 4M-id driver
+                # cap rebuilding the tuple list + broadcast per query
+                # cost ~32 MB of fresh allocations each call
+                dels = self._deleted_bcast_df = F.broadcast(
+                    self.spark.createDataFrame(
+                        pd.DataFrame(
+                            {"doc_id": self._deleted.astype("int64")}
+                        )
+                    )
                 )
-            )
             return df.join(dels, "doc_id", "left_anti")
         if self._deleted_df is not None:
             return df.join(self._deleted_df, "doc_id", "left_anti")
@@ -338,6 +340,25 @@ class QueryEngine:
         )
 
     # ------------------------------------------------------------ helpers
+
+    def _apply_stats_override(self, stats_override: dict | None) -> None:
+        """(Re)apply foreign collection statistics (see __init__ doc).
+        Called at construction and by MultiIndexQueryEngine, which
+        opens each segment once, derives the global stats from the
+        open engines, and applies them here — instead of constructing
+        every segment twice. Must run before any query (the serving
+        caches key nothing on the stats, but planning reads them)."""
+        if stats_override:
+            self.has_stats_override = True
+            self.n_docs = int(stats_override.get("n_docs", self.n_docs))
+            self.avgdl = float(stats_override.get("avgdl", self.avgdl))
+            self._df_override = {
+                str(t): int(v)
+                for t, v in (stats_override.get("df") or {}).items()
+            }
+        _r = self.avgdl / self.built_avgdl if self.built_avgdl > 0 else 1.0
+        self._scale_max = max(1.0, _r)
+        self._scale_min = min(1.0, _r)
 
     def _buckets(self, terms: list[str]) -> list[int]:
         return sorted({term_bucket(t, self.bucket_count) for t in terms})
@@ -2515,7 +2536,12 @@ class QueryEngine:
                 metas, dfs, present, k, get_chunk, stats
             )
 
-        seg_lo, seg_hi, bound, cover = wand.sweep_segments(metas, conj)
+        # conjunctive multi-term queries returned above, so everything
+        # below is the DISJUNCTIVE sweep — the former per-branch conj
+        # handling here was unreachable
+        seg_lo, seg_hi, bound, cover = wand.sweep_segments(
+            metas, conjunctive=False
+        )
         stats["segments_total"] = len(seg_lo)
         if len(seg_lo) == 0:
             return []
@@ -2525,35 +2551,19 @@ class QueryEngine:
         def score_candidates(per_term: dict):
             """(cand, total) over one candidate region, float32 sums in
             canonical sorted-term order (rank-identity with the oracle)."""
-            if conj:
-                cand = per_term[present[0]][0]
-                for t in present[1:]:
-                    cand = np.intersect1d(
-                        cand, per_term[t][0], assume_unique=True
-                    )
-                    if not len(cand):
-                        return None
-            else:
-                cand = np.unique(
-                    np.concatenate([v[0] for v in per_term.values()])
-                )
+            cand = np.unique(
+                np.concatenate([v[0] for v in per_term.values()])
+            )
             total = np.zeros(len(cand), dtype=np.float32)
             for t in present:
                 if t not in per_term:
                     continue
                 ids_t, tfs_t, dls_t = per_term[t]
-                if conj:
-                    pos = np.searchsorted(ids_t, cand)
-                    s = bm25_scores(
-                        tfs_t[pos], dls_t[pos], dfs[t], self.n_docs, self.avgdl
-                    )
-                    total = (total + s).astype(np.float32)
-                else:
-                    pos = np.searchsorted(cand, ids_t)
-                    s = bm25_scores(
-                        tfs_t, dls_t, dfs[t], self.n_docs, self.avgdl
-                    )
-                    total[pos] = (total[pos] + s).astype(np.float32)
+                pos = np.searchsorted(cand, ids_t)
+                s = bm25_scores(
+                    tfs_t, dls_t, dfs[t], self.n_docs, self.avgdl
+                )
+                total[pos] = (total[pos] + s).astype(np.float32)
             return cand, total
 
         def push_topk(cand, total):
@@ -2584,11 +2594,9 @@ class QueryEngine:
                 r = np.searchsorted(ids, hi, side="left")
                 if l < r:
                     per_term[t] = (ids[l:r], tfs[l:r], dls[l:r])
-            if not per_term or (conj and len(per_term) < len(present)):
+            if not per_term:
                 continue
-            got = score_candidates(per_term)
-            if got is not None:
-                push_topk(*got)
+            push_topk(*score_candidates(per_term))
         theta = heap[0][0] if len(heap) == k else -np.inf
         # phase 2: every surviving segment in ONE vectorized pass (the
         # common no-pruning query costs the same as exhaustive scoring;
@@ -2613,10 +2621,8 @@ class QueryEngine:
                 keep = wand.ids_in_intervals(ids, mlo, mhi)
                 if keep.any():
                     per_term[t] = (ids[keep], tfs[keep], dls[keep])
-            if per_term and not (conj and len(per_term) < len(present)):
-                got = score_candidates(per_term)
-                if got is not None:
-                    push_topk(*got)
+            if per_term:
+                push_topk(*score_candidates(per_term))
         return [(-nd, s) for s, nd in sorted(heap, reverse=True)]
 
     def _local_conjunctive(
@@ -3706,31 +3712,32 @@ class MultiIndexQueryEngine:
             raise ValueError("MultiIndexQueryEngine needs >= 1 segment")
         self.spark = spark
         self.index_dirs = list(index_dirs)
-        probes = [QueryEngine(spark, d) for d in self.index_dirs]
-        n_total = sum(e.built_n_docs for e in probes)
+        # open each segment ONCE and apply the global stats afterwards
+        # (constructing a probe set and then a second engine set doubled
+        # segment-open cost: manifest read + stats job + tombstone/bloom
+        # load per segment, twice)
+        engines = [QueryEngine(spark, d) for d in self.index_dirs]
+        n_total = sum(e.built_n_docs for e in engines)
         if n_total > 0:
             avgdl = (
-                sum(e.built_n_docs * e.built_avgdl for e in probes) / n_total
+                sum(e.built_n_docs * e.built_avgdl for e in engines) / n_total
             )
         else:
             avgdl = 1.0
         self.n_docs, self.avgdl = n_total, avgdl
         if offsets == "stack":
             offs, acc = [], 0
-            for e in probes:
+            for e in engines:
                 offs.append(acc)
                 acc += e.max_doc_id + 1
         else:
             offs = list(offsets)
-            if len(offs) != len(probes):
+            if len(offs) != len(engines):
                 raise ValueError("offsets must match index_dirs")
         self.offsets = offs
-        self.engines = [
-            QueryEngine(
-                spark, d, stats_override={"n_docs": n_total, "avgdl": avgdl}
-            )
-            for d in self.index_dirs
-        ]
+        for e in engines:
+            e._apply_stats_override({"n_docs": n_total, "avgdl": avgdl})
+        self.engines = engines
         # observability: segments actually scattered to by the last
         # search/search_local call (after term-bloom pruning — see
         # _segment_candidates; None until a query runs)

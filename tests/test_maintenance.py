@@ -758,15 +758,20 @@ def test_check_index_detects_payload_rot(spark, fsck_index, tmp_path):
     assert rep["payload_decode"][1] >= 1
 
 
-def test_check_index_detects_chunk_gap(spark, fsck_index, tmp_path):
-    idx = _copy(fsck_index, tmp_path, "chunkgap")
+def test_check_index_detects_duplicate_chunk(spark, fsck_index, tmp_path):
+    """A double-written chunk row (same term/salt/chunk_seq) trips
+    chunk_seq_unique AND lexicon_chunks_consistency (df inflates).
+    Holes in chunk_seq are NOT violations — compaction legitimately
+    drops fully-deleted chunks without resequencing."""
+    idx = _copy(fsck_index, tmp_path, "chunkdup")
 
-    def shift(pdf):
-        pdf.loc[0, "chunk_seq"] = int(pdf.loc[0, "chunk_seq"]) + 1
+    def dup(pdf):
+        pdf.loc[len(pdf)] = pdf.loc[0]
 
-    _tamper(idx, "chunks", shift)
+    _tamper(idx, "chunks", dup)
     rep = _fsck(spark, idx, deep=False)
-    assert rep["chunk_seq_dense"][1] >= 1
+    assert rep["chunk_seq_unique"][1] >= 1
+    assert rep["lexicon_chunks_consistency"][1] >= 1
 
 
 def test_check_index_detects_duplicate_doc(spark, fsck_index, tmp_path):
@@ -830,3 +835,61 @@ def test_fsck_clean_across_lifecycle(spark, fsck_index, tmp_path):
         for r in maintenance.check_index(spark, merged, deep=True).collect()
     }
     assert all(v == 0 for v in rep.values()), rep
+
+
+def test_fsck_accepts_compaction_holes_and_empty_indexes(
+    spark, fsck_index, tmp_path
+):
+    """Two degenerate-but-healthy states must fsck clean: (1) a
+    compaction that fully emptied chunks leaves chunk_seq holes —
+    legitimate, not corruption; (2) an index built from an empty
+    corpus has NULL avgdl/max stats — the NULL-tolerant recount
+    agrees instead of crashing."""
+    import shutil
+
+    # (1) tombstone one whole chunk's doc range of a multi-chunk term,
+    # then compact: surviving chunks keep their original (now gappy)
+    # chunk_seq values. n_salts=1 so a df-500 term spans 4 chunks in
+    # ONE (term, salt) group (the fsck fixture's 4-salt layout leaves
+    # every group single-chunk).
+    src = str(tmp_path / "holes_src")
+    IndexBuilder(spark, src, n_salts=1, bucket_count=4).build(
+        load_documents(spark, SF_DIR)
+    )
+    chunks = read_stage_parquet(
+        spark, os.path.join(src, "chunks"), "chunks"
+    )
+    victim = (
+        chunks.groupBy("term", "salt")
+        .agg(F.count("*").alias("k"), F.min("chunk_seq").alias("s0"))
+        .where(F.col("k") >= 2)
+        .limit(1)
+        .collect()
+    )
+    assert victim, "fixture needs a multi-chunk (term, salt) group"
+    t, sa = victim[0]["term"], victim[0]["salt"]
+    first = (
+        chunks.where(
+            (F.col("term") == t) & (F.col("salt") == sa)
+            & (F.col("chunk_seq") == victim[0]["s0"])
+        )
+        .select("first_doc_id", "last_doc_id")
+        .collect()[0]
+    )
+    dels = spark.range(
+        int(first["first_doc_id"]), int(first["last_doc_id"]) + 1
+    ).withColumnRenamed("id", "doc_id")
+    maintenance.delete_docs(spark, src, dels)
+    out = str(tmp_path / "holes_out")
+    maintenance.compact_index(spark, src, out)
+    rep = _fsck(spark, out)
+    assert all(v == 0 for _, v in rep.values()), rep
+
+    # (2) empty-corpus index
+    empty_idx = str(tmp_path / "empty_idx")
+    empty = spark.createDataFrame(
+        [], "doc_id long, url string, text string"
+    )
+    IndexBuilder(spark, empty_idx, bucket_count=4).build(empty)
+    rep2 = _fsck(spark, empty_idx)
+    assert all(v == 0 for _, v in rep2.values()), rep2
