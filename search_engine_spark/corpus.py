@@ -60,7 +60,11 @@ def iter_trec_docs(lines) -> "Iterator[dict]":
     start_line = 0
     for raw in lines:
         lineno += 1
-        line = raw.rstrip("\n").rstrip("\r")
+        # strip ONLY the \n line terminator, exactly like the
+        # reference's getline: a CRLF file keeps its \r in content
+        # (and a "\r"-only line is NON-empty — it becomes the url /
+        # a content line, not a skipped blank)
+        line = raw.rstrip("\n")
         if line == "":
             continue
         if status == 0:

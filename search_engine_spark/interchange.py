@@ -151,9 +151,34 @@ def export_index(
                 json.load(f)["config"].get("chunk_length")
                 or codecs.CHUNK_LENGTH
             )
+    # the reference's final format encodes doc-id gaps as Simple9
+    # (<= 28 bits); our engine stores larger gaps via the varbyte
+    # fallback codec. Refuse BEFORE writing a single byte — the old
+    # behavior crashed mid-export with a raw OverflowError, leaving a
+    # truncated inverted_index.bin and no lexicon.
+    from pyspark.sql import functions as F
+
+    from .build import read_stage_parquet as _rsp
+
+    n_fallback = (
+        _rsp(spark, os.path.join(index_dir, "chunks"), "chunks")
+        .where(F.col("codec") == codecs.CODEC_VB_FALLBACK)
+        .limit(1)
+        .count()
+    )
+    if n_fallback:
+        raise ValueError(
+            "index contains varbyte-fallback chunks (doc-id gaps over "
+            "28 bits); the reference's Simple9-only block format cannot "
+            "represent them — reorder/re-id the corpus first"
+        )
     n_terms = n_blocks = n_postings = 0
-    lex_lines: list[str] = []
-    with open(os.path.join(out_dir, INDEX_FILE), "wb") as fd:
+    # lexicon lines stream straight to disk: holding every term's line
+    # in a driver list would grow with the vocabulary, contradicting
+    # the bounded-driver-memory contract
+    with open(os.path.join(out_dir, INDEX_FILE), "wb") as fd, open(
+        os.path.join(out_dir, LEXICON_FILE), "w"
+    ) as lex_f:
         writer = _BlockWriter(fd, chunk_length)
         buf: list[tuple[str, np.ndarray, np.ndarray]] = []
         buffered = 0
@@ -165,7 +190,7 @@ def export_index(
             for term, cursor, chunk_off, length in writer.write_block(buf):
                 # reference lexicon line (LexiconEncoder::dump,
                 # LexiconBuilder.cpp:114-123)
-                lex_lines.append(f"{term} {cursor} {chunk_off} {length}")
+                lex_f.write(f"{term} {cursor} {chunk_off} {length}\n")
             n_blocks += 1
             buf.clear()
             buffered = 0
@@ -178,9 +203,6 @@ def export_index(
             if buffered >= block_postings_limit:
                 flush()
         flush()
-    with open(os.path.join(out_dir, LEXICON_FILE), "w") as f:
-        for line in lex_lines:
-            f.write(line + "\n")
     return {"terms": n_terms, "blocks": n_blocks, "postings": n_postings}
 
 

@@ -100,6 +100,13 @@ def extract_features(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
                 samples = decode_media(payload, mtype, decoder=decoder)
+                if len(samples) < feature_dim:
+                    # short clip: zero-pad to one feature row instead
+                    # of pooling an EMPTY reshape into a silent all-NaN
+                    # vector (mean over zero rows)
+                    samples = np.pad(
+                        samples, (0, feature_dim - len(samples))
+                    )
                 pooled = samples[: (len(samples) // feature_dim) * feature_dim]
                 pooled = pooled.reshape(-1, feature_dim).mean(axis=0)
                 ids.append(mid)
@@ -139,13 +146,12 @@ def frame_sample(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 dur = int(dur) if pd.notna(dur) else 0
+                # ONE decode per video, reused for every sampled frame
+                # (the decode does not depend on the timestamp; with a
+                # real decoder hook this was a full re-decode per frame)
+                samples = decode_media(payload, "video", decoder=decoder)
+                frame = (samples * 255).astype(np.uint8).tobytes()
                 for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
-                    samples = decode_media(payload, "video", decoder=decoder)
-                    frame = (
-                        (samples * 255).astype(np.uint8).tobytes()
-                        if samples is not None
-                        else b""
-                    )
                     rows.append((mid, i, ts, frame))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "frame_ts_ms", "frame"]

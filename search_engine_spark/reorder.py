@@ -71,11 +71,15 @@ def _term_weights(docs: DataFrame) -> DataFrame:
     )
 
 
-def _unit_term_weights(docs: DataFrame) -> DataFrame:
+def _unit_term_weights(
+    docs: DataFrame, raw: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, term, uw): L2-normalized tf vector per doc — the
     reference's get_term_vector + cosine denominator precomputed
-    (BlandfordBlelloch.cpp:272-307, studied not copied)."""
-    tf = _term_weights(docs)
+    (BlandfordBlelloch.cpp:272-307, studied not copied). Pass ``raw``
+    (a persisted _term_weights frame) to reuse one corpus tokenize
+    pass across the unit/raw consumers."""
+    tf = _term_weights(docs) if raw is None else raw
     norm = tf.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
     )
@@ -264,6 +268,7 @@ def _prim_outer_levels(
     direct_cap: int = 500,
     sample_cap: int = 1000,
     min_seg: int = 21,
+    raw: DataFrame | None = None,
 ) -> DataFrame:
     """Reference-faithful outer bisection levels, distributed
     (BlandfordBlelloch.cpp:20-360 order_index/split_index/partition/
@@ -303,7 +308,9 @@ def _prim_outer_levels(
     import pandas as pd
     from pyspark.sql import Window
 
-    raw = _term_weights(docs.select("doc_id", "text")).persist()
+    owns_raw = raw is None
+    if owns_raw:
+        raw = _term_weights(docs.select("doc_id", "text")).persist()
     md5o = F.md5(F.col("doc_id").cast("string"))
     # the incoming level-0 path is a literal; Catalyst folds a
     # foldable partitionBy to an EMPTY window spec (one global task).
@@ -665,7 +672,8 @@ def _prim_outer_levels(
                 (F.col("path") * 2 + F.col("side")).alias("path"),
             ).localCheckpoint(eager=True)
     finally:
-        raw.unpersist()
+        if owns_raw:
+            raw.unpersist()
     return state
 
 
@@ -723,12 +731,20 @@ def reorder_bisect(
     applyInPandas pass and the orientation joins (bounded by the tf
     table size).
     """
-    from .dedup import simhash
-
     if outer not in ("kmeans", "prim"):
         raise ValueError(f"outer must be 'kmeans' or 'prim', got {outer!r}")
+    if iters < 1:
+        # iters=0 would leave the per-level assignment undefined
+        # (choice never computed) and crash in the join below
+        raise ValueError(f"iters must be >= 1, got {iters}")
     state = docs.select("doc_id").withColumn("path", F.lit(0).cast("long"))
-    tf = _unit_term_weights(docs.select("doc_id", "text")).persist()
+    # ONE corpus tokenize+tf pass feeds the unit weights here, the
+    # prim outer levels, and the leaf refinement (each used to re-run
+    # _term_weights over the whole corpus)
+    raw_tf = _term_weights(docs.select("doc_id", "text")).persist()
+    tf = _unit_term_weights(
+        docs.select("doc_id", "text"), raw=raw_tf
+    ).persist()
     seed_h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
     try:
         if outer == "prim":
@@ -741,6 +757,7 @@ def reorder_bisect(
                 direct_cap=direct_cap,
                 sample_cap=sample_cap,
                 min_seg=min_seg,
+                raw=raw_tf,
             )
         for _level in range(depth if outer == "kmeans" else 0):
             tfp = tf.join(state, "doc_id")
@@ -779,7 +796,7 @@ def reorder_bisect(
                     break
                 assigned = tfp.join(choice, "doc_id")
                 sums = assigned.groupBy("path", "side", "term").agg(
-                    F.sum("uw").alias("sw"), F.count("*").alias("_nt")
+                    F.sum("uw").alias("sw")
                 )
                 from pyspark.sql import Window
 
@@ -808,6 +825,7 @@ def reorder_bisect(
             )
     finally:
         tf.unpersist()
+        raw_tf.unpersist()
 
     ranks = None
     if leaf_refine:
@@ -820,7 +838,7 @@ def reorder_bisect(
         # term-less docs fall back to the Gray order below.
         import pandas as pd  # noqa: F811 (executor-side)
 
-        raw = _term_weights(docs.select("doc_id", "text"))
+        raw = raw_tf
         small = (
             state.groupBy("path")
             .count()
@@ -830,11 +848,23 @@ def reorder_bisect(
         rows = raw.join(state, "doc_id").join(F.broadcast(small), "path")
 
         def refine(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            # sort like level_split does: the per-doc term-dict
+            # insertion order (and thus every float accumulation in
+            # _com/_cos) must not depend on shuffle arrival order, or
+            # near-tie splits flip run to run
+            pdf = pdf.sort_values(["doc_id", "term"], kind="mergesort")
             tvecs: dict[int, dict[str, float]] = {}
             for d, t, w in zip(pdf["doc_id"], pdf["term"], pdf["w"]):
                 tvecs.setdefault(int(d), {})[t] = float(w)
             ids = sorted(tvecs)
-            order = _bb_leaf_order(ids, tvecs)
+            order = _bb_leaf_order(
+                ids,
+                tvecs,
+                graph_tf_threshold=graph_tf_threshold,
+                direct_cap=direct_cap,
+                sample_cap=sample_cap,
+                min_seg=min_seg,
+            )
             return pd.DataFrame(
                 {
                     "doc_id": order,

@@ -117,3 +117,27 @@ def test_reexport_is_byte_identical(exported, tmp_path):
     with open(os.path.join(out, interchange.INDEX_FILE), "rb") as f:
         orig = f.read()
     assert dst.read_bytes() == orig
+
+
+def test_export_refuses_fallback_chunks(spark, tmp_path):
+    """An index with >28-bit doc-id gaps (varbyte-fallback chunks)
+    cannot round-trip through the reference's Simple9-only format:
+    export must refuse BEFORE writing anything, not crash mid-file."""
+    import pytest
+
+    from search_engine_spark.build import IndexBuilder
+    from search_engine_spark.interchange import export_index
+
+    docs = spark.createDataFrame(
+        [(0, "https://a", "sparse common"),
+         (1 << 29, "https://b", "sparse common")],
+        "doc_id long, url string, text string",
+    )
+    idx = str(tmp_path / "gap_idx")
+    IndexBuilder(spark, idx, n_salts=1, bucket_count=2).build(docs)
+    out = str(tmp_path / "gap_out")
+    with pytest.raises(ValueError, match="fallback"):
+        export_index(spark, idx, out)
+    import os
+
+    assert not os.path.exists(os.path.join(out, "inverted_index.bin"))

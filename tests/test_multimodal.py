@@ -89,3 +89,20 @@ def test_column_pruning_skips_payload(media, spark):
         assert "payload" not in plan  # scan must prune the heavy column
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_extract_features_short_samples_no_nan(spark):
+    """feature_dim larger than the decoded sample count zero-pads to
+    one feature row instead of pooling an empty reshape into NaNs."""
+    import math
+
+    from search_engine_spark.multimodal import (
+        extract_features, synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=4)
+    rows = extract_features(media, decoder="fake", feature_dim=256).collect()
+    assert rows
+    for r in rows:
+        assert len(r["features"]) == 256
+        assert all(math.isfinite(x) for x in r["features"])

@@ -401,3 +401,15 @@ def test_prim_outer_zero_norm_side_two_matches_recursion(spark):
     for d, p in want.items():
         sides.setdefault(p, set()).add(d)
     assert set(range(11)) in sides.values()
+
+
+def test_reorder_bisect_validates_iters(spark):
+    import pytest
+
+    from search_engine_spark.reorder import reorder_bisect
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="iters"):
+        reorder_bisect(docs, iters=0)

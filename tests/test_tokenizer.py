@@ -238,3 +238,26 @@ def test_arrow_tokenize_count_twin_matches_python():
         assert out["doc_length"][i] == len(toks), repr(t)
         got = dict(zip(out["uterms"][i], out["utfs"][i]))
         assert got == dict(Counter(toks)), repr(t)
+
+
+def test_trec_crlf_keeps_carriage_returns():
+    """Reference getline strips only \\n: CRLF content keeps its \\r,
+    and a lone-\\r line is NON-empty (it becomes the url/content line,
+    never a skipped blank) — the byte-identity contract for CRLF
+    corpora."""
+    from search_engine_spark.corpus import iter_trec_docs
+
+    lines = [
+        "<DOC>\r", "<DOCNO>d1</DOCNO>\r", "<TEXT>\r",
+        "http://u\r", "body line\r", "</TEXT>\r", "</DOC>\r",
+    ]
+    (doc,) = list(iter_trec_docs(lines))
+    assert doc["url"] == "http://u\r"
+    assert doc["text"] == "body line\r\n"
+    # lone \r inside TEXT is content, not a blank
+    lines2 = [
+        "<DOC>", "<DOCNO>d2</DOCNO>", "<TEXT>",
+        "\r", "real", "</TEXT>", "</DOC>",
+    ]
+    (doc2,) = list(iter_trec_docs(lines2))
+    assert doc2["url"] == "\r" and doc2["text"] == "real\n"
