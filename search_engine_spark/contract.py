@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .build import chunk_postings
 from .runtime import ensure_shipped
-from .tokenizer import INDEX_ASCII_DELIMS, UNICODE_DELIMS, register_udfs
+from .tokenizer import INDEX_ASCII_DELIMS, UNICODE_DELIMS
 
 # RE2/PCRE character class equivalent to the engine tokenizer's delimiter
 # set ('-' first, ']' escaped; '$' intentionally NOT a delimiter).
@@ -54,7 +54,6 @@ def _prepare(spark, sf_dir: str) -> None:
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(
             name
         )
-    spark.udf.register("se_tokenize", register_udfs())
 
 
 def _sql_query(spark_sql: str):
@@ -226,9 +225,17 @@ def sql_bm25(engine: str, terms: tuple[str, ...], conjunctive: bool) -> str:
         )
     return (
         _bm25_base(engine) + f"WHERE tf.term IN ({in_list})) "
-        "SELECT doc_id, round(sum(score), 4) AS score FROM scored "
-        f"GROUP BY doc_id{having} "
-        "ORDER BY score DESC, doc_id LIMIT 10"
+        # rank on the UNROUNDED sum, like the engine: ordering by the
+        # rounded output alias could pick a different doc set at a
+        # round-tie straddling the LIMIT boundary (the phrase oracles
+        # already order this way). The raw sum rides as _raw through a
+        # subquery because Spark resolves ORDER BY sum(score) against
+        # the rounded output alias.
+        "SELECT doc_id, score FROM ("
+        "SELECT doc_id, round(sum(score), 4) AS score, "
+        "sum(score) AS _raw FROM scored "
+        f"GROUP BY doc_id{having}"
+        ") ORDER BY _raw DESC, doc_id LIMIT 10"
     )
 
 
@@ -764,15 +771,6 @@ def _ann_queries(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def _lib(fn):
-    """Adapter: library operator over the documents table."""
-
-    def run(spark, sf_dir: str) -> DataFrame:
-        return fn(_docs(spark, sf_dir))
-
-    return run
-
-
 def spark_dedup_exact(spark, sf_dir: str) -> DataFrame:
     from .dedup import exact_duplicates
 
@@ -800,8 +798,12 @@ def spark_lsh_pairs(spark, sf_dir: str) -> DataFrame:
 def spark_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
     from .dedup import ngram_jaccard_pairs
 
+    # max_df OFF: the SQL oracle computes exact unfiltered Jaccard, so
+    # the library's boilerplate-shingle cap must be off too (same
+    # pinning as lsh_candidate_pairs' max_bucket_size=None; the cap
+    # path has its own pytest coverage)
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD
+        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, max_df=None
     )
 
 
@@ -1861,11 +1863,18 @@ def spark_term_bloom_stats(spark, sf_dir: str) -> DataFrame:
     index_dir = _e2e_index(spark, sf_dir)
     meta = build_term_bloom(spark, index_dir, m=BLOOM_M, k=BLOOM_K)
     loaded = codecs.bloom_load(os.path.join(index_dir, codecs.BLOOM_DIR))
-    assert loaded is not None
+    # explicit raises, not asserts: the artifact gate must hold under
+    # python -O too
+    if loaded is None:
+        raise ValueError("bloom sidecar unreadable after build")
     words, m, k, _n = loaded
-    assert (m, k) == (BLOOM_M, BLOOM_K)
+    if (m, k) != (BLOOM_M, BLOOM_K):
+        raise ValueError(f"bloom geometry {(m, k)} != {(BLOOM_M, BLOOM_K)}")
     bits_set = codecs.bloom_popcount(words)
-    assert bits_set == meta["bits_set"]
+    if bits_set != meta["bits_set"]:
+        raise ValueError(
+            f"persisted popcount {bits_set} != builder {meta['bits_set']}"
+        )
     return spark.createDataFrame(
         [(int(meta["n_terms"]), bits_set)],
         "n_terms long, bits_set long",
@@ -2299,7 +2308,14 @@ def spark_url_dedup(spark, sf_dir: str) -> DataFrame:
         F.when(v == 0, F.concat(F.lit("https" + _URL_BASE), g))
         .when(
             v == 1,
-            F.concat(F.lit(("https" + _URL_BASE).upper()), g, F.lit("#top")),
+            # uppercase ONLY scheme+host: normalize_url lowercases the
+            # authority but must NOT touch the path, so an uppercased
+            # path would (correctly) never collapse — the variant
+            # exists to exercise the case-collapse, so keep the path
+            # lowercase
+            F.concat(
+                F.lit("HTTPS://EXAMPLE.COM/page/"), g, F.lit("#top")
+            ),
         )
         .otherwise(
             F.concat(
@@ -2314,7 +2330,7 @@ def spark_url_dedup(spark, sf_dir: str) -> DataFrame:
 
 
 def sql_url_dedup() -> str:
-    up = ("https" + _URL_BASE).upper()
+    up = "HTTPS://EXAMPLE.COM/page/"
     return (
         "WITH v AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS v, "
         "CAST(floor(doc_id / 3) AS BIGINT) AS g FROM documents), "
@@ -2461,13 +2477,7 @@ def spark_index_e2e_topk(spark, sf_dir: str) -> DataFrame:
     from .query import QueryEngine
 
     _prepare(spark, sf_dir)
-    index_dir = _E2E_CACHE.get(sf_dir)
-    if index_dir is None:
-        index_dir = tempfile.mkdtemp(prefix="se_e2e_idx_")
-        IndexBuilder(spark, index_dir, n_salts=4, bucket_count=8).build(
-            load_documents(spark, sf_dir)
-        )
-        _E2E_CACHE[sf_dir] = index_dir
+    index_dir = _e2e_index(spark, sf_dir)
     qe = QueryEngine(spark, index_dir)
     res = qe.search(
         " ".join(BM25_DISJ_TERMS), mode="disjunctive", k=10, dtype=np.float64
@@ -2491,13 +2501,7 @@ def spark_doc_point_lookup(spark, sf_dir: str) -> DataFrame:
     from .query import QueryEngine
 
     _prepare(spark, sf_dir)
-    index_dir = _E2E_CACHE.get(sf_dir)
-    if index_dir is None:
-        index_dir = tempfile.mkdtemp(prefix="se_e2e_idx_")
-        IndexBuilder(spark, index_dir, n_salts=4, bucket_count=8).build(
-            load_documents(spark, sf_dir)
-        )
-        _E2E_CACHE[sf_dir] = index_dir
+    index_dir = _e2e_index(spark, sf_dir)
     qe = QueryEngine(spark, index_dir)
     topk = qe.search(
         " ".join(BM25_DISJ_TERMS), mode="disjunctive", k=10, dtype=np.float64
@@ -2601,7 +2605,7 @@ def sql_tombstone_topk() -> str:
         _bm25_base("duckdb") + f"WHERE tf.term IN ({in_list}) "
         f"AND tf.doc_id % {DELETE_MOD} <> {DELETE_REM}) "
         "SELECT doc_id, round(sum(score), 4) AS score FROM scored "
-        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"
+        "GROUP BY doc_id ORDER BY sum(score) DESC, doc_id LIMIT 10"
     )
 
 
@@ -2641,7 +2645,7 @@ def sql_compact_topk() -> str:
         _bm25_base("duckdb", docs_where=alive)
         + f"WHERE tf.term IN ({in_list})) "
         "SELECT doc_id, round(sum(score), 4) AS score FROM scored "
-        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"
+        "GROUP BY doc_id ORDER BY sum(score) DESC, doc_id LIMIT 10"
     )
 
 
@@ -2745,8 +2749,12 @@ def spark_upsert_topk(spark, sf_dir: str) -> DataFrame:
         maintenance.upsert_docs(spark, base, delta, out_dir)
         _MAINT_CACHE[key] = out_dir
     qe = QueryEngine(spark, out_dir)
+    # k large enough to cover the whole match set: the oracle ranks the
+    # FULL corpus by (rounded score, url), so a raw-score truncation
+    # here could drop a doc that round-ties into the url-ordered top 10
     res = qe.search(
-        " ".join(BM25_DISJ_TERMS), mode="disjunctive", k=50, dtype=np.float64
+        " ".join(BM25_DISJ_TERMS), mode="disjunctive", k=100000,
+        dtype=np.float64,
     )
     dt = read_stage_parquet(
         spark, os.path.join(out_dir, "doc_table"), "doc_table"
@@ -2843,8 +2851,12 @@ def spark_lsm_serve_topk(spark, sf_dir: str) -> DataFrame:
         )
         dirs = _MAINT_CACHE[key] = (base, delta_dir)
     mqe = MultiIndexQueryEngine(spark, list(dirs))
+    # full-match-set k: same rationale as spark_upsert_topk — the
+    # (rounded score, url) re-rank below must not lose round-tied docs
+    # to a raw-score pre-truncation
     res = mqe.search(
-        " ".join(BM25_DISJ_TERMS), mode="disjunctive", k=50, dtype=np.float64
+        " ".join(BM25_DISJ_TERMS), mode="disjunctive", k=100000,
+        dtype=np.float64,
     )
     rows = res.collect()
     urls = mqe.doc_urls([int(r["doc_id"]) for r in rows])
@@ -2917,13 +2929,7 @@ def spark_batch_e2e_topk(spark, sf_dir: str) -> DataFrame:
     from .query import QueryEngine
 
     _prepare(spark, sf_dir)
-    index_dir = _E2E_CACHE.get(sf_dir)
-    if index_dir is None:
-        index_dir = tempfile.mkdtemp(prefix="se_e2e_idx_")
-        IndexBuilder(spark, index_dir, n_salts=4, bucket_count=8).build(
-            load_documents(spark, sf_dir)
-        )
-        _E2E_CACHE[sf_dir] = index_dir
+    index_dir = _e2e_index(spark, sf_dir)
     qe = QueryEngine(spark, index_dir)
     res = qe.batch_search(
         [
